@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for engine session defaults so Verify / Bench / tests / user
+  * code agree on semantics.
+  *
+  * - UTC session time zone: the reference stores wall-clock UTC strings
+  *   (SURVEY §2.7 F1); oracle parity requires a fixed zone.
+  * - ANSI off: the reference's casts are silent-null (`to_float` try/except →
+  *   None, SURVEY §1.2); Spark 4 defaults to ANSI (throwing) casts, which
+  *   would change semantics.
+  * - AQE on: runtime coalescing/skew handling is our scale story for the
+  *   shuffle-heavy operators; harmless locally.
+  * - Shuffle partitions = cores: local-mode default of 200 just adds task
+  *   overhead; on a real cluster this is sized to executors instead.
+  */
+object Sessions {
+  def builder(master: String, cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
+    val s = builder(s"local[$cores]", cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Apply engine semantics to an externally-created session (e.g. the
+    * driver's). Only runtime-settable confs. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operators from the reference inventory (SURVEY §2).
+  *
+  * Everything is expressed on the DataFrame API so Catalyst keeps full
+  * freedom: filters push into scans, small sides broadcast, partial
+  * aggregation happens map-side. No operator here ever collects to the
+  * driver — they all scale with the cluster.
+  */
+object Relational {
+
+  /** D1 "latest row per key" — the reference's PG `SELECT DISTINCT ON (k) …
+    * ORDER BY k, updatedAt DESC` (dags/guardian/etl_guardian_to_clickhouse.py:35-42,
+    * dags/student/etl_students_to_clickhouse.py:37-46).
+    *
+    * One shuffle on the key; at scale this is the unavoidable exchange, and
+    * `row_number` keeps only rank 1 per key without materializing sorts
+    * beyond each partition. Callers must pass a total order (append a unique
+    * tiebreaker) for reproducible results on ties.
+    */
+  def dedupLatest(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** S3/P2 incremental watermark scan — `WHERE updatedAt > '<last_run>'`
+    * (dags/student/etl_students_to_clickhouse.py:37-46). The predicate is a
+    * plain Column filter so it pushes down into parquet row-group pruning or
+    * a JDBC WHERE clause. */
+  def incrementalFrom(df: DataFrame, tsCol: String, watermark: java.sql.Timestamp): DataFrame =
+    df.filter(col(tsCol) > lit(watermark))
+
+  /** J6/S4 semi-join pushdown — the reference harvests fact-side key sets and
+    * issues `WHERE k IN (...)` against the dimension source
+    * (dags/student_scores_subject/etl_student_scores_subject_month_to_clickhouse.py:467-511).
+    * As a plan this is a LEFT SEMI join; Spark broadcasts whichever side is
+    * small, and never materializes the key list on the driver. */
+  def semiJoin(dim: DataFrame, fact: DataFrame, dimKey: String, factKey: String): DataFrame =
+    dim.join(fact.select(col(factKey).as(dimKey)).distinct(), Seq(dimKey), "left_semi")
+
+  /** §2.4 anti-membership — "keys in A missing from B" (processed_subjects
+    * set-difference, dags/student_scores_subject/...py:273-276). */
+  def antiJoin(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String): DataFrame =
+    left.join(right.select(col(rightKey).as(leftKey)).distinct(), Seq(leftKey), "left_anti")
+
+  /** §2.8 top-k: total order + limit. Spark plans this as TakeOrderedAndProject —
+    * a per-partition bounded heap plus a k-row driver merge, no global sort. */
+  def topK(df: DataFrame, k: Int, ordering: Seq[Column]): DataFrame =
+    df.orderBy(ordering: _*).limit(k)
+
+  /** A7 max-by — "row attribute at the greatest ordering value" (scorer of
+    * the latest markedAt, dags/student_transcript/...py:297-301). Single-pass
+    * aggregation; `orderCol` must be unique within the group for determinism.
+    */
+  def latestBy(valueCol: Column, orderCol: Column): Column = max_by(valueCol, orderCol)
+}

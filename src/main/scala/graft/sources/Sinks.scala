@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+
+/** K1-K5 sink semantics (SURVEY §2.2) re-expressed engine-natively.
+  *
+  * The reference hand-builds `INSERT … VALUES` strings over HTTP; with typed
+  * DataFrames the whole literal-encoding layer (K2/F12/F13) is obsolete.
+  * What remains meaningful — and matters at 100 TB — is the physical layout:
+  * ClickHouse `PARTITION BY` → parquet `partitionBy` (partition pruning for
+  * multi-tenant scans), ClickHouse `ORDER BY` clustered key →
+  * `sortWithinPartitions` (parquet min/max stats make range scans cheap).
+  */
+object Sinks {
+
+  /** Partitioned, clustered, append-mode write.
+    *
+    * Mirrors e.g. `PARTITION BY schoolId ORDER BY (monthEvaluationId, …)`
+    * (apps/clickhouse/migrations/2025_02_24_10_02_...sql:57-58). Includes the
+    * K4 empty-batch guard (dags/school/etl_school_to_clickhouse.py:79-81).
+    *
+    * @return number of partition columns applied, -1 if skipped empty batch
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Append): Int = {
+    if (df.isEmpty) return -1
+    val sorted =
+      if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*)
+      else df
+    val writer = sorted.write.mode(mode)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(path)
+    partitionCols.size
+  }
+}
+
+/** §2.10 incremental-load protocol: per-pipeline high watermark persisted
+  * outside the job, read before extract, committed only after a successful
+  * load (`extract >> load >> update_timestamp`,
+  * dags/student/etl_students_to_clickhouse.py:24-26,143-149) — at-least-once
+  * with re-reads deduplicated at query time by [[graft.operators.Relational.dedupLatest]].
+  *
+  * File-per-store `java.util.Properties`; swap for a Delta/JDBC state table
+  * on a real cluster (the interface is the contract, not the file).
+  */
+class WatermarkStore(path: String) {
+  private val file = new java.io.File(path)
+
+  private def load(): java.util.Properties = {
+    val p = new java.util.Properties()
+    if (file.exists()) {
+      val in = new java.io.FileInputStream(file)
+      try p.load(in) finally in.close()
+    }
+    p
+  }
+
+  /** Airflow `Variable.get(name, default epoch)` analog
+    * (dags/student/etl_students_to_clickhouse.py:31). */
+  def get(name: String, default: String = "1970-01-01T00:00:00"): String = {
+    Option(load().getProperty(name)).getOrElse(default)
+  }
+
+  /** Commit AFTER the load succeeds — ordering is the correctness property. */
+  def set(name: String, value: String): Unit = {
+    val p = load()
+    p.setProperty(name, value)
+    Option(file.getParentFile).foreach(_.mkdirs())
+    val out = new java.io.FileOutputStream(file)
+    try p.store(out, "graft watermark store") finally out.close()
+  }
+}
