@@ -458,7 +458,11 @@ object Queries {
 
   // ------------------------------------------------------------- registry
 
-  val entries: Seq[Entry] = Seq(
+  // lazy: QueriesExt constructs Entry instances, which touches this object's
+  // companion — a strict val here would deadlock object initialization.
+  lazy val entries: Seq[Entry] = coreEntries ++ QueriesExt.entries
+
+  private val coreEntries: Seq[Entry] = Seq(
     Entry("q01_scan_projection", q01, Some(q01Sql)),
     Entry("q02_agg_groupby", q02, Some(q02Sql)),
     Entry("q03_dedup_latest", q03, Some(q03Sql)),

@@ -1,0 +1,411 @@
+package graft
+
+import graft.core.Tables
+import graft.functions.{Text, Vectors}
+import graft.operators.TreeRollup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extension query corpus: the tree rollup + streaming window from the
+  * reference inventory, and the large-scale training-data operators
+  * (dedup / similarity / text analysis / multimodal) from the north star.
+  * Registered alongside [[Queries]] via [[SparkEntry]].
+  */
+object QueriesExt {
+  import Queries.{Entry, Q}
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Shared doc prep: hashed 3-gram shingle sets. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Text.shingleHashes(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+
+  // ------------------------------------------------------- tree rollup
+
+  /** A2 recursive rollup driven by real tables: customers are leaf
+    * observations (cents), nations average their customers, regions average
+    * their nations — a 2-level instance of the bounded-height fixpoint. */
+  private val q23: Q = (s, dir) => {
+    val nation = t(s, dir, "nation")
+    val region = t(s, dir, "region")
+    val nodes = nation
+      .select(concat(lit("n"), col("n_nationkey")).as("id"),
+        concat(lit("r"), col("n_regionkey")).as("parentId"))
+      .unionByName(region.select(concat(lit("r"), col("r_regionkey")).as("id"),
+        lit("na").as("parentId")))
+    val leaves = t(s, dir, "customer")
+      .select(concat(lit("n"), col("c_nationkey")).as("id"),
+        floor(col("c_acctbal") * 100 + 0.5).as("score"))
+    val rolled = TreeRollup.rollup(nodes, leaves)
+    val labels = nation
+      .select(concat(lit("n"), col("n_nationkey")).as("id"), col("n_name").as("label"))
+      .unionByName(region.select(concat(lit("r"), col("r_regionkey")).as("id"),
+        col("r_name").as("label")))
+    rolled.join(labels, Seq("id"))
+      .select(col("id"), col("label"), col("height"), col("value"))
+      .orderBy(col("id"))
+  }
+
+  private val q23Sql =
+    """WITH leaf AS (
+      |  SELECT 'n' || c_nationkey AS id, floor(c_acctbal*100 + 0.5) AS cents
+      |  FROM customer),
+      |nat AS (
+      |  SELECT id, CAST(floor(avg(cents)*1000000) AS BIGINT) AS vmicro
+      |  FROM leaf GROUP BY id),
+      |reg AS (
+      |  SELECT 'r' || n_regionkey AS id, CAST(floor(avg(vmicro)) AS BIGINT) AS vmicro
+      |  FROM nat JOIN nation ON nat.id = 'n' || n_nationkey
+      |  GROUP BY n_regionkey)
+      |SELECT id, label, height, vmicro/1000000 AS value FROM (
+      |  SELECT nat.id, n_name AS label, 0 AS height, vmicro
+      |  FROM nat JOIN nation ON nat.id = 'n' || n_nationkey
+      |  UNION ALL
+      |  SELECT reg.id, r_name AS label, 1 AS height, vmicro
+      |  FROM reg JOIN region ON reg.id = 'r' || r_regionkey)
+      |ORDER BY id""".stripMargin
+
+  // --------------------------------------------------------- streaming
+
+  /** §2.10 extension: event-time tumbling-window aggregation via a real
+    * Structured Streaming query (AvailableNow over the events files). */
+  private val q24: Q = (s, dir) =>
+    graft.streaming.Streaming.hourlyEventCounts(s, dir)
+
+  private val q24Sql =
+    """SELECT strftime(time_bucket(INTERVAL 1 hour, ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |       event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ------------------------------------------------------------- dedup
+
+  /** Exact dedup: hash-group on content, keep the smallest doc_id as the
+    * canonical representative. One shuffle on the 128-bit content hash. */
+  private val q30: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n"))
+      .orderBy(col("rep_doc"))
+
+  private val q30Sql =
+    """SELECT md5(text) AS h, min(doc_id) AS rep_doc, count(*) AS n
+      |FROM documents GROUP BY md5(text) ORDER BY rep_doc""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup pairs via an inverted-index join (never
+    * an n² cross join): explode shingles → co-occurrence candidates →
+    * verify exact Jaccard ≥ 0.8. At 100 TB add prefix filtering to bound
+    * hot shingles; the candidate set is provably complete for τ > 0 since
+    * any pair with positive Jaccard shares a shingle. */
+  private val q31: Q = (s, dir) => {
+    val docs = docShingles(s, dir).cache()
+    val posting = docs.select(col("doc_id"), explode(col("hs")).as("g"))
+    val cand = posting.as("a")
+      .join(posting.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hsa")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hsb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), Text.jaccard(col("hsa"), col("hsb")).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB mirror derives the same pairs by brute force (fine at oracle
+    * scale) — an independent derivation of the same semantics. */
+  private val docHsCte =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |d AS (SELECT doc_id,
+      |        CASE WHEN len(w) >= 3
+      |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                 for i in range(1, len(w)-1)])
+      |             ELSE [] END AS s
+      |      FROM w),
+      |h AS (SELECT doc_id,
+      |        list_distinct(list_transform(s,
+      |          g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT))) AS hs
+      |      FROM d WHERE len(s) > 0)""".stripMargin
+
+  private val q31Sql = docHsCte +
+    """
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       len(list_intersect(a.hs, b.hs)) / len(list_distinct(a.hs || b.hs)) AS jac
+      |FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.hs, b.hs)) / len(list_distinct(a.hs || b.hs)) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash + LSH near-dup detection: 64-hash signatures, 16 bands × 4
+    * rows, bucket-join on band keys, exact-Jaccard verification of
+    * candidates. The shuffle moves (doc, band-key) pairs — linear in corpus
+    * size — instead of any pairwise structure; that is the 100 TB path. */
+  private val q32: Q = (s, dir) => {
+    val docs = docShingles(s, dir)
+      .withColumn("sig", Text.minhashSignature(col("hs")))
+      .withColumn("bands", Text.lshBandKeys(col("sig")))
+      .cache()
+    val e = docs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+    val cand = e.as("a")
+      .join(e.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hsa")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hsb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), Text.jaccard(col("hsa"), col("hsb")).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q32Sql = docHsCte +
+    """,
+      |sig AS (SELECT doc_id, hs,
+      |          list_transform(range(64), i ->
+      |            list_min(list_transform(hs,
+      |              x -> (x*(2*i+1) + 104729*(i+1)) % 4294967311))) AS sig
+      |        FROM h)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       len(list_intersect(a.hs, b.hs)) / len(list_distinct(a.hs || b.hs)) AS jac
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE len([x for x in range(16)
+      |           if list_slice(a.sig, x*4+1, x*4+4) = list_slice(b.sig, x*4+1, x*4+4)]) > 0
+      |  AND len(list_intersect(a.hs, b.hs)) / len(list_distinct(a.hs || b.hs)) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash fingerprints: 32-bit near-dup sketch per document (frequency-
+    * weighted term hashes; Hamming-close fingerprints ⇒ similar docs). */
+  private val q33: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("ths", transform(Text.tokens(col("text")), w => Text.hash32(w)))
+      .select(col("doc_id"), Text.simhash32(col("ths")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private val q33Sql =
+    """WITH t AS (SELECT doc_id,
+      |             list_transform(string_split(text, ' '),
+      |               w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)) AS ths
+      |           FROM documents)
+      |SELECT doc_id,
+      |       CAST(list_sum(list_transform(range(32), j ->
+      |         CASE WHEN list_sum(list_transform(ths,
+      |                h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+      |              THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- similarity
+
+  private def quantizedEmb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), Vectors.quantize(col("embedding")).as("qv"))
+      .withColumn("nsq", Vectors.normSqQ(col("qv")))
+
+  /** Brute-force cosine top-k: the exact baseline. Queries broadcast; the
+    * corpus streams through once — no pairwise shuffle. */
+  private val q34: Q = (s, dir) => {
+    val emb = quantizedEmb(s, dir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("nsq").as("qnsq"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cos", Vectors.cosineFromParts(
+        Vectors.dotQ(col("qqv"), col("qv")), col("qnsq"), col("nsq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val embCte =
+    """WITH e AS (SELECT vec_id,
+      |             list_transform(embedding,
+      |               x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, qv,
+      |        list_sum(list_transform(qv, x -> x*x)) AS nsq FROM e)""".stripMargin
+
+  private val q34Sql = embCte +
+    """,
+      |p AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+      |        CAST(list_sum(list_transform(list_zip(a.qv, b.qv), s -> s[1]*s[2])) AS DOUBLE)
+      |          / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cos
+      |      FROM n a JOIN n b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+      |SELECT qid, rank, neighbor, cos FROM (
+      |  SELECT qid, neighbor, cos,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rank
+      |  FROM p)
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** Sign-LSH bucketed ANN: candidates are only same-bucket vectors —
+    * the scale path (shuffle on bucket id, per-bucket top-k) traded against
+    * recall. Same deterministic hyperplane lattice on both engines. */
+  private val q35: Q = (s, dir) => {
+    val emb = quantizedEmb(s, dir)
+      .withColumn("bucket", Vectors.lshBucket(col("qv"), 8))
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"),
+        col("nsq").as("qnsq"), col("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    emb.join(queries, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", Vectors.cosineFromParts(
+        Vectors.dotQ(col("qqv"), col("qv")), col("qnsq"), col("nsq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val q35Sql = embCte +
+    """,
+      |bk AS (SELECT vec_id, qv, nsq,
+      |         list_reduce(list_prepend(0::BIGINT,
+      |           list_transform(range(8), p ->
+      |             CASE WHEN list_sum(list_transform(range(64), d ->
+      |                    ((p*73856093 + d*19349663) % 2001 - 1000) * qv[d+1])) >= 0
+      |                  THEN 1::BIGINT ELSE 0::BIGINT END)),
+      |           (a, b) -> a*2 + b) AS bucket
+      |       FROM n),
+      |p AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+      |        CAST(list_sum(list_transform(list_zip(a.qv, b.qv), s -> s[1]*s[2])) AS DOUBLE)
+      |          / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cos
+      |      FROM bk a JOIN bk b ON a.vec_id % 50 = 0 AND a.bucket = b.bucket
+      |                         AND b.vec_id <> a.vec_id)
+      |SELECT qid, rank, neighbor, cos FROM (
+      |  SELECT qid, neighbor, cos,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rank
+      |  FROM p)
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  // ----------------------------------------------------- text analysis
+
+  /** Stopword-profile language ID vs the labeled lang column (confusion
+    * counts). Heuristic contract: deterministic scores + fixed-priority
+    * argmax — see [[Text.langId]]. */
+  private val q36: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("lang"), Text.langId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  private val q36Sql = {
+    val scores = Text.LangProfiles.map { case (lang, ws) =>
+      lang -> s"len(list_filter(w, t -> t IN (${ws.map("'" + _ + "'").mkString(", ")})))"
+    }
+    val langs = scores.map(_._1)
+    val cases = langs.dropRight(1).map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n            ")
+    s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |         ${scores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n         ")}
+       |       FROM w),
+       |pred AS (SELECT lang,
+       |       CASE $cases
+       |            ELSE '${langs.last}' END AS predicted
+       |       FROM sc)
+       |SELECT lang, predicted, count(*) AS n FROM pred
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+
+  /** Quality scoring: length + stopword-ratio shape of C4-style filters. */
+  private val q37: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), size(Text.tokens(col("text"))).as("n_tok"),
+        Text.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  private val q37Sql = {
+    val stopList = Text.LangProfiles.flatMap(_._2).map("'" + _ + "'").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |SELECT doc_id, len(w) AS n_tok,
+       |       0.5 * least(1.0, CAST(len(w) AS DOUBLE)/200.0)
+       |     + 0.5 * (CAST(len(list_filter(w, t -> t IN ($stopList))) AS DOUBLE)/len(w))
+       |         AS quality
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: whitespace and BPE-ish pre-tokenizer regex. */
+  private val q38: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("lang"), size(Text.tokens(col("text"))).as("ws"),
+        Text.bpeTokenCount(col("text")).as("bpe"))
+      .groupBy(col("lang"))
+      .agg(sum(col("ws")).as("ws_tokens"), sum(col("bpe")).as("bpe_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  private val q38Sql =
+    """SELECT lang,
+      |       sum(len(string_split(text, ' '))) AS ws_tokens,
+      |       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe_tokens,
+      |       count(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Order-sensitive rolling fingerprint (content-defined identity). */
+  private val q39: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), Text.rollingFingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private val q39Sql =
+    """SELECT doc_id,
+      |       list_reduce(list_prepend(0::BIGINT,
+      |         list_transform(string_split(text, ' '),
+      |           w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT))),
+      |         (acc, h) -> (acc*31 + h) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- multimodal
+
+  /** Multimodal column plumbing: content as an opaque binary column with a
+    * deterministic stub "decoder" (real decode needs codec libs — see
+    * graft.operators.Multimodal for the partition-level seam). Exercises
+    * binary type end-to-end: encode → byte length → content hash → derived
+    * metadata. */
+  private val q40: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("content", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"),
+        length(col("content")).as("n_bytes"),
+        md5(col("content")).as("content_md5"),
+        (pmod(length(col("content")), lit(640)) + 16).as("width"),
+        (pmod(length(col("content")) * 7, lit(480)) + 16).as("height"),
+        element_at(array(lit("jpg"), lit("png"), lit("webp")),
+          pmod(length(col("content")), lit(3)) + 1).as("format"))
+      .orderBy(col("doc_id"))
+
+  private val q40Sql =
+    """SELECT doc_id,
+      |       octet_length(encode(text)) AS n_bytes,
+      |       md5(text) AS content_md5,
+      |       octet_length(encode(text)) % 640 + 16 AS width,
+      |       (octet_length(encode(text)) * 7) % 480 + 16 AS height,
+      |       ['jpg', 'png', 'webp'][octet_length(encode(text)) % 3 + 1] AS format
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val entries: Seq[Entry] = Seq(
+    Entry("q23_tree_rollup", q23, Some(q23Sql)),
+    Entry("q24_streaming_window", q24, Some(q24Sql)),
+    Entry("q30_dedup_exact", q30, Some(q30Sql)),
+    Entry("q31_dedup_ngram_jaccard", q31, Some(q31Sql)),
+    Entry("q32_dedup_minhash_lsh", q32, Some(q32Sql)),
+    Entry("q33_dedup_simhash", q33, Some(q33Sql)),
+    Entry("q34_sim_cosine_topk", q34, Some(q34Sql)),
+    Entry("q35_sim_ann_lsh", q35, Some(q35Sql)),
+    Entry("q36_text_langid", q36, Some(q36Sql)),
+    Entry("q37_text_quality", q37, Some(q37Sql)),
+    Entry("q38_text_tokens", q38, Some(q38Sql)),
+    Entry("q39_text_fingerprint", q39, Some(q39Sql)),
+    Entry("q40_multimodal_stub", q40, Some(q40Sql))
+  )
+}

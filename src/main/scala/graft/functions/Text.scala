@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis and document-dedup primitives for large-scale training-data
+  * pipelines (extension scope; BASELINE.json north star).
+  *
+  * Everything is built from codegen'd Catalyst expressions over arrays —
+  * no UDFs, no driver-side state, so every operator here scales as a pure
+  * map over documents (shuffles only where a join/groupBy is inherent, e.g.
+  * LSH bucketing).
+  *
+  * Hashing is md5-based (not Spark's xxhash64) so results are engine-portable
+  * and reproducible: any system that can md5 a UTF-8 string derives the same
+  * 32-bit values, which keeps signatures stable across the oracle, re-runs,
+  * and future backends.
+  */
+object Text {
+
+  /** Large prime > 2^32 for the minhash universal-hash family. */
+  val MinhashPrime = 4294967311L
+  val MinhashK = 64
+  val LshBands = 16
+  val LshRows = 4 // MinhashK / LshBands
+
+  /** Stable 32-bit hash: first 8 hex chars of md5 as an unsigned int. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles, e.g. n=3 → "w1 w2 w3" strings. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - lit(n)),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct 32-bit-hashed shingles — the set representation used by both
+    * exact Jaccard and minhash (hash each shingle once, reuse everywhere). */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(wordShingles(text, n), s => hash32(s)))
+
+  /** Exact Jaccard similarity of two pre-hashed shingle sets. Integer set
+    * sizes → double division: bit-deterministic. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** MinHash signature of a hashed-shingle set: k universal hashes
+    * h_i(x) = ((2i+1)·x + 104729·(i+1)) mod P, sig_i = min over the set.
+    * (MinHash: Broder 1997 "On the resemblance and containment of documents".)
+    */
+  def minhashSignature(hashes: Column, k: Int = MinhashK): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(hashes,
+        x => (x * (i * 2 + lit(1)) + lit(104729L) * (i + lit(1))) % lit(MinhashPrime))))
+
+  /** LSH band keys: the signature cut into `bands` runs of `rows`, each run
+    * serialized to a string key. Documents sharing any (band, key) pair are
+    * near-dup candidates (standard banding scheme: for r=4, b=16 the
+    * collision probability at Jaccard 0.8 is 1-(1-0.8^4)^16 ≈ 0.9997). */
+  def lshBandKeys(sig: Column, bands: Int = LshBands, rows: Int = LshRows): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws("-", slice(sig, b * rows + lit(1), lit(rows))))
+
+  /** 32-bit SimHash over term hashes (Charikar 2002): bit j of the result is
+    * set iff Σ_tokens (2·bit_j(h)−1) ≥ 0. Term frequency weighs naturally
+    * (tokens, not a set). Implemented as a SQL higher-order expression over
+    * a column holding array<bigint> token hashes. */
+  def simhash32(tokenHashes: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(31)), j => {
+        // bit_j(h) = floor(h / 2^j) mod 2 — division by a power of two is
+        // exact in doubles for h < 2^32, equivalent to (h >> j) & 1
+        val p = pow(lit(2.0), j.cast("double"))
+        val netSum = aggregate(tokenHashes, lit(0L), (acc, h) =>
+          acc + when(pmod(floor(h.cast("double") / p).cast("long"), lit(2)) === 1,
+            lit(1L)).otherwise(lit(-1L)))
+        when(netSum >= 0, p.cast("long")).otherwise(lit(0L))
+      }),
+      lit(0L), (a, x) => a + x)
+
+  /** Rolling polynomial fingerprint over token hashes:
+    * fold(acc = 0; acc = (acc·31 + h) mod 1_000_000_007) — order-sensitive,
+    * so equal fingerprints mean equal token sequences (modulo collisions),
+    * unlike the set-based signatures above. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), w => hash32(w)),
+      lit(0L),
+      (acc, h) => (acc * 31 + h) % lit(1000000007L))
+
+  /** Language-ID by stopword-profile hit counts. Deterministic argmax with
+    * fixed priority order on ties (en > de > fr > es > zh). A heuristic, not
+    * a model: on corpora whose vocabulary carries no language signal (like
+    * the synthetic test tables) it degenerates to the priority language —
+    * the operator contract is determinism + the scoring shape. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "una", "y", "es"),
+    "zh" -> Seq("的", "了", "是"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val w = tokens(text)
+    LangProfiles.map { case (lang, words) =>
+      lang -> size(filter(w, t => t.isin(words.map(lit): _*)))
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // first language whose score is >= all others (priority on ties)
+    scores.foldRight(lit(LangProfiles.last._1)) { case ((lang, s), els) =>
+      when(scores.filter(_._1 != lang).map(_._2)
+          .foldLeft(lit(true))((acc, o) => acc && s >= o), lang)
+        .otherwise(els)
+    }
+  }
+
+  /** Quality score: 0.5·min(1, n_tokens/200) + 0.5·stopword_ratio — the
+    * length/stopword shape of C4-style quality filters, deterministic
+    * per-row double arithmetic. */
+  def qualityScore(text: Column): Column = {
+    val w = tokens(text)
+    val nTok = size(w)
+    val stop = size(filter(w, t => t.isin(LangProfiles.flatMap(_._2).map(lit): _*)))
+    lit(0.5) * least(lit(1.0), nTok.cast("double") / 200.0) +
+      lit(0.5) * (stop.cast("double") / nTok)
+  }
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single other
+    * non-space chars — the usual pre-tokenizer regex shape. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+}

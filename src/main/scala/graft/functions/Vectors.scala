@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Embedding-similarity primitives (extension scope): cosine top-k and
+  * sign-LSH approximate nearest neighbors over `array<float>` columns.
+  *
+  * All inner products run over fixed-point int64 components
+  * (floor(x·1e6)): exact integer arithmetic makes dot products and norms
+  * reproducible regardless of summation order, partitioning, or engine —
+  * float accumulation would make top-k rankings flap between runs near
+  * ties. 1e-6 quantization error is far below any meaningful similarity
+  * resolution for unit-scale embeddings.
+  */
+object Vectors {
+
+  /** array<float> → array<bigint> fixed-point at 1e-6. */
+  def quantize(v: Column): Column =
+    transform(v, x => floor(x * lit(1000000.0d)).cast(LongType))
+
+  /** Exact int64 dot product of two quantized vectors. Max magnitude for
+    * unit-scale 64-dim embeddings: (1e6)^2 · 64 ≈ 2^46 — safe in long. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact squared norm of a quantized vector. */
+  def normSqQ(a: Column): Column =
+    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+
+  /** Cosine from exact integer parts: double ops over identical exact
+    * inputs → bit-deterministic. */
+  def cosineFromParts(dot: Column, normSqA: Column, normSqB: Column): Column =
+    dot.cast("double") / (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
+
+  /** Sign-LSH (random-hyperplane) bucket id over `nPlanes` deterministic
+    * integer hyperplanes: plane p, dim d has component
+    * ((p·73856093 + d·19349663) mod 2001) − 1000 — a fixed pseudo-random
+    * lattice, so bucketing is reproducible with no stored model. Bucket =
+    * Σ_p [dot(plane_p, v) ≥ 0]·2^p. (Charikar 2002 rounding hyperplanes.)
+    *
+    * At scale this is the map side of ANN: one shuffle on bucket id
+    * co-locates candidates; queries only scan their own bucket instead of
+    * the full corpus. More planes → smaller buckets, lower recall.
+    */
+  def lshBucket(qv: Column, nPlanes: Int = 8): Column = {
+    val dims = sequence(lit(0), size(qv) - 1)
+    val planeDots = transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+      aggregate(
+        zip_with(qv, dims,
+          (x, d) => ((p * lit(73856093L) + d * lit(19349663L)) % 2001 - 1000) * x),
+        lit(0L), (acc, x) => acc + x))
+    // Horner fold over sign bits: bucket = Σ bit_p · 2^(nPlanes-1-p)
+    aggregate(
+      transform(planeDots, dp => when(dp >= 0, lit(1L)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc * 2 + b)
+  }
+}

@@ -8,23 +8,29 @@ import org.apache.spark.sql.functions._
   * a node's value is the mean of its children's values; a childless node's
   * value is the mean of its own raw scores.
   *
-  * The reference recurses per-node in Python. Distributed form: a leaf-up
-  * iterative fixpoint of (join children→resolved parents, aggregate). Each
-  * round resolves every node whose children are all resolved, so the number
-  * of rounds equals tree height (≤ 4 in the reference: custom → subject →
-  * month → semester), independent of data volume — the driver loop is
-  * bounded by the schema of the hierarchy, not by row count, and each round
-  * is a full-cluster shuffle-aggregate. `localCheckpoint` truncates lineage
-  * so plans don't grow with depth.
+  * The reference recurses per-node in single-threaded Python. Distributed
+  * form: a leaf-up iterative fixpoint of (join children→resolved, aggregate).
+  * Each round resolves every node whose children are all resolved, so the
+  * round count equals tree height (≤ 4 in the reference: custom → subject →
+  * month → semester) — the driver loop is bounded by the hierarchy's shape,
+  * never by row count, and each round is a full-cluster shuffle-aggregate.
+  * `localCheckpoint` truncates lineage so plans don't grow with depth.
+  *
+  * Determinism: means are carried as fixed-point micro-units
+  * (floor(mean·1e6) longs). Integer sums are order-free, so results are
+  * identical across partitionings, engines, and re-runs; the 1e-6
+  * quantization per level is the engine's documented contract. Callers
+  * should feed integer-valued `score` doubles (e.g. cents) for the leaf
+  * level to be exact as well.
   */
 object TreeRollup {
 
-  /** @param nodes  (id, parentId) adjacency; parentId null/'na' = root edge ignored
-    * @param leafScores (id, score) raw per-node observations (nulls already
-    *                   handled by the caller per-pipeline: the reference has
-    *                   three different null semantics, SURVEY §1.2)
-    * @return (id, value, height) — every node's rolled-up value; height 0 =
-    *         computed from own scores, else max child round + 1
+  /** @param nodes      (id, parentId) adjacency; parentId null/'na' marks roots
+    * @param leafScores (id, score) raw per-node observations (null handling
+    *                   is the caller's, per-pipeline — SURVEY §1.2 has three
+    *                   different semantics)
+    * @return (id, value, height): value = quantized mean (micro-units/1e6);
+    *         height 0 = from own scores, else 1 + max child height
     */
   def rollup(nodes: DataFrame, leafScores: DataFrame, maxDepth: Int = 20): DataFrame = {
     val spark = nodes.sparkSession
@@ -36,33 +42,35 @@ object TreeRollup {
 
     // Round 0: childless nodes average their own raw scores.
     var resolved = leafScores.groupBy($"id")
-      .agg(avg($"score").as("value"))
+      .agg(floor(avg($"score") * 1000000L).cast("long").as("vmicro"))
       .join(parentsWithChildren, Seq("id"), "left_anti")
       .withColumn("height", lit(0))
       .localCheckpoint()
 
     val childCounts = edges.groupBy($"parentId").agg(count("*").as("n_children"))
 
-    var resolvedNew = resolved
+    var progressing = true
     var depth = 0
-    while (depth < maxDepth && !resolvedNew.isEmpty) {
+    while (progressing && depth < maxDepth) {
       depth += 1
-      // Parents all of whose children are resolved, not themselves resolved yet.
+      // Parents all of whose children are resolved, minus already-resolved.
       val candidate = edges
         .join(resolved.withColumnRenamed("id", "childId"),
           edges("id") === col("childId"))
         .groupBy($"parentId")
-        .agg(avg($"value").as("value"), count("*").as("n_resolved"),
+        .agg(floor(avg($"vmicro")).cast("long").as("vmicro"),
+          count("*").as("n_resolved"),
           (max($"height") + 1).as("height"))
         .join(childCounts, Seq("parentId"))
         .filter($"n_resolved" === $"n_children")
-        .select($"parentId".as("id"), $"value", $"height")
-      resolvedNew = candidate
+        .select($"parentId".as("id"), $"vmicro", $"height")
+      val resolvedNew = candidate
         .join(resolved.select($"id"), Seq("id"), "left_anti")
         .localCheckpoint()
-      if (!resolvedNew.isEmpty)
+      progressing = !resolvedNew.isEmpty
+      if (progressing)
         resolved = resolved.unionByName(resolvedNew).localCheckpoint()
     }
-    resolved
+    resolved.select($"id", ($"vmicro" / 1000000L).as("value"), $"height")
   }
 }

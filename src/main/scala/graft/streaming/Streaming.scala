@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming surface (SURVEY §2.10 extension).
+  *
+  * The reference's incremental protocol is watermark-batch, which
+  * [[graft.sources.WatermarkStore]] reproduces exactly; this module is the
+  * natural streaming extension for the `events` table: event-time tumbling
+  * windows + late-data watermark, runnable both as a long-lived stream and —
+  * as here — as an `AvailableNow`-style catch-up over files. State is the
+  * windowed aggregation's store, sized by (window × keys), not by input
+  * volume, so it holds at 100 TB of history processed incrementally.
+  */
+object Streaming {
+
+  /** Hourly event counts per type via a real streaming query over the
+    * events parquet (ns timestamps read as longs, converted after read).
+    * Runs to completion on available data and returns the result table.
+    */
+  def hourlyEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = "graft_stream_hourly"
+    val q = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(300000)
+    } finally q.stop()
+    spark.table(name).orderBy(col("hour"), col("event_type"))
+  }
+}
