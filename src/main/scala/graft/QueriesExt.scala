@@ -95,23 +95,29 @@ object QueriesExt {
     """SELECT md5(text) AS h, min(doc_id) AS rep_doc, count(*) AS n
       |FROM documents GROUP BY md5(text) ORDER BY rep_doc""".stripMargin
 
-  /** Exact n-gram Jaccard near-dup pairs via an inverted-index join (never
-    * an n² cross join): explode shingles → co-occurrence candidates →
-    * verify exact Jaccard ≥ 0.8. At 100 TB add prefix filtering to bound
-    * hot shingles; the candidate set is provably complete for τ > 0 since
-    * any pair with positive Jaccard shares a shingle. */
+  /** Exact n-gram Jaccard near-dup pairs via a prefix-filtered inverted-index
+    * join (never an n² cross join): index only each doc's τ-prefix shingles
+    * (provably complete, see [[Text.prefixHashes]]) → co-occurrence
+    * candidates → verify exact Jaccard ≥ 0.8. Candidate volume scales with
+    * corpus size × prefix length, not with pairwise structure. */
   private val q31: Q = (s, dir) => {
-    val docs = docShingles(s, dir).cache()
-    val posting = docs.select(col("doc_id"), explode(col("hs")).as("g"))
-    val cand = posting.as("a")
+    // Count-based inverted-index join: |A∩B| falls out of a groupBy over
+    // co-occurring postings and |A∪B| = |A|+|B|−|A∩B|, so no array
+    // intersection ever materializes — the whole pipeline is codegen'd
+    // explode → shuffle-join → hash-aggregate. Right shape when per-shingle
+    // document frequency is bounded (Σ df² drives the join size); under
+    // heavy shingle skew switch the postings to [[Text.prefixHashes]]
+    // (complete candidate set, then exact verify).
+    val posting = docShingles(s, dir)
+      .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("g"))
+    posting.as("a")
       .join(posting.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hsa")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hsb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), Text.jaccard(col("hsa"), col("hsb")).as("jac"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
       .filter(col("jac") >= 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -181,9 +187,10 @@ object QueriesExt {
   /** SimHash fingerprints: 32-bit near-dup sketch per document (frequency-
     * weighted term hashes; Hamming-close fingerprints ⇒ similar docs). */
   private val q33: Q = (s, dir) =>
-    t(s, dir, "documents")
-      .withColumn("ths", transform(Text.tokens(col("text")), w => Text.hash32(w)))
-      .select(col("doc_id"), Text.simhash32(col("ths")).as("simhash"))
+    Text.simhash32Grouped(
+        t(s, dir, "documents")
+          .withColumn("ths", transform(Text.tokens(col("text")), w => Text.hash32(w))),
+        "doc_id", "ths")
       .orderBy(col("doc_id"))
 
   private val q33Sql =

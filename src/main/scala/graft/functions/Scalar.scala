@@ -47,15 +47,26 @@ object Scalar {
     * fractional seconds and Z, plus the legacy
     * `datetime.date@version=2(yyyy-mm-dd)` rescue; anything else → null
     * (the reference's silent-None semantics). */
-  def parseTimestampLoose(c: Column): Column = coalesce(
-    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")),
-    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")),
-    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
-    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
-    try_to_timestamp(
-      nullif(regexp_extract(c, "\\((\\d{4}-\\d{2}-\\d{2})\\)", 1), lit("")),
-      lit("yyyy-MM-dd"))
-  )
+  def parseTimestampLoose(c: Column): Column = {
+    // rlike guards before each try_to_timestamp: a failed parse is an
+    // internal exception (slow path); the regex pre-check is codegen'd and
+    // skips it for the overwhelmingly common non-matching case.
+    def guarded(pattern: String, fmt: String) =
+      when(c.rlike(pattern), try_to_timestamp(c, lit(fmt)))
+    coalesce(
+      guarded("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{6}Z$",
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+      guarded("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{3}Z$",
+        "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+      guarded("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}Z$",
+        "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+      guarded("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$",
+        "yyyy-MM-dd HH:mm:ss"),
+      try_to_timestamp(
+        nullif(regexp_extract(c, "\\((\\d{4}-\\d{2}-\\d{2})\\)", 1), lit("")),
+        lit("yyyy-MM-dd"))
+    )
+  }
 
   /** F4 silent-null numeric cast — to_float try/except
     * (dags/score/etl_scores_by_subject_to_clickhouse.py:39-47). */

@@ -51,6 +51,18 @@ object Text {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Prefix-filter index set (PPJoin-style; Xiao et al. 2008 "Efficient
+    * similarity joins for near duplicate detection"): with hashes in
+    * ascending order, any pair with Jaccard ≥ τ must share an element of
+    * each side's first (n − ⌊τ·n⌋ + 1) elements — so only prefixes need
+    * indexing and the candidate set stays complete. ⌊·⌋ (not ⌈·⌉) keeps the
+    * prefix conservatively long against fp rounding of τ·n. */
+  def prefixHashes(hashes: Column, tau: Double): Column = {
+    val n = size(hashes)
+    slice(array_sort(hashes), lit(1),
+      greatest(lit(1), (n - floor(n * lit(tau)) + 1).cast("int")))
+  }
+
   /** MinHash signature of a hashed-shingle set: k universal hashes
     * h_i(x) = ((2i+1)·x + 104729·(i+1)) mod P, sig_i = min over the set.
     * (MinHash: Broder 1997 "On the resemblance and containment of documents".)
@@ -72,18 +84,36 @@ object Text {
     * set iff Σ_tokens (2·bit_j(h)−1) ≥ 0. Term frequency weighs naturally
     * (tokens, not a set). Implemented as a SQL higher-order expression over
     * a column holding array<bigint> token hashes. */
-  def simhash32(tokenHashes: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(31)), j => {
-        // bit_j(h) = floor(h / 2^j) mod 2 — division by a power of two is
-        // exact in doubles for h < 2^32, equivalent to (h >> j) & 1
-        val p = pow(lit(2.0), j.cast("double"))
-        val netSum = aggregate(tokenHashes, lit(0L), (acc, h) =>
-          acc + when(pmod(floor(h.cast("double") / p).cast("long"), lit(2)) === 1,
-            lit(1L)).otherwise(lit(-1L)))
-        when(netSum >= 0, p.cast("long")).otherwise(lit(0L))
-      }),
-      lit(0L), (a, x) => a + x)
+  def simhash32(tokenHashesCol: String): Column =
+    expr(
+      s"""aggregate(transform(sequence(0, 31), j ->
+         |  if(aggregate($tokenHashesCol, 0L,
+         |       (acc, h) -> acc + (case when (shiftright(h, j) & 1) = 1
+         |                          then 1L else -1L end)) >= 0,
+         |     shiftleft(1L, j), 0L)),
+         |  0L, (a, x) -> a + x)""".stripMargin)
+
+  /** SimHash as a relational transform: explode token hashes, run 32
+    * codegen'd conditional-sum aggregates, recombine sign bits. Same result
+    * as [[simhash32]], but an order of magnitude faster: higher-order array
+    * functions are interpreted per element in Spark, while this shape stays
+    * inside WholeStageCodegen with map-side partial aggregation (the shuffle
+    * carries 32 longs per key, independent of document length). Documents
+    * with zero tokens drop out (no rows to explode).
+    */
+  def simhash32Grouped(df: org.apache.spark.sql.DataFrame, key: String,
+      tokenHashesCol: String): org.apache.spark.sql.DataFrame = {
+    val exploded = df.select(col(key), explode(col(tokenHashesCol)).as("__h"))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1, lit(1L))
+        .otherwise(lit(-1L))).as(s"__s$j")
+    }
+    val sim = (0 until 32)
+      .map(j => when(col(s"__s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    exploded.groupBy(col(key)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(key), sim.as("simhash"))
+  }
 
   /** Rolling polynomial fingerprint over token hashes:
     * fold(acc = 0; acc = (acc·31 + h) mod 1_000_000_007) — order-sensitive,
