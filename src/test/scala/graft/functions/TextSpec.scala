@@ -1,0 +1,142 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordShingles emits distinct n-grams; short docs give empty set") {
+    val df = Seq("a b c d", "a b c a b c", "a b").toDF("text")
+    val got = df.select(Text.wordShingles($"text", 3)).collect().map(_.getSeq[String](0).toSet)
+    assert(got(0) == Set("a b c", "b c d"))
+    assert(got(1) == Set("a b c", "b c a", "c a b")) // distinct, despite repeats
+    assert(got(2) == Set.empty)
+  }
+
+  test("hash32 is a stable 32-bit value (md5-derived, engine-portable)") {
+    val got = col0(Seq("hello", "hello", "world").toDF("s").select(Text.hash32($"s")))
+    assert(got(0) == got(1) && got(0) != got(2))
+    got.foreach(h => assert(h.asInstanceOf[Long] >= 0L && h.asInstanceOf[Long] <= 0xFFFFFFFFL))
+  }
+
+  test("jaccard: identical→1, disjoint→0, known overlap exact") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)) // |∩|=2, |∪|=4
+    ).toDF("a", "b")
+    assert(col0(df.select(Text.jaccard($"a", $"b"))) == List(1.0, 0.0, 0.5))
+  }
+
+  test("prefixHashes candidate set is complete for τ=0.8 (PPJoin prefix filter)") {
+    // Exhaustive check over random set pairs: whenever jaccard ≥ τ the two
+    // prefixes must intersect — the correctness property the q31 scale path
+    // relies on.
+    val rnd = new scala.util.Random(7)
+    val sets = (0 until 60).map { _ =>
+      (0 until 20).map(_ => rnd.nextInt(30).toLong).distinct.sorted
+    }
+    val tau = 0.8
+    def prefix(s: Seq[Long]): Seq[Long] =
+      s.take(math.max(1, s.size - math.floor(s.size * tau).toInt + 1))
+    for (a <- sets; b <- sets) {
+      val inter = a.intersect(b).size.toDouble
+      val jac = inter / (a.size + b.size - inter)
+      if (jac >= tau)
+        assert(prefix(a).intersect(prefix(b)).nonEmpty,
+          s"prefix filter dropped a τ-similar pair: $a vs $b (jac=$jac)")
+    }
+    // and the Column implementation agrees with the model
+    val df = sets.map(s => Tuple1(s)).toDF("hs")
+    val got = df.select(Text.prefixHashes($"hs", tau)).collect().map(_.getSeq[Long](0).toList)
+    assert(got.toSeq == sets.map(s => prefix(s).toList))
+  }
+
+  test("minhashSignature approximates jaccard and bounds each lane by the set minimum property") {
+    // realistic inputs are hash32 values (≈ uniform 32-bit), where the
+    // universal-hash mod wraps; tiny consecutive ints would be monotone
+    // under every lane hash and make MinHash degenerate by construction
+    def h32(x: Long): Long = (x * 2654435761L) % 4294967296L
+    val base = (1L to 60L).map(h32)
+    val near = base.drop(3) ++ Seq(1000L, 1001L, 1002L).map(h32) // jaccard ≈ 0.905
+    val far = (1000L to 1060L).map(h32)
+    val df = Seq((1, base), (2, near), (3, far)).toDF("id", "hs")
+      .select($"id", Text.minhashSignature($"hs").as("sig"))
+    val sigs = df.orderBy($"id").collect().map(_.getSeq[Long](1))
+    def agree(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.size
+    assert(sigs(0).size == Text.MinhashK)
+    assert(agree(sigs(0), sigs(1)) > 0.7)  // near-dup: most lanes agree
+    assert(agree(sigs(0), sigs(2)) < 0.2)  // unrelated: few lanes agree
+  }
+
+  test("lshBandKeys: identical signatures share all bands; banding is deterministic") {
+    val df = Seq((1L to 60L).toSeq).toDF("hs")
+      .select(Text.minhashSignature($"hs").as("sig"))
+      .select(Text.lshBandKeys($"sig").as("bands"))
+    val a = df.collect().head.getSeq[String](0)
+    val b = df.collect().head.getSeq[String](0)
+    assert(a.size == Text.LshBands && a == b)
+  }
+
+  test("simhash32Grouped equals the array-fold simhash32 on every document") {
+    val docs = Seq(
+      (1, "the quick brown fox jumps over the lazy dog"),
+      (2, "the quick brown fox jumps over the lazy cat"),
+      (3, "completely different content here entirely"),
+      (4, "x")
+    ).toDF("doc_id", "text")
+      .withColumn("ths", transform(Text.tokens($"text"), w => Text.hash32(w)))
+    val viaArrays = docs.select($"doc_id", Text.simhash32("ths").as("simhash"))
+    val viaGroup = Text.simhash32Grouped(docs, "doc_id", "ths")
+    val a = viaArrays.orderBy($"doc_id").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val g = viaGroup.orderBy($"doc_id").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(a.toSeq == g.toSeq)
+  }
+
+  test("simhash of near-identical docs has small hamming distance, disjoint docs large") {
+    val docs = Seq(
+      (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+      .withColumn("ths", transform(Text.tokens($"text"), w => Text.hash32(w)))
+    val h = Text.simhash32Grouped(docs, "doc_id", "ths")
+      .orderBy($"doc_id").collect().map(_.getLong(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0), h(1)) < ham(h(0), h(2)))
+  }
+
+  test("rollingFingerprint is order-sensitive (permutations differ)") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+    val got = col0(df.select(Text.rollingFingerprint($"text")))
+    assert(got(0) == got(2) && got(0) != got(1))
+  }
+
+  test("langId scores stopword profiles and breaks ties by fixed priority") {
+    val df = Seq(
+      "the cat of the house and a dog",   // en stopwords
+      "der hund und die katze ist da",    // de stopwords
+      "xyzzy plugh",                      // no signal → priority language (en)
+      "le chat et la maison est grande"   // fr stopwords
+    ).toDF("text")
+    assert(col0(df.select(Text.langId($"text"))) == List("en", "de", "en", "fr"))
+  }
+
+  test("qualityScore combines length and stopword ratio in [0,1]") {
+    val long = ("the word " * 150).trim // 300 tokens, half stopwords
+    val df = Seq(long, "no stopwords here", "the of and a to").toDF("text")
+    val got = col0(df.select(Text.qualityScore($"text"))).map(_.asInstanceOf[Double])
+    assert(got(0) == 0.5 * 1.0 + 0.5 * 0.5)
+    assert(got(1) == 0.5 * (3.0 / 200.0) + 0.0)
+    assert(got(2) == 0.5 * (5.0 / 200.0) + 0.5 * 1.0)
+    got.foreach(q => assert(q >= 0.0 && q <= 1.0))
+  }
+
+  test("bpeTokenCount splits letter runs, digit runs, single symbols") {
+    val df = Seq("abc de 12 x!", "a1b2", "").toDF("text")
+    // "abc","de","12","x","!" = 5 ; "a","1","b","2" = 4 ; "" = 0
+    assert(col0(df.select(Text.bpeTokenCount($"text"))) == List(5, 4, 0))
+  }
+}

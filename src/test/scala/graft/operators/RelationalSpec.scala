@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def versions = Seq(
+    // (key, updatedAt, payload)
+    ("a", 1L, "a-old"), ("a", 3L, "a-new"), ("a", 2L, "a-mid"),
+    ("b", 5L, "b-only"),
+    ("c", 7L, "c-old"), ("c", 9L, "c-new")
+  ).toDF("k", "updatedAt", "payload")
+
+  test("dedupLatest keeps exactly the newest row per key (D1 DISTINCT ON)") {
+    val got = Relational
+      .dedupLatest(versions, Seq("k"), Seq($"updatedAt".desc))
+      .orderBy($"k")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(("a", 3L, "a-new"), ("b", 5L, "b-only"), ("c", 9L, "c-new")))
+  }
+
+  test("dedupLatest is idempotent (SURVEY §5 property)") {
+    val once = Relational.dedupLatest(versions, Seq("k"), Seq($"updatedAt".desc))
+    val twice = Relational.dedupLatest(once, Seq("k"), Seq($"updatedAt".desc))
+    assert(once.orderBy($"k").collect().toSeq == twice.orderBy($"k").collect().toSeq)
+  }
+
+  test("dedupLatest breaks ties deterministically with a tiebreaker column") {
+    val tied = Seq(("a", 1L, "x"), ("a", 1L, "y")).toDF("k", "updatedAt", "payload")
+    val got = Relational
+      .dedupLatest(tied, Seq("k"), Seq($"updatedAt".desc, $"payload".desc))
+      .collect().map(_.getString(2))
+    assert(got.toSeq == Seq("y"))
+  }
+
+  test("incrementalFrom returns strictly-after-watermark rows (S3)") {
+    val df = Seq(
+      (1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      (3, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+    ).toDF("id", "updatedAt")
+    val got = Relational
+      .incrementalFrom(df, "updatedAt", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+      .select($"id")
+    assert(col0(got) == List(3))
+  }
+
+  test("semiJoin keeps dim rows with a fact match, each once (J6/S4)") {
+    val dim = Seq((1, "d1"), (2, "d2"), (3, "d3")).toDF("id", "name")
+    val fact = Seq((1, "f"), (1, "g"), (3, "h")).toDF("fid", "v")
+    val got = Relational.semiJoin(dim, fact, "id", "fid").orderBy($"id")
+    assert(got.columns.toSeq == Seq("id", "name")) // no fact payload leaks
+    assert(col0(got) == List(1, 3))
+  }
+
+  test("antiJoin keeps dim rows without a fact match (§2.4)") {
+    val dim = Seq((1, "d1"), (2, "d2"), (3, "d3")).toDF("id", "name")
+    val fact = Seq((1, "f"), (3, "h")).toDF("fid", "v")
+    assert(col0(Relational.antiJoin(dim, fact, "id", "fid").orderBy($"id")) == List(2))
+  }
+
+  test("topK returns exactly k rows in order and plans as TakeOrderedAndProject") {
+    val df = (1 to 100).map(i => (i, i * 7 % 100)).toDF("id", "v")
+    val top = Relational.topK(df, 5, Seq($"v".desc, $"id"))
+    val got = top.collect().map(r => r.getInt(1))
+    assert(got.length == 5 && got.toSeq == got.toSeq.sorted.reverse)
+    // the §2.8 scale contract: bounded per-partition heaps, not a global sort
+    assert(top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("latestBy returns the value at the greatest ordering key (A7 max-by)") {
+    val df = Seq(("u1", 1L, "open"), ("u1", 9L, "close"), ("u2", 4L, "solo"))
+      .toDF("u", "seq", "ev")
+    val got = df.groupBy($"u")
+      .agg(Relational.latestBy($"ev", $"seq").as("last"))
+      .orderBy($"u")
+    assert(got.collect().map(_.getString(1)).toSeq == Seq("close", "solo"))
+  }
+}

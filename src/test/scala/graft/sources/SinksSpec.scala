@@ -1,0 +1,58 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writePartitioned lays out partition dirs and round-trips with pruning (K1)") {
+    val dir = Files.createTempDirectory("sinks_spec").toString + "/t"
+    val df = Seq(
+      ("s1", 1, 10.0), ("s1", 2, 20.0), ("s2", 3, 30.0)
+    ).toDF("schoolId", "id", "v")
+    val n = Sinks.writePartitioned(df, dir, Seq("schoolId"), Seq("id"),
+      SaveMode.Overwrite)
+    assert(n == 1)
+    assert(new java.io.File(dir, "schoolId=s1").isDirectory)
+    val pruned = spark.read.parquet(dir).filter($"schoolId" === "s1")
+    assert(pruned.count() == 2)
+    // partition pruning is visible in the file-scan's partition filters
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("schoolId"))
+  }
+
+  test("writePartitioned skips empty batches (K4 guard)") {
+    val dir = Files.createTempDirectory("sinks_spec_empty").toString + "/t"
+    val df = Seq(("s1", 1)).toDF("schoolId", "id").filter($"id" < 0)
+    assert(Sinks.writePartitioned(df, dir, Seq("schoolId")) == -1)
+    assert(!new java.io.File(dir).exists())
+  }
+
+  test("writePartitioned append mode accumulates (the reference's reload duplicates)") {
+    val dir = Files.createTempDirectory("sinks_spec_append").toString + "/t"
+    val df = Seq(("s1", 1, 1L), ("s1", 1, 2L)).toDF("schoolId", "id", "updatedAt")
+    Sinks.writePartitioned(df, dir, Seq("schoolId"))
+    Sinks.writePartitioned(df, dir, Seq("schoolId"))
+    val all = spark.read.parquet(dir)
+    assert(all.count() == 4)
+    // §2.10: reload duplicates are resolved at read with dedupLatest
+    val deduped = graft.operators.Relational.dedupLatest(
+      all, Seq("id"), Seq($"updatedAt".desc))
+    assert(deduped.count() == 1)
+  }
+
+  test("WatermarkStore get/set round-trip with epoch default (§2.10 protocol)") {
+    val f = Files.createTempDirectory("wm_spec").toString + "/wm.properties"
+    val store = new WatermarkStore(f)
+    assert(store.get("students") == "1970-01-01T00:00:00")
+    store.set("students", "2024-05-01T12:00:00")
+    assert(store.get("students") == "2024-05-01T12:00:00")
+    // independent instance sees the committed value (persistence)
+    assert(new WatermarkStore(f).get("students") == "2024-05-01T12:00:00")
+    // other pipelines are unaffected
+    assert(new WatermarkStore(f).get("teachers") == "1970-01-01T00:00:00")
+  }
+}
