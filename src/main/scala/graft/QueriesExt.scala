@@ -101,23 +101,24 @@ object QueriesExt {
     * candidates → verify exact Jaccard ≥ 0.8. Candidate volume scales with
     * corpus size × prefix length, not with pairwise structure. */
   private val q31: Q = (s, dir) => {
-    // Count-based inverted-index join: |A∩B| falls out of a groupBy over
-    // co-occurring postings and |A∪B| = |A|+|B|−|A∩B|, so no array
-    // intersection ever materializes — the whole pipeline is codegen'd
-    // explode → shuffle-join → hash-aggregate. Right shape when per-shingle
-    // document frequency is bounded (Σ df² drives the join size); under
-    // heavy shingle skew switch the postings to [[Text.prefixHashes]]
-    // (complete candidate set, then exact verify).
-    val posting = docShingles(s, dir)
-      .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("g"))
-    posting.as("a")
+    // Candidate generation indexes only each doc's τ-prefix (the candidate
+    // set stays provably complete — [[Text.prefixHashes]]), shrinking the
+    // inverted-index self-join by ~(1−τ)² versus full postings; candidates
+    // are then verified with exact Jaccard over the cached full sets. Join
+    // volume scales with Σ df² over PREFIX shingles — corpus-linear for
+    // bounded df — never with pairwise structure.
+    val docs = docShingles(s, dir).cache()
+    val posting = docs.select(
+      col("doc_id"), explode(Text.prefixHashes(col("hs"), 0.8)).as("g"))
+    val cand = posting.as("a")
       .join(posting.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hsa")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hsb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), Text.jaccard(col("hsa"), col("hsb")).as("jac"))
       .filter(col("jac") >= 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -150,11 +151,13 @@ object QueriesExt {
     * candidates. The shuffle moves (doc, band-key) pairs — linear in corpus
     * size — instead of any pairwise structure; that is the 100 TB path. */
   private val q32: Q = (s, dir) => {
-    val docs = docShingles(s, dir)
-      .withColumn("sig", Text.minhashSignature(col("hs")))
+    val docs = docShingles(s, dir).cache()
+    // Codegen'd grouped minhash (explode + k min-aggregates), then banding
+    // over the compact signature array — the per-element lane hashing never
+    // runs interpreted.
+    val bands = Text.minhashSignatureGrouped(docs, "doc_id", "hs")
       .withColumn("bands", Text.lshBandKeys(col("sig")))
-      .cache()
-    val e = docs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+    val e = bands.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
     val cand = e.as("a")
       .join(e.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")

@@ -115,6 +115,24 @@ object Text {
       .select(col(key), sim.as("simhash"))
   }
 
+  /** MinHash as a relational transform: explode the shingle-hash sets and run
+    * k codegen'd min-aggregates, then recombine into the signature array.
+    * Identical lanes to [[minhashSignature]], but the per-element hash math
+    * stays inside WholeStageCodegen with map-side partial aggregation — the
+    * shuffle carries k longs per document, independent of document length —
+    * where the higher-order-function form is interpreted per (element × lane).
+    * Documents must have non-empty hash sets (explode drops empty rows).
+    */
+  def minhashSignatureGrouped(df: org.apache.spark.sql.DataFrame, key: String,
+      hashesCol: String, k: Int = MinhashK): org.apache.spark.sql.DataFrame = {
+    val exploded = df.select(col(key), explode(col(hashesCol)).as("__x"))
+    val laneMins = (0 until k).map { i =>
+      min((col("__x") * (2 * i + 1) + 104729L * (i + 1)) % MinhashPrime).as(s"__m$i")
+    }
+    exploded.groupBy(col(key)).agg(laneMins.head, laneMins.tail: _*)
+      .select(col(key), array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+  }
+
   /** Rolling polynomial fingerprint over token hashes:
     * fold(acc = 0; acc = (acc·31 + h) mod 1_000_000_007) — order-sensitive,
     * so equal fingerprints mean equal token sequences (modulo collisions),

@@ -71,6 +71,21 @@ class TextSpec extends SparkSpec {
     assert(agree(sigs(0), sigs(2)) < 0.2)  // unrelated: few lanes agree
   }
 
+  test("minhashSignatureGrouped equals the array-fold minhashSignature") {
+    val docs = Seq(
+      (1, "the quick brown fox jumps over the lazy dog again and again"),
+      (2, "pack my box with five dozen liquor jugs every single day"),
+      (3, "a b c")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", Text.shingleHashes($"text", 3).as("hs"))
+      .filter(size($"hs") > 0)
+    val viaArrays = docs.select($"doc_id", Text.minhashSignature($"hs").as("sig"))
+      .orderBy($"doc_id").collect().map(r => (r.getInt(0), r.getSeq[Long](1).toList))
+    val viaGroup = Text.minhashSignatureGrouped(docs, "doc_id", "hs")
+      .orderBy($"doc_id").collect().map(r => (r.getInt(0), r.getSeq[Long](1).toList))
+    assert(viaArrays.toSeq == viaGroup.toSeq)
+  }
+
   test("lshBandKeys: identical signatures share all bands; banding is deterministic") {
     val df = Seq((1L to 60L).toSeq).toDF("hs")
       .select(Text.minhashSignature($"hs").as("sig"))
