@@ -72,6 +72,20 @@ object Scalar {
     * (dags/score/etl_scores_by_subject_to_clickhouse.py:39-47). */
   def toDoubleOrNull(c: Column): Column = c.try_cast("double")
 
+  /** F1 clean_timestamps variant (dags/applicant/etl_applicants_to_clickhouse.py:21-38):
+    * ISO8601 `...T...Z` strings become `yyyy-MM-dd HH:mm:ss`; anything that
+    * fails to parse PASSES THROUGH unchanged (unlike [[parseTimestampLoose]],
+    * which nulls) — the reference's per-row try/except `pass`. */
+  def cleanTimestampPassthrough(c: Column): Column = {
+    val parsed = coalesce(
+      when(c.rlike("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d+Z$"),
+        try_to_timestamp(regexp_replace(c, "\\.\\d+Z$", "Z"),
+          lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))),
+      when(c.rlike("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}Z$"),
+        try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))))
+    coalesce(date_format(parsed, "yyyy-MM-dd HH:mm:ss"), c)
+  }
+
   /** F8 structurePath split — `path.split("#")[1]` with a missing-`#` guard
     * (dags/student_scores_subject/...py:364-368). */
   def structureRecordIdFromPath(path: Column): Column =
