@@ -81,6 +81,33 @@ object QueriesExt {
       |       event_type, count(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** §2.10 extension: gap-based sessionization through Structured
+    * Streaming's session_window state — the custom-state path for
+    * clickstream assembly. */
+  private val q25: Q = (s, dir) =>
+    graft.streaming.Streaming.sessionize(s, dir)
+
+  /** Session break when the inter-event gap reaches 30 min (session_window
+    * ends are exclusive: an event exactly at last+gap starts a new session).
+    */
+  private val q25Sql =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM o)
+      |SELECT user_id,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   // ------------------------------------------------------------- dedup
 
   /** Exact dedup: hash-group on content, keep the smallest doc_id as the
@@ -292,6 +319,45 @@ object QueriesExt {
       |  FROM p)
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** Embedding-cosine near-dup detection: sign-LSH bucketing co-locates
+    * candidates (one shuffle on bucket id, corpus-linear), then exact
+    * quantized cosine ≥ τ within buckets (τ=0.4 here: the synthetic corpus
+    * has no true near-dups — max pairwise cosine ≈ 0.51 — so the threshold
+    * sits where the operator provably fires); each near-dup pair reports the
+    * smaller vec_id as its canonical representative. Same deterministic
+    * hyperplane lattice on both engines. */
+  private val q41: Q = (s, dir) => {
+    val emb = quantizedEmb(s, dir)
+      .withColumn("bucket", Vectors.lshBucket(col("qv"), 8))
+    emb.as("a")
+      .join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("rep_id"), col("b.vec_id").as("dup_id"),
+        Vectors.cosineFromParts(
+          Vectors.dotQ(col("a.qv"), col("b.qv")),
+          col("a.nsq"), col("b.nsq")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("rep_id"), col("dup_id"))
+  }
+
+  private val q41Sql = embCte +
+    """,
+      |bk AS (SELECT vec_id, qv, nsq,
+      |         list_reduce(list_prepend(0::BIGINT,
+      |           list_transform(range(8), p ->
+      |             CASE WHEN list_sum(list_transform(range(64), d ->
+      |                    ((p*73856093 + d*19349663) % 2001 - 1000) * qv[d+1])) >= 0
+      |                  THEN 1::BIGINT ELSE 0::BIGINT END)),
+      |           (a, b) -> a*2 + b) AS bucket
+      |       FROM n)
+      |SELECT a.vec_id AS rep_id, b.vec_id AS dup_id,
+      |       CAST(list_sum(list_transform(list_zip(a.qv, b.qv), s -> s[1]*s[2])) AS DOUBLE)
+      |         / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cos
+      |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), s -> s[1]*s[2])) AS DOUBLE)
+      |        / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.4
+      |ORDER BY rep_id, dup_id""".stripMargin
+
   // ----------------------------------------------------- text analysis
 
   /** Stopword-profile language ID vs the labeled lang column (confusion
@@ -406,12 +472,14 @@ object QueriesExt {
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
+    Entry("q25_streaming_sessions", q25, Some(q25Sql)),
     Entry("q30_dedup_exact", q30, Some(q30Sql)),
     Entry("q31_dedup_ngram_jaccard", q31, Some(q31Sql)),
     Entry("q32_dedup_minhash_lsh", q32, Some(q32Sql)),
     Entry("q33_dedup_simhash", q33, Some(q33Sql)),
     Entry("q34_sim_cosine_topk", q34, Some(q34Sql)),
     Entry("q35_sim_ann_lsh", q35, Some(q35Sql)),
+    Entry("q41_dedup_embedding", q41, Some(q41Sql)),
     Entry("q36_text_langid", q36, Some(q36Sql)),
     Entry("q37_text_quality", q37, Some(q37Sql)),
     Entry("q38_text_tokens", q38, Some(q38Sql)),

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+
+/** Multimodal-column plumbing for training-data pipelines (extension scope):
+  * image/audio/video as opaque `binary` columns plus a typed metadata
+  * struct, with decode / frame-sample / resize / feature-extract as
+  * partition-level transforms.
+  *
+  * Real codec libraries are not available in this environment, so the DECODE
+  * step is an injectable function with a deterministic stub default — but
+  * everything Spark-side is real and load-bearing at 100 TB:
+  *  - typed schemas (`MediaRow` / `Frame` / `MediaFeature`) with case-class
+  *    Encoders, so columnar pruning and codegen apply around the seam;
+  *  - `mapPartitions` batching: the decoder is instantiated ONCE per
+  *    partition (the expensive codec-init pattern), then streamed over the
+  *    partition's rows — never per row, never on the driver;
+  *  - per-row expansion (video → frames) stays lazy inside the partition
+  *    iterator, so wide rows never materialize as a whole partition in
+  *    memory;
+  *  - binary payloads pass through untouched unless decoded — scans prune
+  *    `content` away when only metadata is selected.
+  *
+  * Swap `stubDecoder` for a JNI/FFmpeg-backed implementation by passing a
+  * different `decoder` — the seam (signature, batching, schema) is the
+  * contract.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to the opaque payload. */
+  final case class MediaMeta(format: String, width: Int, height: Int,
+      nFrames: Int)
+
+  final case class MediaRow(mediaId: Long, content: Array[Byte],
+      meta: MediaMeta)
+
+  /** One decoded frame: row-major grayscale bytes. */
+  final case class Frame(mediaId: Long, frameIdx: Int, width: Int,
+      height: Int, pixels: Array[Byte])
+
+  final case class MediaFeature(mediaId: Long, frameIdx: Int,
+      feature: Array[Float])
+
+  /** A decoder turns one payload into its frames. Instantiated per
+    * partition via the factory so codec state is reused across rows. */
+  type Decoder = MediaRow => Iterator[Frame]
+  type DecoderFactory = () => Decoder
+
+  /** Deterministic stub decoder: frame pixels derive from (content bytes,
+    * frame index) by a rolling mix — stable across runs/partitionings, no
+    * codec libs. Pixel count honors meta.width × meta.height. */
+  val stubDecoder: DecoderFactory = () => { row =>
+    val n = row.meta.width * row.meta.height
+    (0 until row.meta.nFrames).iterator.map { f =>
+      val px = new Array[Byte](n)
+      var acc = f * 131 + 17
+      var i = 0
+      while (i < n) {
+        acc = acc * 31 + (row.content(i % math.max(1, row.content.length)) & 0xFF)
+        px(i) = (acc & 0xFF).toByte
+        i += 1
+      }
+      Frame(row.mediaId, f, row.meta.width, row.meta.height, px)
+    }
+  }
+
+  implicit val frameEnc: Encoder[Frame] = Encoders.product[Frame]
+  implicit val featureEnc: Encoder[MediaFeature] = Encoders.product[MediaFeature]
+
+  /** Decode every `stride`-th frame of every payload. The codec factory
+    * runs once per partition; frames stream lazily. */
+  def decodeFrames(media: Dataset[MediaRow], decoder: DecoderFactory = stubDecoder,
+      frameStride: Int = 1): Dataset[Frame] =
+    media.mapPartitions { rows =>
+      val decode = decoder() // once per partition
+      rows.flatMap(r => decode(r).filter(_.frameIdx % frameStride == 0))
+    }
+
+  /** Nearest-neighbor resize on decoded frames — pure per-row math, no
+    * shuffle; runs inside the same partition pass as decode when composed. */
+  def resize(frames: Dataset[Frame], newW: Int, newH: Int): Dataset[Frame] =
+    frames.map { fr =>
+      val px = new Array[Byte](newW * newH)
+      var y = 0
+      while (y < newH) {
+        val sy = y * fr.height / newH
+        var x = 0
+        while (x < newW) {
+          px(y * newW + x) = fr.pixels(sy * fr.width + (x * fr.width / newW))
+          x += 1
+        }
+        y += 1
+      }
+      Frame(fr.mediaId, fr.frameIdx, newW, newH, px)
+    }
+
+  /** Feature extraction: 16-bin normalized intensity histogram per frame —
+    * the deterministic stand-in for an embedding model, emitting the
+    * `array<float>` shape the similarity operators (graft.functions.Vectors)
+    * consume. */
+  def histogramFeatures(frames: Dataset[Frame]): Dataset[MediaFeature] =
+    frames.map { fr =>
+      val bins = new Array[Float](16)
+      var i = 0
+      while (i < fr.pixels.length) {
+        bins((fr.pixels(i) & 0xFF) >> 4) += 1f
+        i += 1
+      }
+      val n = math.max(1, fr.pixels.length).toFloat
+      var b = 0
+      while (b < 16) { bins(b) /= n; b += 1 }
+      MediaFeature(fr.mediaId, fr.frameIdx, bins)
+    }
+
+  /** Build a MediaRow dataset from any table with an id and a binary-able
+    * column — the ingestion adapter used by tests and the q40 surface. */
+  def fromBinary(spark: SparkSession, ids: Dataset[(Long, Array[Byte])],
+      format: String, width: Int, height: Int, nFrames: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    ids.map { case (id, bytes) =>
+      MediaRow(id, bytes, MediaMeta(format, width, height, nFrames))
+    }
+  }
+}

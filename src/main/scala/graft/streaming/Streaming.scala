@@ -16,6 +16,39 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Streaming {
 
+  /** Gap-based sessionization via `session_window` — Spark's native
+    * mergeable session state. Sessions close when `gap` passes with no
+    * event; state size is (open sessions × keys), independent of history
+    * length — the 100 TB shape for clickstream sessionization. Runs as a
+    * real streaming query (complete mode over an AvailableNow catch-up) and
+    * returns the finished session table.
+    */
+  def sessionize(spark: SparkSession, sfDir: String,
+      gap: String = "30 minutes"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = "graft_stream_sessions"
+    val q = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(300000) finally q.stop()
+    spark.table(name).orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Hourly event counts per type via a real streaming query over the
     * events parquet (ns timestamps read as longs, converted after read).
     * Runs to completion on available data and returns the result table.
