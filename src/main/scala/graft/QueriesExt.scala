@@ -245,7 +245,7 @@ object QueriesExt {
   /** Brute-force cosine top-k: the exact baseline. Queries broadcast; the
     * corpus streams through once — no pairwise shuffle. */
   private val q34: Q = (s, dir) => {
-    val emb = quantizedEmb(s, dir)
+    val emb = quantizedEmb(s, dir).cache() // both sides of the join
     val queries = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("nsq").as("qnsq"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
@@ -284,6 +284,7 @@ object QueriesExt {
   private val q35: Q = (s, dir) => {
     val emb = quantizedEmb(s, dir)
       .withColumn("bucket", Vectors.lshBucket(col("qv"), 8))
+      .cache() // quantize+bucket computed once, probed from both sides
     val queries = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("qv").as("qqv"),
         col("nsq").as("qnsq"), col("bucket"))
@@ -329,6 +330,7 @@ object QueriesExt {
   private val q41: Q = (s, dir) => {
     val emb = quantizedEmb(s, dir)
       .withColumn("bucket", Vectors.lshBucket(col("qv"), 8))
+      .cache() // quantize+bucket computed once, probed from both sides
     emb.as("a")
       .join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
