@@ -59,4 +59,29 @@ object Relational {
     * aggregation; `orderCol` must be unique within the group for determinism.
     */
   def latestBy(valueCol: Column, orderCol: Column): Column = max_by(valueCol, orderCol)
+
+  /** Skew-resistant equi-join: salt the (large, skewed) fact side into
+    * `saltBuckets` sub-keys and replicate the dimension side across every
+    * bucket, so one hot key spreads over `saltBuckets` tasks instead of
+    * melting a single reducer.
+    *
+    * AQE's runtime skew-join handling (on by default in
+    * [[graft.core.Sessions]]) covers sort-merge joins; explicit salting is
+    * the deterministic fallback for aggregation-feeding joins and engines
+    * where AQE cannot split (e.g. a following groupBy on the join key —
+    * salt both the join AND the first-level aggregate, then de-salt with a
+    * second small aggregate).
+    *
+    * @param fact the skewed side; gains a transient `__salt` column
+    * @param dim  the replicated side (size × saltBuckets — keep it small)
+    */
+  def skewJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets))
+        .cast("int"))
+    val replicated = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+/** Plan-shape regression tests: the scale-critical physical properties the
+  * engine relies on at 100 TB, asserted against the actual Catalyst output
+  * so a refactor that silently de-optimizes a plan (lost pushdown, a
+  * broadcast that became a shuffle, a sort that became global) fails CI —
+  * not a cluster bill.
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Queries.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: filter and 5-column projection reach the parquet scan") {
+    val p = plan("q01_scan_projection")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && !read.contains("l_comment"),
+      "scan must read only projected columns")
+  }
+
+  test("q02: aggregation is partial (map-side) before the exchange") {
+    val p = plan("q02_agg_groupby")
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      "groupBy must map-side combine, shuffling O(groups) not O(rows)")
+  }
+
+  test("q05/q06: semi and anti joins plan as LeftSemi/LeftAnti") {
+    assert(plan("q05_semi_join").contains("LeftSemi"))
+    assert(plan("q06_anti_join").contains("LeftAnti"))
+  }
+
+  test("q07: both dimension joins broadcast; the fact table never shuffles for a join") {
+    val p = plan("q07_join_broadcast_dims")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q08: star join has no cartesian product and broadcasts the dim chain") {
+    val p = plan("q08_join_multiway")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q19: top-k plans as TakeOrderedAndProject (bounded heaps, no global sort)") {
+    assert(plan("q19_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q30: exact dedup is a single hash aggregation, no join") {
+    val p = plan("q30_dedup_exact")
+    assert(p.contains("HashAggregate") && !p.contains("Join"))
+  }
+
+  test("whole-stage codegen covers the scan→aggregate hot path") {
+    // AQE shows codegen stages only in the FINAL plan — execute first
+    val df = Queries.queries("q02_agg_groupby")(spark, sf)
+    df.collect()
+    // `*(n)` prefixes mark WholeStageCodegen stages in the final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, s"no codegen stage in:\n$p")
+  }
+}

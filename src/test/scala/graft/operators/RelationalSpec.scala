@@ -71,6 +71,19 @@ class RelationalSpec extends SparkSpec {
     assert(top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 
+  test("skewJoin equals a plain join and spreads a hot key across buckets") {
+    // one pathological key carrying most rows
+    val fact = ((1 to 500).map(i => ("hot", i)) ++ Seq(("cold", 0), ("cool", 1)))
+      .toDF("k", "v")
+    val dim = Seq(("hot", "H"), ("cold", "C"), ("warm", "W")).toDF("k", "label")
+    val plain = fact.join(dim, Seq("k")).groupBy($"k").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = Relational.skewJoin(fact, dim, "k").groupBy($"k").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted == plain)
+    assert(salted("hot") == 500L && salted("cold") == 1L)
+  }
+
   test("latestBy returns the value at the greatest ordering key (A7 max-by)") {
     val df = Seq(("u1", 1L, "open"), ("u1", 9L, "close"), ("u2", 4L, "solo"))
       .toDF("u", "seq", "ev")
