@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured-Streaming surface (SURVEY §2.10 extension).
   *
@@ -15,6 +15,54 @@ import org.apache.spark.sql.streaming.Trigger
   * volume, so it holds at 100 TB of history processed incrementally.
   */
 object Streaming {
+
+  /** Custom-state sessionization input/output types. */
+  final case class SessionEvent(userId: Long, tsMicros: Long)
+  final case class SessionOut(userId: Long, startMicros: Long, nEvents: Long)
+  /** Open-session state: first/last event time + count so far. */
+  final case class SessionState(startMicros: Long, lastMicros: Long, n: Long)
+
+  /** Gap-based sessionization via `flatMapGroupsWithState` — the explicit
+    * custom-state API, for session logic `session_window` can't express
+    * (per-event predicates, capped lengths, custom merge rules; here the
+    * plain 30-min gap so it is testable against [[sessionize]]).
+    *
+    * State per key is ONE open session (constant size); closed sessions are
+    * emitted as soon as a later event proves the gap. Events inside each
+    * micro-batch are sorted per group before folding, so intra-batch
+    * disorder cannot split sessions; cross-batch late data is bounded by the
+    * event-time timeout in a live stream. On a finite catch-up run (single
+    * AvailableNow batch) the trailing open session is emitted at the end of
+    * the group — making the operator total on bounded input.
+    */
+  def sessionizeCustomState(events: Dataset[SessionEvent],
+      gapMicros: Long = 30L * 60 * 1000000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    def fold(userId: Long, it: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = it.toArray.sortBy(_.tsMicros)
+      var open = state.getOption
+      val closed = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        open match {
+          case Some(s) if e.tsMicros - s.lastMicros < gapMicros =>
+            open = Some(SessionState(s.startMicros, e.tsMicros, s.n + 1))
+          case Some(s) =>
+            closed += SessionOut(userId, s.startMicros, s.n)
+            open = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+          case None =>
+            open = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+        }
+      }
+      // bounded input: flush the trailing session; a live stream would keep
+      // it in state and rely on the event-time timeout instead
+      open.foreach(s => closed += SessionOut(userId, s.startMicros, s.n))
+      state.remove()
+      closed.result().iterator
+    }
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+  }
 
   /** Gap-based sessionization via `session_window` — Spark's native
     * mergeable session state. Sessions close when `gap` passes with no

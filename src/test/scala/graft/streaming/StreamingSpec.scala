@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.Streaming.{SessionEvent, SessionOut}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionizeCustomState splits on 30-min gaps, tolerating disorder") {
+    val m = 60L * 1000000 // a minute in micros
+    val events = Seq(
+      // user 1: two sessions — [0, 10, 29+29] then [100]
+      SessionEvent(1, 0), SessionEvent(1, 10 * m), SessionEvent(1, 39 * m),
+      SessionEvent(1, 100 * m),
+      // user 2: one session, events arrive OUT OF ORDER
+      SessionEvent(2, 7 * m), SessionEvent(2, 0), SessionEvent(2, 14 * m),
+      // user 3: boundary — exactly 30 min gap starts a NEW session
+      SessionEvent(3, 0), SessionEvent(3, 30 * m)
+    ).toDS()
+    val got = Streaming.sessionizeCustomState(events)
+      .collect().sortBy(s => (s.userId, s.startMicros)).toSeq
+    assert(got == Seq(
+      SessionOut(1, 0, 3), SessionOut(1, 100 * m, 1),
+      SessionOut(2, 0, 3),
+      SessionOut(3, 0, 1), SessionOut(3, 30 * m, 1)))
+  }
+
+  test("sessionizeCustomState agrees with session_window on real events") {
+    // derive both sessionizations of the sf0.001 events table and compare
+    val sf = "/root/testdata/sf0.001"
+    val raw = graft.core.Tables(spark, sf, "events")
+      .selectExpr("user_id AS userId", "unix_micros(ts) AS tsMicros")
+      .as[SessionEvent]
+    // session_start strings carry second precision — compare at seconds
+    val custom = Streaming.sessionizeCustomState(raw)
+      .collect().map(s => (s.userId, s.startMicros / 1000000, s.nEvents)).sorted.toSeq
+    val native = Streaming.sessionize(spark, sf)
+      .selectExpr("user_id", "unix_seconds(to_timestamp(session_start)) AS sm",
+        "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(custom == native)
+  }
+}
