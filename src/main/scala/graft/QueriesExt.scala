@@ -320,6 +320,71 @@ object QueriesExt {
       |  FROM p)
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the first
+    * 16 vectors by id serve as centroids — partitions the corpus into
+    * nearest-centroid lists; each query probes its 2 nearest lists and ranks
+    * only those candidates by exact cosine. The 100 TB shape: assignment is
+    * one broadcast pass over the corpus, search shuffles only probed-list
+    * candidates; recall is tuned by nprobe, never by corpus scans. (Swap the
+    * id-prefix quantizer for k-means centroids in production — the plan
+    * shape is identical.)
+    */
+  private val q42: Q = (s, dir) => {
+    val emb = quantizedEmb(s, dir).cache()
+    val cents = broadcast(emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("qv").as("cqv")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d"), col("cid"))
+    val assigned = emb.join(cents)
+      .withColumn("d", Vectors.l2SqQ(col("qv"), col("cqv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("qv"), col("nsq"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("nsq").as("qnsq"))
+      .join(cents)
+      .withColumn("d", Vectors.l2SqQ(col("qqv"), col("cqv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2) // nprobe = 2
+      .select(col("qid"), col("qqv"), col("qnsq"), col("cid"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", Vectors.cosineFromParts(
+        Vectors.dotQ(col("qqv"), col("qv")), col("qnsq"), col("nsq")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val q42Sql = embCte +
+    """,
+      |c AS (SELECT vec_id AS cid, qv AS cqv FROM n WHERE vec_id < 16),
+      |asg AS (SELECT vec_id, cid, qv, nsq FROM (
+      |  SELECT n.vec_id, c.cid, n.qv, n.nsq,
+      |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |           list_sum(list_transform(list_zip(n.qv, c.cqv),
+      |             s -> (s[1]-s[2])*(s[1]-s[2]))), c.cid) AS rn
+      |  FROM n CROSS JOIN c) WHERE rn = 1),
+      |pr AS (SELECT qid, qqv, qnsq, cid FROM (
+      |  SELECT n.vec_id AS qid, n.qv AS qqv, n.nsq AS qnsq, c.cid,
+      |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |           list_sum(list_transform(list_zip(n.qv, c.cqv),
+      |             s -> (s[1]-s[2])*(s[1]-s[2]))), c.cid) AS rn
+      |  FROM n CROSS JOIN c WHERE n.vec_id % 50 = 0) WHERE rn <= 2),
+      |cand AS (SELECT pr.qid, asg.vec_id AS neighbor,
+      |           CAST(list_sum(list_transform(list_zip(pr.qqv, asg.qv),
+      |             s -> s[1]*s[2])) AS DOUBLE)
+      |             / (sqrt(CAST(pr.qnsq AS DOUBLE)) * sqrt(CAST(asg.nsq AS DOUBLE))) AS cos
+      |         FROM pr JOIN asg ON pr.cid = asg.cid AND asg.vec_id <> pr.qid)
+      |SELECT qid, rank, neighbor, cos FROM (
+      |  SELECT qid, neighbor, cos,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rank
+      |  FROM cand)
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   /** Embedding-cosine near-dup detection: sign-LSH bucketing co-locates
     * candidates (one shuffle on bucket id, corpus-linear), then exact
     * quantized cosine ≥ τ within buckets (τ=0.4 here: the synthetic corpus
@@ -482,6 +547,7 @@ object QueriesExt {
     Entry("q34_sim_cosine_topk", q34, Some(q34Sql)),
     Entry("q35_sim_ann_lsh", q35, Some(q35Sql)),
     Entry("q41_dedup_embedding", q41, Some(q41Sql)),
+    Entry("q42_sim_ivf", q42, Some(q42Sql)),
     Entry("q36_text_langid", q36, Some(q36Sql)),
     Entry("q37_text_quality", q37, Some(q37Sql)),
     Entry("q38_text_tokens", q38, Some(q38Sql)),

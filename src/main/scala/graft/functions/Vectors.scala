@@ -34,6 +34,11 @@ object Vectors {
   def cosineFromParts(dot: Column, normSqA: Column, normSqB: Column): Column =
     dot.cast("double") / (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
 
+  /** Exact squared L2 distance between quantized vectors (int64 — max
+    * (2e6)²·64 ≈ 2.6e14, safe in long). */
+  def l2SqQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
   /** Sign-LSH (random-hyperplane) bucket id over `nPlanes` deterministic
     * integer hyperplanes: plane p, dim d has component
     * ((p·73856093 + d·19349663) mod 2001) − 1000 — a fixed pseudo-random
