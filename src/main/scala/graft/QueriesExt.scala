@@ -18,10 +18,16 @@ object QueriesExt {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** Shared doc prep: hashed 3-gram shingle sets. */
+  /** Shared doc prep: hashed 3-gram shingle sets. Token hashing (md5 per
+    * token) runs in its own projection so the shingle combine's several
+    * references to the array read a materialized column instead of
+    * re-hashing. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), Text.shingleHashes(col("text"), 3).as("hs"))
+      .select(col("doc_id"),
+        transform(Text.tokens(col("text")), w => Text.hash32(w)).as("__th"))
+      .select(col("doc_id"),
+        Text.shingleHashesFromTokenHashes(col("__th"), 3).as("hs"))
       .filter(size(col("hs")) > 0)
 
   // ------------------------------------------------------- tree rollup
@@ -122,30 +128,29 @@ object QueriesExt {
     """SELECT md5(text) AS h, min(doc_id) AS rep_doc, count(*) AS n
       |FROM documents GROUP BY md5(text) ORDER BY rep_doc""".stripMargin
 
-  /** Exact n-gram Jaccard near-dup pairs via a prefix-filtered inverted-index
-    * join (never an n² cross join): index only each doc's τ-prefix shingles
-    * (provably complete, see [[Text.prefixHashes]]) → co-occurrence
-    * candidates → verify exact Jaccard ≥ 0.8. Candidate volume scales with
-    * corpus size × prefix length, not with pairwise structure. */
+  /** Exact n-gram Jaccard near-dup pairs via an inverted-index join (never
+    * an n² cross join): explode shingle postings, count co-occurrences per
+    * ordered pair, derive exact Jaccard from set sizes. */
   private val q31: Q = (s, dir) => {
-    // Candidate generation indexes only each doc's τ-prefix (the candidate
-    // set stays provably complete — [[Text.prefixHashes]]), shrinking the
-    // inverted-index self-join by ~(1−τ)² versus full postings; candidates
-    // are then verified with exact Jaccard over the cached full sets. Join
-    // volume scales with Σ df² over PREFIX shingles — corpus-linear for
-    // bounded df — never with pairwise structure.
+    // Count-based inverted-index join: |A∩B| falls out of a groupBy over
+    // co-occurring postings and |A∪B| = |A|+|B|−|A∩B|, so no candidate
+    // distinct, no array intersection, no verify join — the whole pipeline
+    // is codegen'd explode → shuffle-join → hash-aggregate. Join volume is
+    // Σ df² over shingles (corpus-linear for bounded document frequency);
+    // under heavy shingle skew, switch the postings to
+    // [[Text.prefixHashes]] (τ-prefix index, provably complete) and verify
+    // candidates with [[Text.jaccard]] — same answers, ~(1−τ)² the join.
     val docs = docShingles(s, dir).cache()
-    val posting = docs.select(
-      col("doc_id"), explode(Text.prefixHashes(col("hs"), 0.8)).as("g"))
-    val cand = posting.as("a")
+    val posting = docs.select(col("doc_id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("g"))
+    posting.as("a")
       .join(posting.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hsa")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hsb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), Text.jaccard(col("hsa"), col("hsb")).as("jac"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
       .filter(col("jac") >= 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -154,16 +159,14 @@ object QueriesExt {
     * scale) — an independent derivation of the same semantics. */
   private val docHsCte =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |d AS (SELECT doc_id,
-      |        CASE WHEN len(w) >= 3
-      |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-      |                                 for i in range(1, len(w)-1)])
-      |             ELSE [] END AS s
+      |t AS (SELECT doc_id,
+      |        list_transform(w,
+      |          x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT)) AS th
       |      FROM w),
       |h AS (SELECT doc_id,
-      |        list_distinct(list_transform(s,
-      |          g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT))) AS hs
-      |      FROM d WHERE len(s) > 0)""".stripMargin
+      |        list_distinct(list_transform(range(len(th) - 2),
+      |          i -> ((th[i+1]*31 + th[i+2])*31 + th[i+3]) % 4294967296)) AS hs
+      |      FROM t WHERE len(th) >= 3)""".stripMargin
 
   private val q31Sql = docHsCte +
     """
@@ -184,7 +187,10 @@ object QueriesExt {
     // runs interpreted.
     val bands = Text.minhashSignatureGrouped(docs, "doc_id", "hs")
       .withColumn("bands", Text.lshBandKeys(col("sig")))
+    // cache the band postings: the self-join would otherwise run the whole
+    // minhash aggregation once per side
     val e = bands.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+      .cache()
     val cand = e.as("a")
       .join(e.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")

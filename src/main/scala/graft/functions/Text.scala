@@ -32,7 +32,9 @@ object Text {
   /** Whitespace tokenization (the corpus is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles, e.g. n=3 → "w1 w2 w3" strings. */
+  /** Distinct word n-gram shingles, e.g. n=3 → "w1 w2 w3" strings. (The
+    * string form — useful for debugging; the hot path is [[shingleHashes]],
+    * which never materializes shingle strings.) */
   def wordShingles(text: Column, n: Int): Column = {
     val w = tokens(text)
     when(size(w) >= n,
@@ -41,10 +43,36 @@ object Text {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct 32-bit-hashed shingles — the set representation used by both
-    * exact Jaccard and minhash (hash each shingle once, reuse everywhere). */
+  /** Distinct 32-bit shingle hashes — the set representation used by exact
+    * Jaccard, minhash, and the prefix filter.
+    *
+    * Each TOKEN is md5-hashed once (engine-portable base), then n-gram
+    * hashes combine token hashes arithmetically:
+    * `((h1·31 + h2)·31 + h3) mod 2^32` — order-sensitive, so "a b c" and
+    * "c b a" collide no more than any hash pair. Building shingle STRINGS
+    * (slice + concat per position) and md5-ing each was ~3× slower for
+    * identical discriminative power; the combine is plain integer math over
+    * the per-token hash array. */
   def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(wordShingles(text, n), s => hash32(s)))
+    shingleHashesFromTokenHashes(transform(tokens(text), w => hash32(w)), n)
+
+  /** Shingle combine over a PRE-COMPUTED token-hash array column. Callers on
+    * a hot path should materialize the token hashes as their own projection
+    * first (md5 per token runs once), then apply this.
+    *
+    * CAUTION: a lambda body referencing an outer array expression
+    * re-evaluates that whole expression PER ELEMENT (no CSE across
+    * higher-order-function boundaries) — shingles are built by zipping n
+    * shifted slices, so every reference to `th` sits outside a lambda and
+    * evaluates once per row. */
+  def shingleHashesFromTokenHashes(th: Column, n: Int): Column = {
+    val m = size(th) - lit(n - 1) // shingle count
+    val shifted = (0 until n).map(j => slice(th, lit(j + 1), m))
+    val combined = shifted.reduceLeft(
+      (acc, s) => zip_with(acc, s, (a, b) => pmod(a * 31 + b, lit(4294967296L))))
+    when(size(th) >= n, array_distinct(combined))
+      .otherwise(array().cast("array<bigint>"))
+  }
 
   /** Exact Jaccard similarity of two pre-hashed shingle sets. Integer set
     * sizes → double division: bit-deterministic. */
