@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.{Scalar, Text}
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** SURVEY §5.4 property tests — randomized invariants over the operator
+  * library. Column expressions are exercised through real (small) Spark
+  * plans so the properties hold for what actually executes, not a Scala
+  * re-implementation.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Draw `n` deterministic samples from a generator (seeds 1..n) — the
+    * offline cache has scalacheck but not the scalatest bridge. */
+  private def forAll[T](gen: Gen[T], n: Int = 15)(body: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private val versionsGen: Gen[List[(String, Long, String)]] = for {
+    n <- Gen.choose(1, 30)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.oneOf("a", "b", "c", "d")
+      ts <- Gen.choose(0L, 50L)
+      payload <- Gen.alphaStr.map(_.take(5))
+    } yield (k, ts, payload))
+  } yield rows
+
+  test("dedupLatest: idempotent, one row per key, keeps a maximal timestamp") {
+    forAll(versionsGen) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("k", "ts", "p")
+        val order = Seq($"ts".desc, $"p".desc)
+        val once = Relational.dedupLatest(df, Seq("k"), order)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        // one row per input key
+        assert(once.map(_._1).toSet == rows.map(_._1).toSet)
+        assert(once.length == rows.map(_._1).distinct.length)
+        // each kept row carries its key's max timestamp
+        val maxTs = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+        once.foreach { case (k, ts, _) => assert(ts == maxTs(k)) }
+        // idempotence
+        val twice = Relational
+          .dedupLatest(rows.toDF("k", "ts", "p"), Seq("k"), order)
+          .transform(d => Relational.dedupLatest(d, Seq("k"), order))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        assert(once.sortBy(_._1).toSeq == twice.sortBy(_._1).toSeq)
+      }
+    }
+  }
+
+  test("gradeInfo: total, monotone, and gpa∈{0,1,1.5,2,2.5,3,3.5,4}") {
+    forAll(Gen.listOfN(50, Gen.choose(-50.0, 150.0))) { pcts =>
+      if (pcts.nonEmpty) {
+        val got = pcts.toDF("pct")
+          .select($"pct", Scalar.gradeInfo($"pct").getField("gpa").as("gpa"))
+          .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+        got.foreach { case (_, gpa) =>
+          assert(Set(0.0, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0)(gpa))
+        }
+        // monotone: sort by pct → gpa non-decreasing
+        val sorted = got.sortBy(_._1).map(_._2)
+        assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+      }
+    }
+  }
+
+  test("jaccard: bounded, symmetric, 1 iff equal sets (on executed plans)") {
+    val setGen = Gen.nonEmptyListOf(Gen.choose(0L, 40L)).map(_.distinct.sorted)
+    forAll(Gen.listOfN(8, Gen.zip(setGen, setGen))) { pairs =>
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("a", "b")
+        val got = df.select(
+          Text.jaccard($"a", $"b").as("ab"), Text.jaccard($"b", $"a").as("ba"))
+          .collect()
+        got.zip(pairs).foreach { case (r, (a, b)) =>
+          val (ab, ba) = (r.getDouble(0), r.getDouble(1))
+          assert(ab >= 0.0 && ab <= 1.0 && ab == ba)
+          assert((ab == 1.0) == (a.toSet == b.toSet))
+        }
+      }
+    }
+  }
+
+  test("percentage: in [0, ∞) with 0 exactly when guard trips") {
+    forAll(Gen.listOfN(30,
+      Gen.zip(Gen.choose(0.0, 100.0), Gen.option(Gen.choose(-10.0, 100.0))))) { rows =>
+      if (rows.nonEmpty) {
+        val got = rows.toDF("s", "m")
+          .select($"s", $"m", Scalar.percentage($"s", $"m").as("p")).collect()
+        got.foreach { r =>
+          val m = if (r.isNullAt(1)) 100.0 else r.getDouble(1)
+          val p = r.getDouble(2)
+          if (m <= 0) assert(p == 0.0)
+          else assert(math.abs(p - r.getDouble(0) / m * 100) < 1e-9)
+        }
+      }
+    }
+  }
+}
