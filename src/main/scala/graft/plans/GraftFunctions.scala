@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Fused Jaccard similarity over two `array<bigint>` hash sets as a native
+  * Catalyst expression.
+  *
+  * `size(array_intersect(a,b)) / size(array_union(a,b))` allocates two
+  * intermediate arrays per row and hashes both inputs twice; this expression
+  * computes |A∩B| with one hash set and derives |A∪B| = |A|+|B|−|A∩B| —
+  * no intermediate arrays, one pass per side. `doGenCode` emits a call to
+  * the static kernel, so the whole-stage-codegen pipeline never falls back
+  * to interpreted evaluation (the preference order: native Expression >
+  * Scala UDF — SURVEY §4).
+  *
+  * Inputs are treated as SETS (duplicates collapse), matching
+  * [[graft.functions.Text.jaccard]]; both-empty → 0.0 like size()/size()
+  * division yielding null→filtered, here explicitly 0.
+  */
+case class JaccardSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardSimilarity.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.JaccardSimilarity.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardSimilarity {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val seen = new java.util.HashSet[Long](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) { seen.add(a.getLong(i)); i += 1 }
+    val nA = seen.size()
+    val inB = new java.util.HashSet[Long](b.numElements() * 2)
+    var inter = 0
+    var j = 0
+    while (j < b.numElements()) {
+      val v = b.getLong(j)
+      if (inB.add(v) && seen.contains(v)) inter += 1
+      j += 1
+    }
+    val union = nA + inB.size() - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+}
+
+/** SQL surface for the engine's functions: register on an existing session
+  * (tests, notebooks) or inject via `SparkSessionExtensions`
+  * (`.withExtensions(new GraftExtensions)`) so `spark.sql` users — the
+  * reference's Metabase-style consumers (SURVEY §3.3) — can call them
+  * without touching the Scala API.
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Coalesce, CreateNamedStruct, Divide, GreaterThan, GreaterThanOrEqual, Literal, Multiply}
+
+  /** F6 grade scale as a raw Catalyst tree (mirrors Scalar.gradeInfo; the
+    * registry builder needs Expressions, and Column→Expression round-trips
+    * leave unresolved ColumnNode placeholders). */
+  private def gradeExpr(pct: Expression): Expression = {
+    def tier(g: String, gpa: Double, m: String) = CreateNamedStruct(Seq(
+      Literal("grade"), Literal(g), Literal("gpa"), Literal(gpa),
+      Literal("meaning"), Literal(m)))
+    val tiers = Seq(
+      (85.0, ("A", 4.0, "Excellent")), (80.0, ("B+", 3.5, "Very Good")),
+      (70.0, ("B", 3.0, "Good")), (65.0, ("C+", 2.5, "Fairly Good")),
+      (50.0, ("C", 2.0, "Fair")), (45.0, ("D", 1.5, "Poor")),
+      (40.0, ("E", 1.0, "Very Poor")))
+    CaseWhen(
+      tiers.map { case (cut, (g, gpa, m)) =>
+        (GreaterThanOrEqual(pct, Literal(cut)), tier(g, gpa, m))
+      },
+      Some(tier("F", 0.0, "Failure")))
+  }
+
+  /** F7 percentage guard as a raw Catalyst tree (mirrors Scalar.percentage). */
+  private def percentageExpr(score: Expression, maxScore: Expression): Expression = {
+    val mx = Coalesce(Seq(maxScore, Literal(100.0)))
+    CaseWhen(
+      Seq((GreaterThan(mx, Literal(0.0)),
+        Multiply(Divide(score, mx), Literal(100.0)))),
+      Some(Literal(0.0)))
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[JaccardSimilarity].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_jaccard", "_FUNC_(a, b) - exact Jaccard similarity of two bigint-array sets",
+      (children: Seq[Expression]) => JaccardSimilarity(children(0), children(1))),
+    ("graft_grade", "_FUNC_(pct) - reference grade scale: struct(grade, gpa, meaning)",
+      (children: Seq[Expression]) => gradeExpr(children.head)),
+    ("graft_percentage", "_FUNC_(score, maxScore) - percentage with the maxScore guard",
+      (children: Seq[Expression]) => percentageExpr(children(0), children(1)))
+  )
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name, usage), builder)
+    }
+
+  def inject(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` wiring point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}

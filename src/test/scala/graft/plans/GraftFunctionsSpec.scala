@@ -1,0 +1,52 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("JaccardSimilarity matches the array-function jaccard on executed plans") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq(1L, 2L), Seq(1L, 2L)),
+      (Seq(1L), Seq(2L)),
+      (Seq(1L, 1L, 2L), Seq(2L, 2L, 3L)) // duplicates collapse (set semantics)
+    ).toDF("a", "b")
+    val got = df.select(
+      Bridge.toCol(JaccardSimilarity(Bridge.toExpr($"a"), Bridge.toExpr($"b"))).as("fused"),
+      Text.jaccard($"a", $"b").as("arrays"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("JaccardSimilarity stays inside codegen (no fallback)") {
+    // repartition defeats local-relation constant folding so the projection
+    // actually executes in a codegen stage
+    val df = Seq((Seq(1L, 2L), Seq(2L, 3L))).toDF("a", "b")
+      .repartition(2)
+      .select(Bridge.toCol(
+        JaccardSimilarity(Bridge.toExpr($"a"), Bridge.toExpr($"b"))).as("j"))
+    df.collect() // force final AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, s"fell out of codegen:\n$p")
+  }
+
+  test("registered SQL functions work end-to-end") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+             graft_grade(87.0).grade AS g,
+             graft_grade(42.0).gpa AS gpa,
+             graft_percentage(50.0, 200.0) AS p,
+             graft_percentage(50.0, 0.0) AS p0
+    """).collect().head
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getString(1) == "A")
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 25.0)
+    assert(r.getDouble(4) == 0.0)
+  }
+}
