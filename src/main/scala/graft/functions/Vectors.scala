@@ -20,14 +20,18 @@ object Vectors {
   def quantize(v: Column): Column =
     transform(v, x => floor(x * lit(1000000.0d)).cast(LongType))
 
+  import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
+
   /** Exact int64 dot product of two quantized vectors. Max magnitude for
-    * unit-scale 64-dim embeddings: (1e6)^2 · 64 ≈ 2^46 — safe in long. */
+    * unit-scale 64-dim embeddings: (1e6)^2 · 64 ≈ 2^46 — safe in long.
+    * Runs the codegen'd [[graft.plans.QuantizedDot]] kernel — the
+    * higher-order zip_with/aggregate form pays an interpreted lambda per
+    * dimension per row. */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    toCol(graft.plans.QuantizedDot(toExpr(a), toExpr(b)))
 
   /** Exact squared norm of a quantized vector. */
-  def normSqQ(a: Column): Column =
-    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+  def normSqQ(a: Column): Column = dotQ(a, a)
 
   /** Cosine from exact integer parts: double ops over identical exact
     * inputs → bit-deterministic. */
@@ -35,9 +39,9 @@ object Vectors {
     dot.cast("double") / (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
 
   /** Exact squared L2 distance between quantized vectors (int64 — max
-    * (2e6)²·64 ≈ 2.6e14, safe in long). */
+    * (2e6)²·64 ≈ 2.6e14, safe in long). Codegen'd kernel, see [[dotQ]]. */
   def l2SqQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    toCol(graft.plans.QuantizedL2Sq(toExpr(a), toExpr(b)))
 
   /** Sign-LSH (random-hyperplane) bucket id over `nPlanes` deterministic
     * integer hyperplanes: plane p, dim d has component
