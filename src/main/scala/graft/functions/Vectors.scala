@@ -53,16 +53,6 @@ object Vectors {
     * co-locates candidates; queries only scan their own bucket instead of
     * the full corpus. More planes → smaller buckets, lower recall.
     */
-  def lshBucket(qv: Column, nPlanes: Int = 8): Column = {
-    val dims = sequence(lit(0), size(qv) - 1)
-    val planeDots = transform(sequence(lit(0), lit(nPlanes - 1)), p =>
-      aggregate(
-        zip_with(qv, dims,
-          (x, d) => ((p * lit(73856093L) + d * lit(19349663L)) % 2001 - 1000) * x),
-        lit(0L), (acc, x) => acc + x))
-    // Horner fold over sign bits: bucket = Σ bit_p · 2^(nPlanes-1-p)
-    aggregate(
-      transform(planeDots, dp => when(dp >= 0, lit(1L)).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc * 2 + b)
-  }
+  def lshBucket(qv: Column, nPlanes: Int = 8): Column =
+    toCol(graft.plans.SignLshBucketExpr(toExpr(qv), nPlanes))
 }

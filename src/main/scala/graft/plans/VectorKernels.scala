@@ -64,3 +64,42 @@ object QuantizedL2Sq {
     acc
   }
 }
+
+/** Sign-LSH bucket id over the deterministic hyperplane lattice
+  * (graft.functions.Vectors.lshBucket semantics) as one codegen'd loop —
+  * plane components are regenerated arithmetically in-register, so no
+  * plane matrix is stored or broadcast.
+  */
+case class SignLshBucketExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    nPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+  override protected def nullSafeEval(v: Any): Any =
+    SignLshBucketExpr.compute(v.asInstanceOf[ArrayData], nPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.plans.SignLshBucketExpr.compute($v, $nPlanes)")
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): SignLshBucketExpr =
+    copy(child = newChild)
+}
+
+object SignLshBucketExpr {
+  def compute(qv: ArrayData, nPlanes: Int): Long = {
+    val n = qv.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0L
+      var d = 0
+      while (d < n) {
+        dot += ((p * 73856093L + d * 19349663L) % 2001L - 1000L) * qv.getLong(d)
+        d += 1
+      }
+      bucket = bucket * 2 + (if (dot >= 0) 1L else 0L)
+      p += 1
+    }
+    bucket
+  }
+}
