@@ -37,6 +37,35 @@ object Sinks {
       .parquet(path)
     partitionCols.size
   }
+
+  /** Bucketed, sorted, catalogued write — the co-located-join layout.
+    *
+    * Two tables bucketed `nBuckets` ways on their join key sort-merge-join
+    * with NO exchange on either side: at 100 TB that converts every
+    * recurring fact⋈fact join on the bucket key from a full-data shuffle
+    * into a local merge (the reference's `ORDER BY` clustered-key analog,
+    * extended to join co-location). Bucket pruning additionally skips
+    * buckets for point predicates on the key.
+    *
+    * Bucketing requires a catalog table (bucket metadata lives in the
+    * catalog, not the files): `path` anchors the data externally,
+    * `table` names it.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      path: String,
+      table: String,
+      bucketCols: Seq[String],
+      nBuckets: Int,
+      sortCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (df.isEmpty) return
+    val w = df.write.mode(mode).format("parquet").option("path", path)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
 }
 
 /** §2.10 incremental-load protocol: per-pipeline high watermark persisted

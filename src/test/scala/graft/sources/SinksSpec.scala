@@ -44,6 +44,23 @@ class SinksSpec extends SparkSpec {
     assert(deduped.count() == 1)
   }
 
+  test("writeBucketed: bucketed tables join with NO exchange on either side") {
+    val base = Files.createTempDirectory("sinks_bucketed").toString
+    val left = (1 to 1000).map(i => (i % 100, s"l$i")).toDF("k", "lv")
+    val right = (1 to 1000).map(i => (i % 100, s"r$i")).toDF("k", "rv")
+    Sinks.writeBucketed(left, s"$base/tl", "bucketed_l", Seq("k"), 8, Seq("k"))
+    Sinks.writeBucketed(right, s"$base/tr", "bucketed_r", Seq("k"), 8, Seq("k"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("bucketed_l").join(spark.table("bucketed_r"), "k")
+      assert(joined.count() == 10 * 10 * 100)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"))
+      assert(!p.contains("Exchange"), s"bucketed join still shuffled:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("WatermarkStore get/set round-trip with epoch default (§2.10 protocol)") {
     val f = Files.createTempDirectory("wm_spec").toString + "/wm.properties"
     val store = new WatermarkStore(f)
