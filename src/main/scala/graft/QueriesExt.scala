@@ -512,6 +512,45 @@ object QueriesExt {
       |         (acc, h) -> (acc*31 + h) % 1000000007) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Composite training-data filter — the C4-style cleaning pipeline as ONE
+    * declarative plan: language-ID gate → quality-score gate → exact
+    * dedup (keep the smallest doc_id per content hash). Catalyst fuses the
+    * per-row gates into the scan's codegen stage; the only exchange is the
+    * dedup groupBy. This is the composition story: every stage is an
+    * operator from this library, and chaining them adds no new shuffles
+    * beyond the inherent one. */
+  private val q43: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("quality", Text.qualityScore(col("text")))
+      .withColumn("n_tok", size(Text.tokens(col("text"))))
+      .filter(Text.langId(col("text")) === "en" && col("quality") >= 0.12)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        first(col("n_tok")).as("n_tok"), first(col("quality")).as("quality"))
+      .select(col("doc_id"), col("n_tok"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  private val q43Sql = {
+    val stopList = Text.LangProfiles.flatMap(_._2).map("'" + _ + "'").mkString(", ")
+    val scores = Text.LangProfiles.map { case (lang, ws) =>
+      lang -> s"len(list_filter(w, t -> t IN (${ws.map("'" + _ + "'").mkString(", ")})))"
+    }
+    val langs = scores.map(_._1)
+    val enCond = langs.filter(_ != "en").map(o => s"s_en >= s_$o").mkString(" AND ")
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+       |sc AS (SELECT doc_id, text, w,
+       |         ${scores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n         ")}
+       |       FROM w),
+       |q AS (SELECT doc_id, text, len(w) AS n_tok,
+       |        0.5 * least(1.0, CAST(len(w) AS DOUBLE)/200.0)
+       |      + 0.5 * (CAST(len(list_filter(w, t -> t IN ($stopList))) AS DOUBLE)/len(w))
+       |          AS quality
+       |      FROM sc WHERE $enCond)
+       |SELECT min(doc_id) AS doc_id, min(n_tok) AS n_tok, min(quality) AS quality
+       |FROM q WHERE quality >= 0.12
+       |GROUP BY md5(text) ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------- multimodal
 
   /** Multimodal column plumbing: content as an opaque binary column with a
@@ -558,6 +597,7 @@ object QueriesExt {
     Entry("q37_text_quality", q37, Some(q37Sql)),
     Entry("q38_text_tokens", q38, Some(q38Sql)),
     Entry("q39_text_fingerprint", q39, Some(q39Sql)),
-    Entry("q40_multimodal_stub", q40, Some(q40Sql))
+    Entry("q40_multimodal_stub", q40, Some(q40Sql)),
+    Entry("q43_training_filter", q43, Some(q43Sql))
   )
 }
