@@ -53,6 +53,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate") && !p.contains("Join"))
   }
 
+  test("q31/q32/q41: near-dup joins are equi-joins — never cartesian/nested-loop") {
+    Seq("q31_dedup_ngram_jaccard", "q32_dedup_minhash_lsh", "q41_dedup_embedding")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$q degenerated to a pairwise join")
+      }
+  }
+
+  test("q34: query side broadcasts; the corpus never shuffles for the join") {
+    val p = plan("q34_sim_cosine_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("whole-stage codegen covers the scan→aggregate hot path") {
     // AQE shows codegen stages only in the FINAL plan — execute first
     val df = Queries.queries("q02_agg_groupby")(spark, sf)
