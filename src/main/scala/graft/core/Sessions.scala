@@ -29,15 +29,18 @@ object Sessions {
   def local(cores: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    tune(s)
   }
 
   /** Apply engine semantics to an externally-created session (e.g. the
-    * driver's). Only runtime-settable confs. */
+    * driver's): runtime-settable confs + the engine's SQL functions
+    * (graft_jaccard / graft_grade / graft_percentage — §3.3 surface).
+    * Idempotent. */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.plans.GraftFunctions.register(spark)
     spark
   }
 }
