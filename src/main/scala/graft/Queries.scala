@@ -385,12 +385,14 @@ object Queries {
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("event_type"))
-      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  // DuckDB's sum(BIGINT) yields HUGEINT; cast back to BIGINT so the result
+  // type matches Spark's int64 under the driver's hash comparison.
   private val q18Sql =
     """SELECT event_type,
-      |       sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+      |       CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
       |       count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -429,7 +431,7 @@ object Queries {
   private val q21Sql =
     """SELECT user_id, event_id,
       |       row_number() OVER w AS rn,
-      |       sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) OVER w AS cum_k
+      |       CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) OVER w AS BIGINT) AS cum_k
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

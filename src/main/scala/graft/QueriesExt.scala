@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables
 import graft.functions.{Text, Vectors}
 import graft.operators.TreeRollup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -128,32 +128,15 @@ object QueriesExt {
     """SELECT md5(text) AS h, min(doc_id) AS rep_doc, count(*) AS n
       |FROM documents GROUP BY md5(text) ORDER BY rep_doc""".stripMargin
 
-  /** Exact n-gram Jaccard near-dup pairs via an inverted-index join (never
-    * an n² cross join): explode shingle postings, count co-occurrences per
-    * ordered pair, derive exact Jaccard from set sizes. */
-  private val q31: Q = (s, dir) => {
-    // Count-based inverted-index join: |A∩B| falls out of a groupBy over
-    // co-occurring postings and |A∪B| = |A|+|B|−|A∩B|, so no candidate
-    // distinct, no array intersection, no verify join — the whole pipeline
-    // is codegen'd explode → shuffle-join → hash-aggregate. Join volume is
-    // Σ df² over shingles (corpus-linear for bounded document frequency);
-    // under heavy shingle skew, switch the postings to
-    // [[Text.prefixHashes]] (τ-prefix index, provably complete) and verify
-    // candidates with [[Text.jaccard]] — same answers, ~(1−τ)² the join.
-    val docs = docShingles(s, dir).cache()
-    val posting = docs.select(col("doc_id"), size(col("hs")).as("n"),
-      explode(col("hs")).as("g"))
-    posting.as("a")
-      .join(posting.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
-      .filter(col("jac") >= 0.8)
+  /** Exact n-gram Jaccard near-dup pairs via the skew-robust PPJoin-style
+    * prefix-filtered inverted-index join ([[graft.operators.NearDup]]):
+    * postings hold only each document's τ-prefix, so join volume is bounded
+    * under shingle skew (the count-based variant is Σ df² — quadratic on a
+    * viral shingle); candidates verify through the fused exact-Jaccard
+    * kernel. Identical answers, never a cross join. */
+  private val q31: Q = (s, dir) =>
+    graft.operators.NearDup.prefixJoinPairs(docShingles(s, dir).cache(), 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** DuckDB mirror derives the same pairs by brute force (fine at oracle
     * scale) — an independent derivation of the same semantics. */
@@ -286,10 +269,15 @@ object QueriesExt {
 
   /** Sign-LSH bucketed ANN: candidates are only same-bucket vectors —
     * the scale path (shuffle on bucket id, per-bucket top-k) traded against
-    * recall. Same deterministic hyperplane lattice on both engines. */
+    * recall. Plane count scales with corpus size (metadata-only parquet
+    * count) so hot buckets stay bounded as the corpus grows — 8 planes at
+    * test scale, up to 24 at 100 TB; multi-probe via
+    * [[Vectors.lshBucketSeeded]] repetitions recovers recall (q41 shows the
+    * union shape). Same deterministic hyperplane lattice on both engines. */
   private val q35: Q = (s, dir) => {
+    val nPlanes = Vectors.adaptivePlanes(t(s, dir, "embeddings").count())
     val emb = quantizedEmb(s, dir)
-      .withColumn("bucket", Vectors.lshBucket(col("qv"), 8))
+      .withColumn("bucket", Vectors.lshBucket(col("qv"), nPlanes))
       .cache() // quantize+bucket computed once, probed from both sides
     val queries = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("qv").as("qqv"),
@@ -337,23 +325,27 @@ object QueriesExt {
     */
   private val q42: Q = (s, dir) => {
     val emb = quantizedEmb(s, dir).cache()
-    val cents = broadcast(emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("qv").as("cqv")))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d"), col("cid"))
-    val assigned = emb.join(cents)
-      .withColumn("d", Vectors.l2SqQ(col("qv"), col("cqv")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    // The coarse quantizer is a 16-row model: collect it once (the KMeans-
+    // model-broadcast pattern, not a data collect) and inline the centroids
+    // as literals. Assignment is then a pure per-row argmin — 16 codegen'd
+    // L2 kernels + least() over (d, cid) structs — with NO exchange before
+    // the probed-list join; the row_number window previously shuffled the
+    // corpus×16 expansion.
+    val cents: Array[(Long, Seq[Long])] = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    def centDists(v: Column): Seq[Column] = cents.toSeq.map { case (cid, cq) =>
+      struct(Vectors.l2SqQ(v, typedLit(cq)).as("d"), lit(cid).as("cid"))
+    }
+    val assigned = emb
+      .withColumn("cid", least(centDists(col("qv")): _*).getField("cid"))
       .select(col("vec_id"), col("cid"), col("qv"), col("nsq"))
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))
+    // probes: nprobe = 2 nearest lists via sort of the 16-struct array
     val probes = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("nsq").as("qnsq"))
-      .join(cents)
-      .withColumn("d", Vectors.l2SqQ(col("qqv"), col("cqv")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= 2) // nprobe = 2
-      .select(col("qid"), col("qqv"), col("qnsq"), col("cid"))
+      .withColumn("probe", explode(slice(
+        array_sort(array(centDists(col("qqv")): _*)), 1, 2)))
+      .select(col("qid"), col("qqv"), col("qnsq"), col("probe.cid").as("cid"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     probes.join(assigned, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
@@ -391,24 +383,35 @@ object QueriesExt {
       |  FROM cand)
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
-  /** Embedding-cosine near-dup detection: sign-LSH bucketing co-locates
-    * candidates (one shuffle on bucket id, corpus-linear), then exact
-    * quantized cosine ≥ τ within buckets (τ=0.4 here: the synthetic corpus
-    * has no true near-dups — max pairwise cosine ≈ 0.51 — so the threshold
-    * sits where the operator provably fires); each near-dup pair reports the
-    * smaller vec_id as its canonical representative. Same deterministic
-    * hyperplane lattice on both engines. */
+  /** Embedding-cosine near-dup detection with MULTI-REPETITION sign-LSH:
+    * two independent 8-plane lattices (seeds 0, 1), candidate pairs are the
+    * UNION of same-bucket pairs across repetitions, then exact quantized
+    * cosine ≥ τ verification (τ=0.4 here: the synthetic corpus has no true
+    * near-dups — max pairwise cosine ≈ 0.51 — so the threshold sits where
+    * the operator provably fires). The hot-bucket story at corpus scale:
+    * planes scale with corpus size ([[Vectors.adaptivePlanes]]) keeping
+    * per-bucket all-pairs work bounded, and the repetition union recovers
+    * the recall each fine bucketing loses — verification makes extra
+    * candidates only ever ADD true pairs. Smaller vec_id is the canonical
+    * representative. Same deterministic seeded lattice on both engines. */
   private val q41: Q = (s, dir) => {
     val emb = quantizedEmb(s, dir)
-      .withColumn("bucket", Vectors.lshBucket(col("qv"), 8))
-      .cache() // quantize+bucket computed once, probed from both sides
-    emb.as("a")
+      .withColumn("b0", Vectors.lshBucketSeeded(col("qv"), 8, 0))
+      .withColumn("b1", Vectors.lshBucketSeeded(col("qv"), 8, 1))
+      .cache() // quantize+buckets computed once, probed from both sides
+    def pairsOn(b: String) = emb.as("a")
       .join(emb.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("rep_id"), col("b.vec_id").as("dup_id"),
+        col(s"a.$b") === col(s"b.$b") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("rep_id"), col("b.vec_id").as("dup_id"))
+    val cand = pairsOn("b0").unionByName(pairsOn("b1")).distinct()
+    cand
+      .join(emb.select(col("vec_id").as("rep_id"), col("qv").as("qa"),
+        col("nsq").as("na")), Seq("rep_id"))
+      .join(emb.select(col("vec_id").as("dup_id"), col("qv").as("qb"),
+        col("nsq").as("nb")), Seq("dup_id"))
+      .select(col("rep_id"), col("dup_id"),
         Vectors.cosineFromParts(
-          Vectors.dotQ(col("a.qv"), col("b.qv")),
-          col("a.nsq"), col("b.nsq")).as("cos"))
+          Vectors.dotQ(col("qa"), col("qb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= 0.4)
       .orderBy(col("rep_id"), col("dup_id"))
   }
@@ -421,14 +424,26 @@ object QueriesExt {
       |             CASE WHEN list_sum(list_transform(range(64), d ->
       |                    ((p*73856093 + d*19349663) % 2001 - 1000) * qv[d+1])) >= 0
       |                  THEN 1::BIGINT ELSE 0::BIGINT END)),
-      |           (a, b) -> a*2 + b) AS bucket
-      |       FROM n)
-      |SELECT a.vec_id AS rep_id, b.vec_id AS dup_id,
-      |       CAST(list_sum(list_transform(list_zip(a.qv, b.qv), s -> s[1]*s[2])) AS DOUBLE)
-      |         / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cos
-      |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      |WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), s -> s[1]*s[2])) AS DOUBLE)
-      |        / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.4
+      |           (a, b) -> a*2 + b) AS b0,
+      |         list_reduce(list_prepend(0::BIGINT,
+      |           list_transform(range(8), p ->
+      |             CASE WHEN list_sum(list_transform(range(64), d ->
+      |                    ((p*73856093 + d*19349663 + 83492791) % 2001 - 1000) * qv[d+1])) >= 0
+      |                  THEN 1::BIGINT ELSE 0::BIGINT END)),
+      |           (a, b) -> a*2 + b) AS b1
+      |       FROM n),
+      |cand AS (
+      |  SELECT a.vec_id AS rep_id, b.vec_id AS dup_id
+      |  FROM bk a JOIN bk b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+      |  UNION
+      |  SELECT a.vec_id AS rep_id, b.vec_id AS dup_id
+      |  FROM bk a JOIN bk b ON a.b1 = b.b1 AND a.vec_id < b.vec_id)
+      |SELECT rep_id, dup_id,
+      |       CAST(list_sum(list_transform(list_zip(x.qv, y.qv), s -> s[1]*s[2])) AS DOUBLE)
+      |         / (sqrt(CAST(x.nsq AS DOUBLE)) * sqrt(CAST(y.nsq AS DOUBLE))) AS cos
+      |FROM cand JOIN bk x ON x.vec_id = rep_id JOIN bk y ON y.vec_id = dup_id
+      |WHERE CAST(list_sum(list_transform(list_zip(x.qv, y.qv), s -> s[1]*s[2])) AS DOUBLE)
+      |        / (sqrt(CAST(x.nsq AS DOUBLE)) * sqrt(CAST(y.nsq AS DOUBLE))) >= 0.4
       |ORDER BY rep_id, dup_id""".stripMargin
 
   // ----------------------------------------------------- text analysis
@@ -491,10 +506,12 @@ object QueriesExt {
         count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
 
+  // DuckDB's sum(BIGINT) yields HUGEINT; cast back to BIGINT so the result
+  // type matches Spark's int64 under the driver's hash comparison.
   private val q38Sql =
     """SELECT lang,
-      |       sum(len(string_split(text, ' '))) AS ws_tokens,
-      |       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe_tokens,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      |       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
       |       count(*) AS n_docs
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -520,13 +537,25 @@ object QueriesExt {
     * operator from this library, and chaining them adds no new shuffles
     * beyond the inherent one. */
   private val q43: Q = (s, dir) =>
+    // Tokenize ONCE: the token array is its own projection (the docShingles
+    // pattern) and langId/quality/n_tok all read the materialized column —
+    // previously each gate re-ran split() over the full document text.
+    // The gates apply AFTER the dedup aggregation: they depend only on
+    // `text`, and every member of an md5(text) group shares it, so the
+    // post-agg filter is equivalent — and, because aggregation is a
+    // predicate-pushdown barrier, Catalyst cannot substitute the gate
+    // expressions back into a Filter below the projection (which would
+    // re-tokenize). Shuffle rows are (hash, id, 3 numbers, lang) — the few
+    // extra gated-out groups cost less than re-tokenizing every document.
     t(s, dir, "documents")
-      .withColumn("quality", Text.qualityScore(col("text")))
-      .withColumn("n_tok", size(Text.tokens(col("text"))))
-      .filter(Text.langId(col("text")) === "en" && col("quality") >= 0.12)
+      .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__w"))
+      .select(col("text"), col("doc_id"), size(col("__w")).as("n_tok"),
+        Text.qualityScoreFromTokens(col("__w")).as("quality"),
+        Text.langIdFromTokens(col("__w")).as("__lang"))
       .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"),
-        first(col("n_tok")).as("n_tok"), first(col("quality")).as("quality"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("n_tok")).as("n_tok"),
+        first(col("quality")).as("quality"), first(col("__lang")).as("__lang"))
+      .filter(col("__lang") === "en" && col("quality") >= 0.12)
       .select(col("doc_id"), col("n_tok"), col("quality"))
       .orderBy(col("doc_id"))
 

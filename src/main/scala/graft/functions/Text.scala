@@ -79,6 +79,15 @@ object Text {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Exact Jaccard via the fused codegen'd kernel
+    * ([[graft.plans.JaccardSimilarity]]): one hash-set pass per side, no
+    * intermediate intersect/union arrays — same values as [[jaccard]],
+    * for verification hot paths. */
+  def jaccardFused(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
+    toCol(graft.plans.JaccardSimilarity(toExpr(a), toExpr(b)))
+  }
+
   /** Prefix-filter index set (PPJoin-style; Xiao et al. 2008 "Efficient
     * similarity joins for near duplicate detection"): with hashes in
     * ascending order, any pair with Jaccard ≥ τ must share an element of
@@ -183,15 +192,20 @@ object Text {
     "es" -> Seq("el", "los", "una", "y", "es"),
     "zh" -> Seq("的", "了", "是"))
 
-  def langScores(text: Column): Seq[(String, Column)] = {
-    val w = tokens(text)
+  /** Per-language stopword hit counts over a PRE-COMPUTED token array
+    * column — materialize the tokens once as a projection and feed them to
+    * every text gate (langId + quality + counts) so a composite filter
+    * tokenizes each document exactly once. */
+  def langScoresFromTokens(w: Column): Seq[(String, Column)] =
     LangProfiles.map { case (lang, words) =>
       lang -> size(filter(w, t => t.isin(words.map(lit): _*)))
     }
-  }
 
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
+  def langScores(text: Column): Seq[(String, Column)] =
+    langScoresFromTokens(tokens(text))
+
+  def langIdFromTokens(w: Column): Column = {
+    val scores = langScoresFromTokens(w)
     // first language whose score is >= all others (priority on ties)
     scores.foldRight(lit(LangProfiles.last._1)) { case ((lang, s), els) =>
       when(scores.filter(_._1 != lang).map(_._2)
@@ -200,16 +214,19 @@ object Text {
     }
   }
 
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
   /** Quality score: 0.5·min(1, n_tokens/200) + 0.5·stopword_ratio — the
     * length/stopword shape of C4-style quality filters, deterministic
     * per-row double arithmetic. */
-  def qualityScore(text: Column): Column = {
-    val w = tokens(text)
+  def qualityScoreFromTokens(w: Column): Column = {
     val nTok = size(w)
     val stop = size(filter(w, t => t.isin(LangProfiles.flatMap(_._2).map(lit): _*)))
     lit(0.5) * least(lit(1.0), nTok.cast("double") / 200.0) +
       lit(0.5) * (stop.cast("double") / nTok)
   }
+
+  def qualityScore(text: Column): Column = qualityScoreFromTokens(tokens(text))
 
   /** BPE-ish token count: runs of letters, runs of digits, or single other
     * non-space chars — the usual pre-tokenizer regex shape. */

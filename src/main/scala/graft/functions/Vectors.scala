@@ -55,4 +55,25 @@ object Vectors {
     */
   def lshBucket(qv: Column, nPlanes: Int = 8): Column =
     toCol(graft.plans.SignLshBucketExpr(toExpr(qv), nPlanes))
+
+  /** Sign-LSH bucket over an independent lattice per `seed` — the
+    * multi-repetition form: R fine-grained bucketings whose candidate UNION
+    * recovers the recall each single one loses to extra planes. This is the
+    * hot-bucket control at corpus scale: per-bucket pair counts stay
+    * bounded (more planes → exponentially smaller buckets) while repetition
+    * keeps recall, and exact verification downstream means repetitions only
+    * ever ADD true pairs. Seed 0 is [[lshBucket]]'s lattice. */
+  def lshBucketSeeded(qv: Column, nPlanes: Int, seed: Int): Column =
+    toCol(graft.plans.SignLshBucketExpr(toExpr(qv), nPlanes, seed))
+
+  /** Plane count scaled to corpus size: ⌈log2(corpus / targetBucket)⌉
+    * clamped to [8, 24] — expected bucket occupancy ≈ `targetBucket` under a
+    * balanced hash, so per-bucket all-pairs work stays ~targetBucket² no
+    * matter how the corpus grows. Pair with [[lshBucketSeeded]] repetitions
+    * for recall. */
+  def adaptivePlanes(corpusSize: Long, targetBucket: Int = 64): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(24, math.max(8, needed))
+  }
 }

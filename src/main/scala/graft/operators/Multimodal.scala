@@ -51,12 +51,13 @@ object Multimodal {
     * codec libs. Pixel count honors meta.width × meta.height. */
   val stubDecoder: DecoderFactory = () => { row =>
     val n = row.meta.width * row.meta.height
+    val cl = row.content.length // may be 0: mix rolls over acc alone
     (0 until row.meta.nFrames).iterator.map { f =>
       val px = new Array[Byte](n)
       var acc = f * 131 + 17
       var i = 0
       while (i < n) {
-        acc = acc * 31 + (row.content(i % math.max(1, row.content.length)) & 0xFF)
+        acc = acc * 31 + (if (cl == 0) 0 else row.content(i % cl) & 0xFF)
         px(i) = (acc & 0xFF).toByte
         i += 1
       }

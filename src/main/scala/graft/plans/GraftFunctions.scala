@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Fused Jaccard similarity over two `array<bigint>` hash sets as a native
   * Catalyst expression.
@@ -26,6 +27,8 @@ case class JaccardSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_jaccard"
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.longArrays(prettyName, left, right)
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     JaccardSimilarity.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -101,13 +104,24 @@ object GraftFunctions {
     new ExpressionInfo(classOf[JaccardSimilarity].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
+  /** Arity guard so misuse fails at analysis time with the function name,
+    * not at execution with an index error from `children(1)`. Type checks
+    * come from each expression's `checkInputDataTypes`. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.size != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${children.size}")
+      build(children)
+    }
+
   private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_jaccard", "_FUNC_(a, b) - exact Jaccard similarity of two bigint-array sets",
-      (children: Seq[Expression]) => JaccardSimilarity(children(0), children(1))),
+      arity("graft_jaccard", 2)(c => JaccardSimilarity(c(0), c(1)))),
     ("graft_grade", "_FUNC_(pct) - reference grade scale: struct(grade, gpa, meaning)",
-      (children: Seq[Expression]) => gradeExpr(children.head)),
+      arity("graft_grade", 1)(c => gradeExpr(c.head))),
     ("graft_percentage", "_FUNC_(score, maxScore) - percentage with the maxScore guard",
-      (children: Seq[Expression]) => percentageExpr(children(0), children(1)))
+      arity("graft_percentage", 2)(c => percentageExpr(c(0), c(1))))
   )
 
   def register(spark: SparkSession): Unit =

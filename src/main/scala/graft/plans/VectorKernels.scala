@@ -1,9 +1,28 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Shared analysis-time input validation for the kernel expressions: every
+  * child must be `array<bigint>`, so misuse (wrong column type, non-array)
+  * fails analysis with the function name instead of a runtime
+  * ClassCastException from the kernel. */
+object GraftTypeChecks {
+  def longArrays(name: String, children: Expression*): TypeCheckResult = {
+    val bad = children.collectFirst {
+      case c if !c.dataType.isInstanceOf[ArrayType] ||
+        c.dataType.asInstanceOf[ArrayType].elementType != LongType => c.dataType
+    }
+    bad match {
+      case Some(t) => TypeCheckResult.TypeCheckFailure(
+        s"$name expects array<bigint> arguments, got ${t.sql}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+}
 
 /** Codegen'd integer vector kernels over quantized `array<bigint>`
   * embeddings — the hot inner loops of every similarity operator
@@ -20,6 +39,8 @@ case class QuantizedDot(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dot_q"
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.longArrays(prettyName, left, right)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     QuantizedDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -45,6 +66,8 @@ case class QuantizedL2Sq(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_l2sq_q"
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.longArrays(prettyName, left, right)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     QuantizedL2Sq.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -69,24 +92,32 @@ object QuantizedL2Sq {
   * (graft.functions.Vectors.lshBucket semantics) as one codegen'd loop —
   * plane components are regenerated arithmetically in-register, so no
   * plane matrix is stored or broadcast.
+  *
+  * `seed` selects an independent lattice (multi-repetition LSH: several
+  * fine-grained bucketings whose candidate union recovers the recall each
+  * one loses — the hot-bucket control for near-dup at corpus scale);
+  * seed 0 is the original lattice.
   */
 case class SignLshBucketExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
-    nPlanes: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+    nPlanes: Int, seed: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_lsh_bucket"
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.longArrays(prettyName, child)
   override protected def nullSafeEval(v: Any): Any =
-    SignLshBucketExpr.compute(v.asInstanceOf[ArrayData], nPlanes)
+    SignLshBucketExpr.compute(v.asInstanceOf[ArrayData], nPlanes, seed)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, v =>
-      s"graft.plans.SignLshBucketExpr.compute($v, $nPlanes)")
+      s"graft.plans.SignLshBucketExpr.compute($v, $nPlanes, $seed)")
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): SignLshBucketExpr =
     copy(child = newChild)
 }
 
 object SignLshBucketExpr {
-  def compute(qv: ArrayData, nPlanes: Int): Long = {
+  def compute(qv: ArrayData, nPlanes: Int, seed: Int): Long = {
     val n = qv.numElements()
     var bucket = 0L
     var p = 0
@@ -94,7 +125,8 @@ object SignLshBucketExpr {
       var dot = 0L
       var d = 0
       while (d < n) {
-        dot += ((p * 73856093L + d * 19349663L) % 2001L - 1000L) * qv.getLong(d)
+        dot += ((p * 73856093L + d * 19349663L + seed * 83492791L) % 2001L - 1000L) *
+          qv.getLong(d)
         d += 1
       }
       bucket = bucket * 2 + (if (dot >= 0) 1L else 0L)

@@ -62,6 +62,21 @@ class PlanShapeSpec extends SparkSpec {
       }
   }
 
+  test("q42: IVF assignment is a pure projection — no exchange before the probed-list join") {
+    // only the top-k window (partitionBy qid) and the final orderBy may
+    // shuffle; centroid assignment must stay map-side (argmin over literals)
+    val p = plan("q42_sim_ivf")
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(shuffles <= 2, s"IVF plan shuffles $shuffles times:\n$p")
+  }
+
+  test("q43: the composite filter tokenizes each document exactly once") {
+    val p = Queries.queries("q43_training_filter")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(p).size
+    assert(splits == 1, s"expected 1 tokenization, found $splits:\n$p")
+  }
+
   test("q34: query side broadcasts; the corpus never shuffles for the join") {
     val p = plan("q34_sim_cosine_topk")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"))

@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hot-bucket control for the sign-LSH ANN/near-dup operators: plane count
+  * scaling and multi-repetition lattices (VERDICT r01 "what's wrong" #6). */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select($"vec_id", Vectors.quantize($"embedding").as("qv"))
+
+  test("adaptivePlanes scales with corpus size and clamps to [8, 24]") {
+    assert(Vectors.adaptivePlanes(0) == 8)
+    assert(Vectors.adaptivePlanes(500) == 8)
+    assert(Vectors.adaptivePlanes(64L << 8) == 8)
+    assert(Vectors.adaptivePlanes(64L << 12) == 12)
+    assert(Vectors.adaptivePlanes(64L << 20) == 20)
+    assert(Vectors.adaptivePlanes(Long.MaxValue / 2) == 24)
+    // expected occupancy stays ≈ targetBucket: corpus/2^planes ≤ target
+    val c = 64L << 15
+    assert(c / math.pow(2, Vectors.adaptivePlanes(c)).toLong <= 64)
+  }
+
+  test("seed 0 reproduces lshBucket; other seeds give an independent lattice") {
+    val b = emb.select(
+      Vectors.lshBucket($"qv", 8).as("b"),
+      Vectors.lshBucketSeeded($"qv", 8, 0).as("s0"),
+      Vectors.lshBucketSeeded($"qv", 8, 1).as("s1")).collect()
+    assert(b.forall(r => r.getLong(0) == r.getLong(1)))
+    assert(b.exists(r => r.getLong(0) != r.getLong(2)),
+      "seed 1 must not replicate the seed-0 lattice")
+  }
+
+  test("more planes bound the hot bucket: per-bucket pair work shrinks") {
+    def maxBucket(nPlanes: Int): Long =
+      emb.groupBy(Vectors.lshBucket($"qv", nPlanes).as("b"))
+        .count().agg(max($"count")).collect().head.getLong(0)
+    val m8 = maxBucket(8)
+    val m12 = maxBucket(12)
+    assert(m12 <= m8, s"hot bucket grew: $m12 > $m8 with more planes")
+  }
+
+  test("repetition union only adds verified pairs: 2-rep ⊇ 1-rep at the same lattice") {
+    val withB = emb
+      .withColumn("nsq", Vectors.normSqQ($"qv"))
+      .withColumn("b0", Vectors.lshBucketSeeded($"qv", 8, 0))
+      .withColumn("b1", Vectors.lshBucketSeeded($"qv", 8, 1))
+      .cache()
+    def verified(cand: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = cand
+      .join(withB.select($"vec_id".as("ra"), $"qv".as("qa"), $"nsq".as("na")),
+        $"rep_id" === $"ra")
+      .join(withB.select($"vec_id".as("rb"), $"qv".as("qb"), $"nsq".as("nb")),
+        $"dup_id" === $"rb")
+      .filter(Vectors.cosineFromParts(
+        Vectors.dotQ($"qa", $"qb"), $"na", $"nb") >= 0.4)
+      .select($"rep_id", $"dup_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairsOn(b: String) = withB.as("a")
+      .join(withB.as("b"),
+        col(s"a.$b") === col(s"b.$b") && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("rep_id"), $"b.vec_id".as("dup_id"))
+    val one = verified(pairsOn("b0").distinct())
+    val two = verified(pairsOn("b0").unionByName(pairsOn("b1")).distinct())
+    assert(one.subsetOf(two))
+    withB.unpersist()
+  }
+}

@@ -54,6 +54,18 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("zero-length payloads decode without error (frames still deterministic)") {
+    import spark.implicits._
+    val empty = Seq(Multimodal.MediaRow(9L, Array.empty[Byte],
+      Multimodal.MediaMeta("jpg", 4, 3, 2))).toDS()
+    val frames = Multimodal.decodeFrames(empty).collect()
+    assert(frames.length == 2)
+    frames.foreach(f => assert(f.pixels.length == 12))
+    // deterministic: same mix on a re-run
+    assert(Multimodal.decodeFrames(empty).collect().map(_.pixels.toSeq).toSeq ==
+      frames.map(_.pixels.toSeq).toSeq)
+  }
+
   test("metadata-only projection prunes the binary payload from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("mm_spec").toString + "/media"
     media(5).write.parquet(dir)

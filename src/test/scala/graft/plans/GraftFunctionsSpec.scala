@@ -34,6 +34,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, s"fell out of codegen:\n$p")
   }
 
+  test("misuse fails at analysis: wrong arity and wrong input types") {
+    GraftFunctions.register(spark)
+    val wrongArity = intercept[Exception] {
+      spark.sql("SELECT graft_jaccard(array(1L))").collect()
+    }
+    assert(wrongArity.getMessage.contains("graft_jaccard"),
+      s"arity error must name the function: ${wrongArity.getMessage}")
+    val wrongType = intercept[Exception] {
+      spark.sql("SELECT graft_jaccard('a', 'b')").collect()
+    }
+    assert(wrongType.getMessage.toLowerCase.contains("array")
+      || wrongType.getMessage.contains("DATATYPE_MISMATCH"),
+      s"type error must surface at analysis: ${wrongType.getMessage}")
+  }
+
   test("registered SQL functions work end-to-end") {
     GraftFunctions.register(spark)
     val r = spark.sql("""

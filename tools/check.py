@@ -39,6 +39,20 @@ def main(sfdir: str, outdir: str) -> int:
             print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
             n_fail += 1
             continue
+        # the driver hashes TYPED values: a DuckDB HUGEINT (sum of BIGINT,
+        # surfaces as float64/object in pandas) vs Spark int64
+        # hash-mismatches even when values are equal. Integer WIDTH drift
+        # (int32 vs int64) hashed fine in round 1, so only flag kind drift:
+        # int vs float vs object.
+        def kind(dt):
+            return dt.kind if hasattr(dt, "kind") else "O"
+        dt_drift = [(c, str(got[c].dtype), str(exp[c].dtype))
+                    for c in got.columns
+                    if kind(got[c].dtype) != kind(exp[c].dtype)]
+        if dt_drift:
+            print(f"FAIL {name}: dtype drift (driver hash would differ): {dt_drift}")
+            n_fail += 1
+            continue
         gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
         es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
         if len(gs) != len(es):
