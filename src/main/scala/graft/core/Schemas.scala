@@ -233,4 +233,42 @@ object Schemas {
 
   def byName(name: String): TableSpec = all.find(_.name == name)
     .getOrElse(throw new NoSuchElementException(s"no table spec: $name"))
+
+  /** K5 migration runner: idempotent mart bootstrap with an applied-ledger,
+    * mirroring the reference's `custom_entrypoint.sh:24-56` (each DDL under
+    * `migrations/` runs ONCE, its name recorded in applied_migrations.txt;
+    * re-runs skip applied entries). Here "applying" a spec materializes its
+    * schema as an empty single-file parquet table at `basePath/<name>` —
+    * the warehouse contract a fresh cluster needs before any pipeline
+    * appends — and existing DATA is never touched: a spec already in the
+    * ledger is not rewritten, so bootstrap is safe to run against a live
+    * mart (the reference's operational guarantee).
+    *
+    * @return names newly applied this run (empty ⇒ no-op re-run)
+    */
+  def bootstrap(spark: org.apache.spark.sql.SparkSession, basePath: String,
+      specs: Seq[TableSpec] = all): Seq[String] = {
+    val ledger = new java.io.File(basePath, "applied_migrations.txt")
+    val applied: Set[String] =
+      if (ledger.exists()) {
+        val src = scala.io.Source.fromFile(ledger)
+        try src.getLines().map(_.trim).filter(_.nonEmpty).toSet
+        finally src.close()
+      } else Set.empty
+    val todo = specs.filterNot(s => applied(s.name))
+    todo.foreach { spec =>
+      // empty DF with the declared schema; repartition(1) forces one task
+      // so a real parquet footer (the schema) lands on disk
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], spec.schema)
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$basePath/${spec.name}")
+    }
+    if (todo.nonEmpty) {
+      ledger.getParentFile.mkdirs()
+      val out = new java.io.FileWriter(ledger, true) // append, like the sh ledger
+      try todo.foreach(s => out.write(s.name + "\n")) finally out.close()
+    }
+    todo.map(_.name)
+  }
 }

@@ -27,6 +27,16 @@ object Runner {
   /** Run one incremental pipeline: transform from the stored watermark,
     * append-write partitioned+clustered, then commit the max timestamp seen.
     *
+    * SINGLE pass over the source: the row count and max timestamp ride the
+    * write itself as `observe` metrics (accumulator-backed, collected by
+    * the write job), instead of a separate stats aggregation that would
+    * execute the whole transform twice — at 100 TB a doubled (and
+    * non-atomic: the source can advance between passes) full scan. The
+    * empty-batch guard is the observed count, so the sink's `isEmpty`
+    * probe is skipped too; an empty append leaves only a _SUCCESS marker.
+    * Commit ordering is unchanged: the watermark is written only after the
+    * load succeeded, from timestamps actually loaded.
+    *
     * @param transform watermark => output DataFrame (must retain `tsCol`)
     * @return rows loaded
     */
@@ -35,14 +45,15 @@ object Runner {
       outPath: String, partitionCols: Seq[String], sortCols: Seq[String])(
       transform: java.sql.Timestamp => DataFrame): Long = {
     val wm = watermarkOf(store, pipeline)
+    val obs = org.apache.spark.sql.Observation()
     val out = transform(wm)
-    // one pass: stats + write (count is cheap relative to the write; at
-    // cluster scale swap for write-metrics listeners)
-    val stats = out.agg(count(lit(1)), max(col(tsCol))).collect().head
-    val n = stats.getLong(0)
+      .observe(obs, count(lit(1)).as("n"), max(col(tsCol)).as("max_ts"))
+    Sinks.writePartitioned(out, outPath, partitionCols, sortCols,
+      SaveMode.Append, guardEmpty = false)
+    val stats = obs.get
+    val n = stats("n").asInstanceOf[Long]
     if (n > 0) {
-      Sinks.writePartitioned(out, outPath, partitionCols, sortCols, SaveMode.Append)
-      val newWm = stats.getTimestamp(1)
+      val newWm = stats("max_ts").asInstanceOf[java.sql.Timestamp]
       store.set(pipeline, newWm.toString.replace(' ', 'T').takeWhile(_ != '.'))
     }
     n

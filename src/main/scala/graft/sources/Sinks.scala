@@ -14,11 +14,58 @@ import org.apache.spark.sql.functions.col
   */
 object Sinks {
 
+  /** K1 load path as a JDBC (ClickHouse-compatible) sink honoring the
+    * TableSpec's physical-layout contract — the reference's
+    * `INSERT … VALUES` over HTTP (dags/guardian/etl_guardian_to_clickhouse
+    * .py:127-132) re-expressed as a typed, batched, parallel write:
+    *
+    *  - rows pass through `spec.conform` (defaults, declared types,
+    *    declared column order) — the K2/K3 dynamic-column/encoding layers
+    *    are inherent;
+    *  - `PARTITION BY` metadata → `repartition` on the partition keys, so
+    *    each writer connection carries whole key groups (ClickHouse-style
+    *    part-per-partition inserts, no interleaving across tenants);
+    *  - `ORDER BY` clustered key → `sortWithinPartitions`, so every INSERT
+    *    batch arrives in clustered-key order (in-order inserts are the
+    *    cheap path for LSM/MergeTree-family targets);
+    *  - K4 empty-batch guard via the cheap `isEmpty` probe.
+    *
+    * `batchsize` bounds rows per round-trip; executors write in parallel,
+    * one connection per partition.
+    */
+  def writeJdbc(
+      df: DataFrame,
+      spec: graft.core.Schemas.TableSpec,
+      url: String,
+      props: java.util.Properties = new java.util.Properties(),
+      mode: SaveMode = SaveMode.Append,
+      batchsize: Int = 10000): Unit = {
+    val conformed = spec.conform(df)
+    if (conformed.isEmpty) return
+    val partitioned =
+      if (spec.partitionBy.nonEmpty)
+        conformed.repartition(spec.partitionBy.map(col): _*)
+      else conformed
+    val arranged =
+      if (spec.orderBy.nonEmpty)
+        partitioned.sortWithinPartitions(spec.orderBy.map(col): _*)
+      else partitioned
+    val p = new java.util.Properties()
+    p.putAll(props)
+    p.setProperty("batchsize", batchsize.toString)
+    arranged.write.mode(mode).jdbc(url, spec.name, p)
+  }
+
   /** Partitioned, clustered, append-mode write.
     *
     * Mirrors e.g. `PARTITION BY schoolId ORDER BY (monthEvaluationId, …)`
     * (apps/clickhouse/migrations/2025_02_24_10_02_...sql:57-58). Includes the
     * K4 empty-batch guard (dags/school/etl_school_to_clickhouse.py:79-81).
+    *
+    * `guardEmpty=false` skips the `isEmpty` probe — callers that already
+    * count rows in the same pass (e.g. [[graft.pipelines.Runner]] via
+    * `observe`) must not pay an extra partial execution of the batch; an
+    * empty append writes only a _SUCCESS marker, which is harmless.
     *
     * @return number of partition columns applied, -1 if skipped empty batch
     */
@@ -27,8 +74,9 @@ object Sinks {
       path: String,
       partitionCols: Seq[String],
       sortCols: Seq[String] = Nil,
-      mode: SaveMode = SaveMode.Append): Int = {
-    if (df.isEmpty) return -1
+      mode: SaveMode = SaveMode.Append,
+      guardEmpty: Boolean = true): Int = {
+    if (guardEmpty && df.isEmpty) return -1
     val sorted =
       if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*)
       else df

@@ -61,4 +61,69 @@ object Sources {
     * to its catalog spec — the read side of the schema contract. */
   def mart(spark: SparkSession, basePath: String, spec: TableSpec): DataFrame =
     spec.conform(spark.read.parquet(s"$basePath/${spec.name}"))
+
+  /** S5 federated-source registration: expose a remote JDBC table on the
+    * `spark.sql` surface, like the reference's `ENGINE = PostgreSQL`
+    * databases (migrations/2025_03_05_15_48_create_materialized_academic_
+    * postgres_table.sql:1-3). The view is LAZY — each query against it
+    * re-plans against the remote table, and Spark's JDBC relation pushes
+    * projections and filters into the remote WHERE/SELECT, so
+    * `SELECT c FROM view WHERE k = 1` ships only that slice.
+    *
+    * Registers a temp view via the options-based reader so credentials in
+    * `props` never appear in SQL text. For a whole remote database, call
+    * once per table (the reference registers per-database schemas the same
+    * way, one materialized table per relation).
+    */
+  def registerJdbc(spark: SparkSession, name: String, url: String,
+      table: String,
+      props: java.util.Properties = new java.util.Properties()): Unit =
+    spark.read.jdbc(url, table, props).createOrReplaceTempView(name)
+
+  /** S1 MongoDB source seam. The reference's highest-volume extracts are
+    * Mongo collections (dags/applicant/etl_applicants_to_clickhouse
+    * .py:48-54, dags/score/etl_scores_by_subject_to_clickhouse.py:115-124);
+    * this is the schema-checked adapter over the official Spark connector
+    * (`format("mongodb")`, artifact org.mongodb.spark:mongo-spark-connector
+    * — not bundled here, so the call fails with actionable guidance when
+    * the connector is absent). Declared schema is mandatory — same
+    * no-inference discipline as [[parquet]] — and projection/predicate are
+    * applied on the loaded frame, where the connector compiles them into
+    * the aggregation pipeline ($project/$match) it ships to the server.
+    */
+  def mongo(spark: SparkSession, uri: String, database: String,
+      collection: String, schema: StructType,
+      projection: Seq[String] = Nil, predicate: Option[String] = None): DataFrame = {
+    val raw =
+      try spark.read.format("mongodb")
+        .option("connection.uri", uri)
+        .option("database", database)
+        .option("collection", collection)
+        .schema(schema)
+        .load()
+      catch {
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("Failed to find") =>
+          throw new IllegalStateException(
+            "MongoDB Spark connector not on the classpath; add " +
+              "org.mongodb.spark:mongo-spark-connector for your Spark/Scala " +
+              "version (or use mongoOrStandIn for a parquet stand-in)", e)
+      }
+    val projected =
+      if (projection.nonEmpty) raw.select(projection.map(col): _*) else raw
+    predicate.map(projected.filter).getOrElse(projected)
+  }
+
+  /** [[mongo]] with a schema-checked parquet stand-in fallback — the
+    * harness path (no Mongo in the sandbox) and a migration aid: point
+    * `standInPath` at an exported collection and the pipeline runs
+    * unchanged until the connector lands. */
+  def mongoOrStandIn(spark: SparkSession, uri: String, database: String,
+      collection: String, schema: StructType, standInPath: String,
+      projection: Seq[String] = Nil, predicate: Option[String] = None): DataFrame =
+    try mongo(spark, uri, database, collection, schema, projection, predicate)
+    catch {
+      case _: IllegalStateException =>
+        parquet(spark, standInPath, schema, projection, predicate)
+    }
 }

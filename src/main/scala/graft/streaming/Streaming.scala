@@ -71,11 +71,31 @@ object Streaming {
     * real streaming query (complete mode over an AvailableNow catch-up) and
     * returns the finished session table.
     */
+  /** Monotonic suffix so concurrent/repeated runs on one session never
+    * collide on a memory-sink table name. */
+  private val runId = new java.util.concurrent.atomic.AtomicLong()
+  private def uniqueName(base: String): String =
+    s"${base}_${runId.incrementAndGet()}"
+
+  /** `awaitTermination(timeout)` returning false means the query is STILL
+    * RUNNING — reading the sink then would silently return a partial
+    * table. Fail loudly instead. */
+  private def awaitOrFail(q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long): Unit = {
+    val finished = try q.awaitTermination(timeoutMs) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      s"streaming query ${q.name} did not finish within ${timeoutMs} ms; " +
+        "result would be partial")
+  }
+
+  /** TEST/ORACLE SHIM — complete-mode memory sink materializes the whole
+    * session table in driver memory; bounded inputs only. The production
+    * path is [[sessionizeToFiles]]. */
   def sessionize(spark: SparkSession, sfDir: String,
       gap: String = "30 minutes"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val name = "graft_stream_sessions"
+    val name = uniqueName("graft_stream_sessions")
     val q = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
@@ -93,18 +113,20 @@ object Streaming {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination(300000) finally q.stop()
+    awaitOrFail(q, 300000)
     spark.table(name).orderBy(col("user_id"), col("session_start"))
   }
 
-  /** Hourly event counts per type via a real streaming query over the
-    * events parquet (ns timestamps read as longs, converted after read).
-    * Runs to completion on available data and returns the result table.
+  /** TEST/ORACLE SHIM — see [[sessionize]]; production path is
+    * [[hourlyEventCountsToFiles]]. Hourly event counts per type via a real
+    * streaming query over the events parquet (ns timestamps read as longs,
+    * converted after read). Runs to completion on available data and
+    * returns the result table.
     */
   def hourlyEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val name = "graft_stream_hourly"
+    val name = uniqueName("graft_stream_hourly")
     val q = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
@@ -121,9 +143,72 @@ object Streaming {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    try {
-      q.awaitTermination(300000)
-    } finally q.stop()
+    awaitOrFail(q, 300000)
     spark.table(name).orderBy(col("hour"), col("event_type"))
+  }
+
+  /** PRODUCTION sessionization: append-mode parquet sink with
+    * watermark-bounded state — nothing ever materializes on the driver,
+    * output lands as files partitioned work-stealing style by the sink.
+    * State is (open sessions × keys); the watermark closes sessions `late`
+    * behind the max event time, so finalized sessions stream out
+    * incrementally and state is dropped. On a finite AvailableNow run the
+    * trailing `late` window of sessions is retained in the checkpoint (not
+    * emitted) — exactly the long-running-stream contract; resume with more
+    * data and they emit once the watermark passes them.
+    *
+    * @return rows emitted to `outPath` this run
+    */
+  def sessionizeToFiles(spark: SparkSession, srcDir: String, outPath: String,
+      checkpoint: String, gap: String = "30 minutes",
+      late: String = "1 hour", timeoutMs: Long = 300000): Long = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
+    val q = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", late)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"), col("n_events"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, timeoutMs)
+    spark.read.parquet(outPath).count()
+  }
+
+  /** PRODUCTION hourly rollup: append-mode parquet sink, watermark-bounded
+    * state — see [[sessionizeToFiles]] for the emission contract. */
+  def hourlyEventCountsToFiles(spark: SparkSession, srcDir: String,
+      outPath: String, checkpoint: String, late: String = "1 hour",
+      timeoutMs: Long = 300000): Long = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
+    val q = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", late)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, timeoutMs)
+    spark.read.parquet(outPath).count()
   }
 }

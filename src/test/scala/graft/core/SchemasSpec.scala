@@ -81,4 +81,27 @@ class SchemasSpec extends SparkSpec {
       graft.sources.Sources.parquet(spark, dir, bad, projection = Seq("n"))
     }
   }
+
+  test("bootstrap applies each spec once and re-runs are no-ops (K5 ledger)") {
+    val base = java.nio.file.Files.createTempDirectory("bootstrap_spec").toString
+    val specs = Seq(Schemas.school, Schemas.guardian)
+    val first = Schemas.bootstrap(spark, base, specs)
+    assert(first == Seq("school", "guardian"))
+    // materialized schema matches the declared one (parquet round-trips
+    // relax nullability, so compare names + types)
+    assert(spark.read.parquet(s"$base/school").schema
+      .map(f => (f.name, f.dataType)) ==
+      Schemas.school.schema.map(f => (f.name, f.dataType)))
+    assert(spark.read.parquet(s"$base/school").count() == 0)
+    // a pipeline appends data; bootstrap must NOT clobber it
+    Schemas.school.conform(
+        Seq(("s1", "One", "http://x")).toDF("schoolId", "name", "url"))
+      .write.mode("append").parquet(s"$base/school")
+    val second = Schemas.bootstrap(spark, base, specs)
+    assert(second.isEmpty, s"re-run applied: $second")
+    assert(spark.read.parquet(s"$base/school").count() == 1)
+    // a NEW spec joining the catalog applies incrementally
+    val third = Schemas.bootstrap(spark, base, specs :+ Schemas.teacher)
+    assert(third == Seq("teacher"))
+  }
 }

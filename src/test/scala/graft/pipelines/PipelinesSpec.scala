@@ -228,5 +228,25 @@ class PipelinesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").count() == 2) // no duplicate load
   }
 
+  test("Runner: the source is scanned exactly once per run (observe-based stats)") {
+    val dir = java.nio.file.Files.createTempDirectory("runner_once").toString
+    val store = new graft.sources.WatermarkStore(s"$dir/wm.properties")
+    val acc = spark.sparkContext.longAccumulator("graft_rows_scanned")
+    val data = Seq(
+      ("k1", ts("2024-01-05 00:00:00"), "sch1"),
+      ("k2", ts("2024-01-20 00:00:00"), "sch1"))
+      .toDF("id", "updatedAt", "schoolId")
+    val n = Runner.runIncremental(store, "students_once", "updatedAt",
+      s"$dir/out", Seq("schoolId"), Seq("id")) { wm =>
+      graft.operators.Relational.incrementalFrom(data, "updatedAt", wm)
+        .filter((r: org.apache.spark.sql.Row) => { acc.add(1); true })
+    }
+    assert(n == 2)
+    // the old stats-collect + isEmpty + write path executed the transform
+    // 3× (6 row passes); the observe path must touch each row once
+    assert(acc.value == 2, s"expected 2 row passes, saw ${acc.value}")
+    assert(store.get("students_once") == "2024-01-20T00:00:00")
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }

@@ -1,0 +1,83 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.Schemas
+import java.util.Properties
+
+/** K1 JDBC sink + S5 federated registration + S1 mongo seam, driven
+  * against the embedded Derby engine bundled with Spark (a real JDBC
+  * target, no external services). */
+class FederationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graft_fed;create=true"
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("writeJdbc conforms to the TableSpec and appends batched rows (K1)") {
+    val rows = Seq(
+      ("s1", "School One", "http://one", ts("2024-01-01 00:00:00"),
+        ts("2024-01-02 00:00:00")),
+      ("s2", "School Two", "http://two", ts("2024-02-01 00:00:00"),
+        ts("2024-02-02 00:00:00")))
+      .toDF("schoolId", "name", "url", "createdAt", "updatedAt")
+    Sinks.writeJdbc(rows, Schemas.school, url)
+    val back = spark.read.jdbc(url, "school", new Properties())
+    assert(back.count() == 2)
+    // conform projected the full declared column set, in declared order
+    assert(back.columns.toSeq == Schemas.school.schema.fieldNames.toSeq)
+    // (Derby maps StringType to CLOB, which its WHERE clause cannot
+    // compare — assert client-side; a ClickHouse/PG target pushes this)
+    val byId = back.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byId("s1") == "School One")
+    // append semantics: a second batch lands on top
+    Sinks.writeJdbc(
+      Seq(("s3", "School Three", "http://three", ts("2024-03-01 00:00:00"),
+        ts("2024-03-02 00:00:00")))
+        .toDF("schoolId", "name", "url", "createdAt", "updatedAt"),
+      Schemas.school, url)
+    assert(spark.read.jdbc(url, "school", new Properties()).count() == 3)
+    // K4: an empty batch is a no-op, not an empty INSERT round-trip
+    Sinks.writeJdbc(rows.limit(0), Schemas.school, url)
+    assert(spark.read.jdbc(url, "school", new Properties()).count() == 3)
+  }
+
+  test("registerJdbc exposes a remote table on the spark.sql surface (S5)") {
+    val rows = Seq(("g1", "sch1", "Ana", "Lee", ts("2024-01-01 00:00:00"),
+      ts("2024-01-01 00:00:00")))
+      .toDF("guardianId", "schoolId", "firstName", "lastName",
+        "createdAt", "updatedAt")
+    Sinks.writeJdbc(rows, Schemas.guardian, url)
+    Sources.registerJdbc(spark, "fed_guardian", url, "guardian")
+    val got = spark.sql(
+      "SELECT firstName FROM fed_guardian ORDER BY createdAt").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("Ana"))
+    // lazy view: rows appended AFTER registration are visible
+    Sinks.writeJdbc(
+      Seq(("g2", "sch1", "Bo", "Kim", ts("2024-01-02 00:00:00"),
+        ts("2024-01-02 00:00:00")))
+        .toDF("guardianId", "schoolId", "firstName", "lastName",
+          "createdAt", "updatedAt"),
+      Schemas.guardian, url)
+    assert(spark.sql("SELECT count(*) FROM fed_guardian")
+      .collect().head.getLong(0) == 2)
+  }
+
+  test("mongo source fails actionably without the connector; stand-in covers it (S1)") {
+    val schema = Schemas.student.schema
+    val e = intercept[IllegalStateException] {
+      Sources.mongo(spark, "mongodb://localhost", "app", "students", schema)
+    }
+    assert(e.getMessage.contains("mongo-spark-connector"))
+    // the stand-in path reads the schema-checked parquet export instead
+    val dir = java.nio.file.Files.createTempDirectory("mongo_standin").toString + "/students"
+    Seq(("u1", "Ana", "Lee", "sch1")).toDF("uniqueKey", "firstName", "lastName", "schoolId")
+      .write.parquet(dir)
+    val sub = org.apache.spark.sql.types.StructType(
+      schema.fields.filter(f =>
+        Seq("uniqueKey", "firstName", "lastName", "schoolId").contains(f.name)))
+    val got = Sources.mongoOrStandIn(spark, "mongodb://localhost", "app",
+      "students", sub, dir, projection = Seq("uniqueKey", "firstName"))
+    assert(got.columns.toSeq == Seq("uniqueKey", "firstName"))
+    assert(got.count() == 1)
+  }
+}

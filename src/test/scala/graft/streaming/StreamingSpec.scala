@@ -25,6 +25,37 @@ class StreamingSpec extends SparkSpec {
       SessionOut(3, 0, 1), SessionOut(3, 30 * m, 1)))
   }
 
+  test("production file sinks emit watermark-finalized results, append mode") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("stream_files").toString
+    val nHourly = Streaming.hourlyEventCountsToFiles(spark, sf,
+      s"$dir/hourly", s"$dir/ckpt_hourly")
+    assert(nHourly > 0, "append sink emitted nothing")
+    // every emitted (hour, type, n) matches the batch rollup — the
+    // append-mode output is a watermark-finalized PREFIX of the full result
+    val batch = graft.core.Tables(spark, sf, "events")
+      .groupBy(org.apache.spark.sql.functions.date_trunc("hour", $"ts").as("hour"),
+        $"event_type")
+      .count()
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val emitted = spark.read.parquet(s"$dir/hourly").collect()
+    assert(emitted.length.toLong == nHourly)
+    emitted.foreach { r =>
+      val k = (r.getTimestamp(0), r.getString(1))
+      assert(batch(k) == r.getLong(2), s"finalized window $k diverged from batch")
+    }
+    val nSessions = Streaming.sessionizeToFiles(spark, sf,
+      s"$dir/sessions", s"$dir/ckpt_sessions")
+    assert(nSessions > 0, "session append sink emitted nothing")
+  }
+
+  test("memory-sink query names are unique per invocation (no collision)") {
+    val sf = "/root/testdata/sf0.001"
+    val a = Streaming.hourlyEventCounts(spark, sf).count()
+    val b = Streaming.hourlyEventCounts(spark, sf).count()
+    assert(a == b && a > 0)
+  }
+
   test("sessionizeCustomState agrees with session_window on real events") {
     // derive both sessionizations of the sf0.001 events table and compare
     val sf = "/root/testdata/sf0.001"
