@@ -580,6 +580,50 @@ object QueriesExt {
        |GROUP BY md5(text) ORDER BY doc_id""".stripMargin
   }
 
+  /** As-of attribution join: each purchase matched to the user's most
+    * recent STRICTLY-prior click ([[graft.operators.Relational.asofJoin]]
+    * — tagged union + one window pass: a single shuffle on user_id, no
+    * range join, no per-row probes). The oracle is DuckDB's native ASOF
+    * JOIN — an independent implementation of the same semantics. */
+  private val q44: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    graft.operators.Relational.asofJoin(purchases, clicks, Seq("user_id"),
+        "ts", "cts", Seq("click_id", "cts"))
+      .filter(col("click_id").isNotNull) // inner: attributed purchases only
+      .select(col("purchase_id"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("cts"))).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val q44Sql =
+    """WITH p AS (SELECT user_id, event_id AS purchase_id, ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, event_id AS click_id, ts AS cts
+      |      FROM events WHERE event_type = 'click')
+      |SELECT purchase_id, click_id, epoch_us(ts) - epoch_us(cts) AS gap_us
+      |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts > c.cts
+      |ORDER BY purchase_id""".stripMargin
+
+  /** Deterministic stratified sampling ([[graft.operators.Sampling]]):
+    * keep 50% of English documents and 10% of the rest by a stable
+    * md5-hash gate — reproducible across runs/partitionings, pure map,
+    * no shuffle. */
+  private val q45: Q = (s, dir) =>
+    graft.operators.Sampling.stratifiedHash(
+        t(s, dir, "documents"), "doc_id", "lang", Map("en" -> 50), 10)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private val q45Sql =
+    """SELECT doc_id, lang FROM documents
+      |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      |      < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+      |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------- multimodal
 
   /** Multimodal column plumbing: content as an opaque binary column with a
@@ -627,6 +671,8 @@ object QueriesExt {
     Entry("q38_text_tokens", q38, Some(q38Sql)),
     Entry("q39_text_fingerprint", q39, Some(q39Sql)),
     Entry("q40_multimodal_stub", q40, Some(q40Sql)),
-    Entry("q43_training_filter", q43, Some(q43Sql))
+    Entry("q43_training_filter", q43, Some(q43Sql)),
+    Entry("q44_asof_join", q44, Some(q44Sql)),
+    Entry("q45_sample_stratified", q45, Some(q45Sql))
   )
 }

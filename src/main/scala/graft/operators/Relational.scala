@@ -60,6 +60,48 @@ object Relational {
     */
   def latestBy(valueCol: Column, orderCol: Column): Column = max_by(valueCol, orderCol)
 
+  /** As-of join — for each left row, the single right row with the
+    * greatest `rightTs` ≤/< the left row's `leftTs` within the same keys
+    * (the time-series/attribution join Spark has no native operator for;
+    * DuckDB/kdb call it ASOF JOIN).
+    *
+    * Distributed shape: tag both sides, UNION, and run ONE window pass —
+    * a single shuffle on the keys plus a per-partition sort by
+    * (ts, side), with `last(payload, ignoreNulls)` carrying each right
+    * row's payload forward to the left rows that follow it in time. No
+    * range join, no per-row probe, no broadcast requirement: both sides
+    * stream, state per key is one row — the 100 TB shape. (A range
+    * equi-join would be O(|L|·|R|) per key; sort-merge-style carry is
+    * O(|L|+|R| log) and AQE-skew-splittable.)
+    *
+    * `strict` selects `<` (right row at exactly leftTs excluded — the
+    * attribution default) vs `≤`. Right payload column names must not
+    * collide with left columns. Unmatched left rows keep null payloads
+    * (left-outer semantics; filter payload non-null for inner).
+    * Determinism: callers ensure (keys, rightTs) is unique on the right —
+    * equal-ts right rows make "the" as-of row ill-defined in any engine.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      strict: Boolean = true): DataFrame = {
+    // at equal ts, the left row must sort BEFORE the right row under
+    // strict (<) so the window cannot see it, and AFTER under ≤
+    val (leftTag, rightTag) = if (strict) (0, 1) else (1, 0)
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(leftTag))
+    val rTagged = right
+      .select((keys.map(col) :+ col(rightTs).as("__ts")) ++ rightPayload.map(col): _*)
+      .withColumn("__side", lit(rightTag))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(
+        lTagged.unionByName(rTagged, allowMissingColumns = true))(
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    filled.filter(col("__side") === leftTag).drop("__ts", "__side")
+  }
+
   /** Skew-resistant equi-join: salt the (large, skewed) fact side into
     * `saltBuckets` sub-keys and replicate the dimension side across every
     * bucket, so one hot key spreads over `saltBuckets` tasks instead of

@@ -92,4 +92,52 @@ class RelationalSpec extends SparkSpec {
       .orderBy($"u")
     assert(got.collect().map(_.getString(1)).toSeq == Seq("close", "solo"))
   }
+
+  test("asofJoin matches the greatest prior right row; strict excludes ties") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"),
+      (2L, 50L, "p3")).toDF("k", "lts", "lid")
+    val right = Seq((1L, 10L, "c10"), (1L, 15L, "c15"), (1L, 3L, "c3"),
+      (3L, 1L, "cX")).toDF("k", "rts", "rid")
+    def run(strict: Boolean) =
+      Relational.asofJoin(left, right, Seq("k"), "lts", "rts", Seq("rid"), strict)
+        .orderBy($"k", $"lts")
+        .collect().map(r => (r.getString(2), r.getString(3))).toSeq
+    // strict (<): p1@10 sees c3 (c10@10 excluded); p2@20 sees c15;
+    // p0@5 sees c3; p3 (key 2) has no right rows → null (left-outer)
+    assert(run(strict = true) ==
+      Seq(("p0", "c3"), ("p1", "c3"), ("p2", "c15"), ("p3", null)))
+    // non-strict (≤): p1@10 now matches c10
+    assert(run(strict = false) ==
+      Seq(("p0", "c3"), ("p1", "c10"), ("p2", "c15"), ("p3", null)))
+  }
+
+  test("asofJoin plans join-free: one tagged union + one window, no range join") {
+    val left = Seq((1L, 10L, "p")).toDF("k", "lts", "lid")
+    val right = Seq((1L, 3L, "c")).toDF("k", "rts", "rid")
+    val p = Relational.asofJoin(left, right, Seq("k"), "lts", "rts", Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"as-of degenerated to a join:\n$p")
+    assert(p.contains("Window"))
+  }
+
+  test("stratifiedHash sampling is deterministic and partitioning-invariant") {
+    val docs = (0 until 2000).map(i => (i.toLong, if (i % 4 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id").collect().map(_.getLong(0)).toSet
+    val s1 = ids(Sampling.stratifiedHash(docs.repartition(1), "id", "lang",
+      Map("en" -> 50), 10))
+    val s16 = ids(Sampling.stratifiedHash(docs.repartition(16), "id", "lang",
+      Map("en" -> 50), 10))
+    assert(s1 == s16, "sample membership must not depend on partitioning")
+    // per-stratum rates land near target (hash is uniform-ish)
+    val en = s1.count(_ % 4 == 0).toDouble / 500
+    val de = s1.count(_ % 4 != 0).toDouble / 1500
+    assert(en > 0.4 && en < 0.6, s"en rate $en")
+    assert(de > 0.05 && de < 0.15, s"de rate $de")
+    // widening a rate only ADDS members (stable band edge)
+    val wider = ids(Sampling.stratifiedHash(docs, "id", "lang",
+      Map("en" -> 80), 10))
+    assert(s1.subsetOf(wider))
+  }
 }
