@@ -624,6 +624,57 @@ object QueriesExt {
       |      < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
       |ORDER BY doc_id""".stripMargin
 
+  /** Range join: every event inside a 7-day window after a same-user
+    * signup ([[graft.operators.Relational.rangeJoin]] — bin-bucketed
+    * equi-join, never a nested-loop inequality join). The oracle states
+    * the same semantics as a plain inequality join, which DuckDB executes
+    * with its own IEJoin — an independent derivation. */
+  private val q46: Q = (s, dir) => {
+    val ev = t(s, dir, "events").withColumn("pt", unix_micros(col("ts")))
+    val week = 7L * 24 * 3600 * 1000000
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("pt").as("lo"), (col("pt") + week).as("hi"))
+    graft.operators.Relational.rangeJoin(
+        ev.select(col("user_id"), col("event_id"), col("pt")),
+        signups, Seq("user_id"), "pt", "lo", "hi", binWidth = week)
+      .select(col("event_id"), col("signup_id"))
+      .orderBy(col("event_id"), col("signup_id"))
+  }
+
+  private val q46Sql =
+    """WITH s AS (SELECT user_id, event_id AS signup_id, epoch_us(ts) AS lo,
+      |                  epoch_us(ts) + 604800000000 AS hi
+      |           FROM events WHERE event_type = 'signup'),
+      |e AS (SELECT user_id, event_id, epoch_us(ts) AS pt FROM events)
+      |SELECT event_id, signup_id
+      |FROM e JOIN s ON e.user_id = s.user_id AND pt >= lo AND pt < hi
+      |ORDER BY event_id, signup_id""".stripMargin
+
+  /** Vocabulary building: top-10 most frequent tokens per language —
+    * explode → map-side-combined count → per-key top-k (WindowGroupLimit
+    * keeps per-partition heaps, no global sort). The tokenizer-vocab /
+    * corpus-inspection primitive of a training-data pipeline. */
+  private val q47: Q = (s, dir) => {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("w"))
+    t(s, dir, "documents")
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  private val q47Sql =
+    """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |c AS (SELECT lang, w, count(*) AS n FROM t GROUP BY lang, w)
+      |SELECT lang, w, n, rank FROM (
+      |  SELECT lang, w, n,
+      |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rank
+      |  FROM c)
+      |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
+
   // -------------------------------------------------------- multimodal
 
   /** Multimodal column plumbing: content as an opaque binary column with a
@@ -673,6 +724,8 @@ object QueriesExt {
     Entry("q40_multimodal_stub", q40, Some(q40Sql)),
     Entry("q43_training_filter", q43, Some(q43Sql)),
     Entry("q44_asof_join", q44, Some(q44Sql)),
-    Entry("q45_sample_stratified", q45, Some(q45Sql))
+    Entry("q45_sample_stratified", q45, Some(q45Sql)),
+    Entry("q46_range_join", q46, Some(q46Sql)),
+    Entry("q47_vocab_topk", q47, Some(q47Sql))
   )
 }

@@ -102,6 +102,30 @@ object Relational {
     filled.filter(col("__side") === leftTag).drop("__ts", "__side")
   }
 
+  /** Range (interval) join — points matched to intervals
+    * `[loCol, hiCol)` sharing `keys` — via BIN BUCKETING: each interval
+    * registers under every `binWidth`-sized bin it overlaps, each point
+    * under its own bin, and the pair meets in an ordinary shuffled
+    * equi-join on (keys, bin) with the exact predicate re-checked after.
+    * Without this, Catalyst plans an inequality join as
+    * BroadcastNestedLoopJoin — O(|points|·|intervals|) per key and a
+    * broadcast requirement on a whole side; bucketing makes it one
+    * shuffle, with interval replication bounded by
+    * (interval length / binWidth) + 1. Pick binWidth near the typical
+    * interval length so replication stays ~2× (bin math is exact integer
+    * `div` — no double rounding at epoch-scale magnitudes).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+      ptCol: String, loCol: String, hiCol: String, binWidth: Long): DataFrame = {
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(expr(s"`$loCol` div ${binWidth}L"),
+        expr(s"`$hiCol` div ${binWidth}L"))))
+    val pts = points.withColumn("__bin", expr(s"`$ptCol` div ${binWidth}L"))
+    pts.join(binned, keys :+ "__bin")
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+      .drop("__bin")
+  }
+
   /** Skew-resistant equi-join: salt the (large, skewed) fact side into
     * `saltBuckets` sub-keys and replicate the dimension side across every
     * bucket, so one hot key spreads over `saltBuckets` tasks instead of

@@ -120,6 +120,26 @@ class RelationalSpec extends SparkSpec {
     assert(p.contains("Window"))
   }
 
+  test("rangeJoin matches [lo, hi) exactly across bin boundaries, equi-join plan") {
+    val points = Seq((1L, 100L, 0L), (1L, 101L, 10L), (1L, 102L, 19L),
+      (1L, 103L, 20L), (1L, 104L, 35L), (2L, 105L, 10L))
+      .toDF("k", "pid", "pt")
+    // interval [10, 20) spans bins 1..2 at width 8; [30, 40) spans 3..5
+    val intervals = Seq((1L, 900L, 10L, 20L), (1L, 901L, 30L, 40L))
+      .toDF("k", "iid", "lo", "hi")
+    val got = Relational.rangeJoin(points, intervals, Seq("k"),
+        "pt", "lo", "hi", binWidth = 8)
+      .select($"pid", $"iid").orderBy($"pid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 101@10 in [10,20); 102@19 in [10,20); 103@20 NOT (exclusive hi);
+    // 104@35 in [30,40); 100@0 and key-2 point match nothing
+    assert(got == Seq((101L, 900L), (102L, 900L), (104L, 901L)))
+    val p = Relational.rangeJoin(points, intervals, Seq("k"),
+      "pt", "lo", "hi", 8).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to nested loop:\n$p")
+  }
+
   test("stratifiedHash sampling is deterministic and partitioning-invariant") {
     val docs = (0 until 2000).map(i => (i.toLong, if (i % 4 == 0) "en" else "de"))
       .toDF("id", "lang")
