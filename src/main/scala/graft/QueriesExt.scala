@@ -159,6 +159,33 @@ object QueriesExt {
       |WHERE len(list_intersect(a.hs, b.hs)) / len(list_distinct(a.hs || b.hs)) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Corpus-level dedup: near-dup pairs (prefix-filtered Jaccard join, as
+    * q31) grouped into clusters by distributed min-label propagation
+    * ([[graft.operators.NearDup.clusters]]); each doc maps to its group's
+    * canonical (minimum) doc_id. The oracle derives the same groups by
+    * brute-force pairs + a recursive-CTE transitive closure — a fully
+    * independent implementation. */
+  private val q48: Q = (s, dir) =>
+    graft.operators.NearDup.clusters(
+        graft.operators.NearDup.prefixJoinPairs(docShingles(s, dir).cache(), 0.8))
+      .orderBy(col("doc_id"))
+
+  private val q48Sql =
+    docHsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    """,
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |      WHERE len(list_intersect(a.hs, b.hs))
+      |            / len(list_distinct(a.hs || b.hs)) >= 0.8),
+      |e AS (SELECT doc_a AS n, doc_b AS m FROM p
+      |      UNION ALL SELECT doc_b, doc_a FROM p),
+      |r(n, l) AS (
+      |  SELECT n, n FROM e
+      |  UNION
+      |  SELECT r.n, e.m FROM r JOIN e ON e.n = r.l)
+      |SELECT n AS doc_id, min(l) AS rep_id FROM r GROUP BY n
+      |ORDER BY doc_id""".stripMargin
+
   /** MinHash + LSH near-dup detection: 64-hash signatures, 16 bands × 4
     * rows, bucket-join on band keys, exact-Jaccard verification of
     * candidates. The shuffle moves (doc, band-key) pairs — linear in corpus
@@ -726,6 +753,7 @@ object QueriesExt {
     Entry("q44_asof_join", q44, Some(q44Sql)),
     Entry("q45_sample_stratified", q45, Some(q45Sql)),
     Entry("q46_range_join", q46, Some(q46Sql)),
-    Entry("q47_vocab_topk", q47, Some(q47Sql))
+    Entry("q47_vocab_topk", q47, Some(q47Sql)),
+    Entry("q48_dedup_clusters", q48, Some(q48Sql))
   )
 }

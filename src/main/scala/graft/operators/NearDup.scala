@@ -80,6 +80,51 @@ object NearDup {
         Text.jaccardFused(col("hsa"), col("hsb")).as("jac"))
       .filter(col("jac") >= tau)
 
+  /** Connected components over a near-dup PAIR set — the corpus-level
+    * step every dedup pipeline needs after pairwise detection: transitive
+    * closure groups (A~B, B~C ⇒ {A,B,C}) with the minimum doc_id as each
+    * group's canonical representative, so "keep one per group" is a single
+    * join away.
+    *
+    * Distributed min-label propagation: every node starts at its own id,
+    * each round takes the min of its own and all neighbours' labels — a
+    * self-equi-join + hash aggregate per round, converging in
+    * graph-diameter rounds (near-dup clusters are shallow: diameter ≤
+    * cluster size, usually ≤ 3). Rounds run until a fixpoint (cheap
+    * 1-row count per round) with `maxIter` as the safety bound; per-round
+    * state is one (node, label) pair per node — linear, cache-swapped
+    * each round. The same bounded-fixpoint discipline as
+    * [[TreeRollup]] (SURVEY §2.5 A2).
+    *
+    * @param pairs (doc_a, doc_b) near-dup pairs (any extra columns ignored)
+    * @return (doc_id, rep_id) for every doc appearing in a pair
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("n"), col("doc_b").as("m"))
+      .unionByName(pairs.select(col("doc_b").as("n"), col("doc_a").as("m")))
+      .cache()
+    var lab = edges.groupBy(col("n"))
+      .agg(least(min(col("m")), first(col("n"))).as("lab"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbor = edges
+        .join(lab.withColumnRenamed("n", "m"), Seq("m"))
+        .groupBy(col("n")).agg(min(col("lab")).as("nlab"))
+      val next = lab.join(viaNeighbor, Seq("n"))
+        .select(col("n"), least(col("lab"), col("nlab")).as("lab"))
+        .cache()
+      converged = next.join(lab.withColumnRenamed("lab", "old"), Seq("n"))
+        .filter(col("lab") < col("old")).isEmpty
+      lab.unpersist()
+      lab = next
+      i += 1
+    }
+    edges.unpersist()
+    lab.select(col("n").as("doc_id"), col("lab").as("rep_id"))
+  }
+
   /** Low-skew alternative: the whole pipeline is codegen'd
     * explode → shuffle-join → hash-aggregate with no verification pass. */
   def countJoinPairs(docs: DataFrame, tau: Double): DataFrame = {

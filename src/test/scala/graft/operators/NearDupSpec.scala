@@ -58,6 +58,17 @@ class NearDupSpec extends SparkSpec {
     assert(dfCand == 0, "df order: viral shingle out of every prefix")
   }
 
+  test("clusters: transitive closure with min-id representative") {
+    // chain 1-2, 2-3 plus isolated pair 10-11 plus a long chain 20..24
+    // (diameter 4 — exercises multiple propagation rounds)
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L)).toDF("doc_a", "doc_b")
+    val got = NearDup.clusters(pairs).orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+  }
+
   test("prefix filter bounds join volume under a viral shingle (skew robustness)") {
     // 200 docs all sharing one boilerplate shingle hash (df = 200) plus
     // distinct content. Count-join postings visit df² ≈ 20k ordered pairs
