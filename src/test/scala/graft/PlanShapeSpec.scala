@@ -77,6 +77,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(splits == 1, s"expected 1 tokenization, found $splits:\n$p")
   }
 
+  test("q44: as-of attribution join plans join-free (tagged union + window)") {
+    val p = plan("q44_asof_join")
+    assert(!p.contains("Join"), s"as-of degenerated to a join:\n$p")
+    assert(p.contains("Window"))
+  }
+
+  test("q46: range join is a shuffled equi-join, never a nested loop") {
+    val p = plan("q46_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated:\n$p")
+  }
+
+  test("q45: sampling gate fuses into the scan stage (only the orderBy shuffles)") {
+    val p = plan("q45_sample_stratified")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"sampling is a pure map; only the final orderBy may shuffle:\n$p")
+  }
+
   test("q34: query side broadcasts; the corpus never shuffles for the join") {
     val p = plan("q34_sim_cosine_topk")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"))
