@@ -172,21 +172,32 @@ object Queries {
 
   /** J2/J5 multiway star join (TPC-H Q5 shape): dims chain region→nation→
     * customer broadcast down; only orders⋈lineitem is a real shuffle join on
-    * the orderkey — the minimum possible for this shape. */
+    * the orderkey — the minimum possible for this shape.
+    *
+    * Lineitems pre-aggregate to per-order revenue BEFORE the join: the
+    * groupBy's exchange doubles as the join's partitioning (one shuffle
+    * serves both), the join input shrinks from lineitems to orders, and
+    * `n_orders` becomes a plain count — no distinct-aggregate expand.
+    * Revenue stays exact decimal through both levels
+    * ([[graft.functions.Deterministic.revenueDec]]), double only at the end.
+    */
   private val q08: Q = (s, dir) => {
     val region = t(s, dir, "region")
     val nation = t(s, dir, "nation")
     val customer = t(s, dir, "customer")
     val orders = t(s, dir, "orders")
-    val lineitem = t(s, dir, "lineitem")
-    lineitem
+    val perOrder = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(graft.functions.Deterministic
+        .revenueDec(col("l_extendedprice"), col("l_discount")).as("rev"))
+    perOrder
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy(col("r_name"), col("n_name"))
   }
 

@@ -39,6 +39,13 @@ object Deterministic {
   def revenue(price: Column, discount: Column): Column =
     sum(dec(price) * (lit(1) - dec(discount))).cast(DoubleType)
 
+  /** [[revenue]] WITHOUT the final double cast — for two-level aggregation
+    * (e.g. per-order partial revenue re-summed per region): intermediate
+    * results stay exact decimal so the re-sum is still order-free;
+    * cast to double only after the LAST aggregation level. */
+  def revenueDec(price: Column, discount: Column): Column =
+    sum(dec(price) * (lit(1) - dec(discount)))
+
   /** Fixed-point quantization of an arbitrary double at 1e-6: `floor(x*1e6)`
     * is computed identically on any IEEE-754 engine, and the resulting longs
     * aggregate exactly. Used where no 2-decimal structure exists. */
