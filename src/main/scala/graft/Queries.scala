@@ -469,6 +469,56 @@ object Queries {
     """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** §2.5 extension — hierarchical subtotals via ROLLUP grouping sets
+    * (region → nation → grand total in ONE aggregation pass: Spark expands
+    * grouping sets map-side, so the fact table is still read once). The
+    * warehouse-report shape the reference serves from pre-built marts.
+    * Measures are exact-decimal ([[graft.functions.Deterministic]]) so
+    * every subtotal level hash-matches the oracle. */
+  private val q26: Q = (s, dir) => {
+    val customer = t(s, dir, "customer")
+    val nation = t(s, dir, "nation")
+    val region = t(s, dir, "region")
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        graft.functions.Deterministic.decSum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  private val q26Sql =
+    """SELECT r_name, n_name, count(*) AS n_cust,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** §2.5 extension — pivot (wide cross-tab): per-user event counts with
+    * one column per event type. Spark compiles `pivot` with explicit
+    * values into conditional map-side aggregates — one pass, one shuffle,
+    * no per-value scans; the oracle states the same table as CASE
+    * aggregates (pivot is syntax, not semantics). */
+  private val q27: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy(col("user_id"))
+
+  private val q27Sql =
+    """SELECT user_id,
+      |       count(*) FILTER (event_type = 'click') AS click,
+      |       count(*) FILTER (event_type = 'error') AS error,
+      |       count(*) FILTER (event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (event_type = 'signup') AS signup,
+      |       count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   // lazy: QueriesExt constructs Entry instances, which touches this object's
@@ -497,7 +547,9 @@ object Queries {
     Entry("q19_topk", q19, Some(q19Sql)),
     Entry("q20_distinct", q20, Some(q20Sql)),
     Entry("q21_window_running", q21, Some(q21Sql)),
-    Entry("q22_sink_partitioned", q22, Some(q22Sql))
+    Entry("q22_sink_partitioned", q22, Some(q22Sql)),
+    Entry("q26_rollup_subtotals", q26, Some(q26Sql)),
+    Entry("q27_pivot_crosstab", q27, Some(q27Sql))
   )
 
   def queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
