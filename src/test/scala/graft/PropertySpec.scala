@@ -86,6 +86,97 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private val seriesGen: Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)])] =
+    for {
+      nl <- Gen.choose(1, 25)
+      nr <- Gen.choose(0, 25)
+      kts = for {
+        k <- Gen.choose(1L, 4L)
+        ts <- Gen.choose(0L, 40L)
+      } yield (k, ts)
+      ls <- Gen.listOfN(nl, kts)
+      rs <- Gen.listOfN(nr, kts)
+    } yield (
+      ls.zipWithIndex.map { case ((k, ts), i) => (k, ts, 1000L + i) },
+      // unique (key, ts) on the right — the as-of determinism contract
+      rs.distinctBy(r => (r._1, r._2)).zipWithIndex
+        .map { case ((k, ts), i) => (k, ts, 2000L + i) })
+
+  test("asofJoin: equals the brute-force latest-prior row, strict and non-strict") {
+    forAll(seriesGen) { case (ls, rs) =>
+      val left = ls.toDF("k", "lts", "lid")
+      val right = rs.toDF("k", "rts", "rid")
+      for (strict <- Seq(true, false)) {
+        val got = Relational.asofJoin(left, right, Seq("k"), "lts", "rts",
+            Seq("rid"), strict)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+        val want = ls.map { case (k, lts, lid) =>
+          val cand = rs.filter(r => r._1 == k &&
+            (if (strict) r._2 < lts else r._2 <= lts))
+          val best = if (cand.isEmpty) None
+            else Some(cand.maxBy(r => (r._2, r._3))._3)
+          (k, lts, lid, best)
+        }.toSet
+        assert(got == want, s"strict=$strict left=$ls right=$rs")
+      }
+    }
+  }
+
+  test("rangeJoin: equals the brute-force interval filter for any bin width") {
+    val gen = for {
+      (ls, rs) <- seriesGen
+      w <- Gen.choose(1L, 15L)
+    } yield (ls, rs, w)
+    forAll(gen) { case (pts, ivs, w) =>
+      val points = pts.toDF("k", "pt", "pid")
+      val intervals = ivs.map { case (k, lo, iid) => (k, lo, lo + 7, iid) }
+        .toDF("k", "lo", "hi", "iid")
+      val got = Relational.rangeJoin(points, intervals, Seq("k"),
+          "pt", "lo", "hi", binWidth = w)
+        .select($"pid", $"iid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (pk, pt, pid) <- pts
+        (ik, lo, iid) <- ivs
+        if pk == ik && pt >= lo && pt < lo + 7
+      } yield (pid, iid)).toSet
+      assert(got == want, s"w=$w pts=$pts ivs=$ivs")
+    }
+  }
+
+  test("clusters: labels are the connected component's minimum id") {
+    val pairsGen = for {
+      n <- Gen.choose(1, 20)
+      ps <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 15L)
+        b <- Gen.choose(0L, 15L)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield ps.distinct
+    forAll(pairsGen, n = 10) { ps =>
+      if (ps.nonEmpty) {
+        val got = graft.operators.NearDup.clusters(ps.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // brute-force union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        ps.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = ps.flatMap(p => Seq(p._1, p._2)).distinct
+        val want = nodes.map { n =>
+          n -> nodes.filter(m => find(m) == find(n)).min
+        }.toMap
+        assert(got == want, s"pairs=$ps")
+      }
+    }
+  }
+
   test("percentage: in [0, ∞) with 0 exactly when guard trips") {
     forAll(Gen.listOfN(30,
       Gen.zip(Gen.choose(0.0, 100.0), Gen.option(Gen.choose(-10.0, 100.0))))) { rows =>
