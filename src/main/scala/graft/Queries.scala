@@ -519,6 +519,28 @@ object Queries {
       |       count(*) FILTER (event_type = 'view') AS view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** §2.8 extension — lag/lead navigation: per-user inter-event gaps (the
+    * session-gap / dwell-time primitive). One shuffle on the key; the gap
+    * is exact integer µs so it hash-matches the oracle. */
+  private val q28: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .as("gap_us"),
+        lead(col("event_id"), 1).over(w).as("next_id"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val q28Sql =
+    """SELECT user_id, event_id,
+      |       epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+      |       lead(event_id, 1) OVER w AS next_id
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   // lazy: QueriesExt constructs Entry instances, which touches this object's
@@ -549,7 +571,8 @@ object Queries {
     Entry("q21_window_running", q21, Some(q21Sql)),
     Entry("q22_sink_partitioned", q22, Some(q22Sql)),
     Entry("q26_rollup_subtotals", q26, Some(q26Sql)),
-    Entry("q27_pivot_crosstab", q27, Some(q27Sql))
+    Entry("q27_pivot_crosstab", q27, Some(q27Sql)),
+    Entry("q28_window_lag", q28, Some(q28Sql))
   )
 
   def queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

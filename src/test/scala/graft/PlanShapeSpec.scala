@@ -101,6 +101,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("NO query degenerates to a cartesian product or an unintended nested loop") {
+    // q34 intentionally BroadcastNestedLoopJoins: the tiny query set
+    // broadcasts and the corpus streams once — that IS the plan
+    val intendedNlj = Set("q34_sim_cosine_topk")
+    Queries.queries.keys.filterNot(intendedNlj).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: nested-loop join:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the scan→aggregate hot path") {
     // AQE shows codegen stages only in the FINAL plan — execute first
     val df = Queries.queries("q02_agg_groupby")(spark, sf)
