@@ -17,7 +17,9 @@ object Bench {
     // median of 3 reps per query: single-rep timings at local[32] showed
     // 10-20× first-touch GC/scheduling outliers (q08, round 1); the median
     // reflects steady-state execution and makes rounds comparable
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // clamp to ≥1 (0 would crash the median index); even counts report the
+    // upper middle — use odd rep counts for a true median
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

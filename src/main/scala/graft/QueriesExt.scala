@@ -296,15 +296,15 @@ object QueriesExt {
 
   /** Sign-LSH bucketed ANN: candidates are only same-bucket vectors —
     * the scale path (shuffle on bucket id, per-bucket top-k) traded against
-    * recall. Plane count scales with corpus size (metadata-only parquet
-    * count) so hot buckets stay bounded as the corpus grows — 8 planes at
-    * test scale, up to 24 at 100 TB; multi-probe via
-    * [[Vectors.lshBucketSeeded]] repetitions recovers recall (q41 shows the
-    * union shape). Same deterministic hyperplane lattice on both engines. */
+    * recall. The plane count is PINNED to 8 here because the DuckDB oracle
+    * states the same fixed 8-plane lattice — the two engines must compute
+    * the identical query at any scale factor. Production callers size the
+    * lattice with [[Vectors.adaptivePlanes]](corpusSize) and recover
+    * recall with [[Vectors.lshBucketSeeded]] repetitions (q41 shows the
+    * union shape); AnnSpec covers the scaling behavior. */
   private val q35: Q = (s, dir) => {
-    val nPlanes = Vectors.adaptivePlanes(t(s, dir, "embeddings").count())
     val emb = quantizedEmb(s, dir)
-      .withColumn("bucket", Vectors.lshBucket(col("qv"), nPlanes))
+      .withColumn("bucket", Vectors.lshBucket(col("qv"), 8))
       .cache() // quantize+bucket computed once, probed from both sides
     val queries = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("qv").as("qqv"),
@@ -361,11 +361,15 @@ object QueriesExt {
     val cents: Array[(Long, Seq[Long])] = emb.filter(col("vec_id") < 16)
       .select(col("vec_id"), col("qv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    require(cents.nonEmpty, "q42 needs at least one centroid (vec_id < 16)")
     def centDists(v: Column): Seq[Column] = cents.toSeq.map { case (cid, cq) =>
       struct(Vectors.l2SqQ(v, typedLit(cq)).as("d"), lit(cid).as("cid"))
     }
+    // least() needs ≥2 args; a single centroid is its own argmin
+    def argmin(ds: Seq[Column]): Column =
+      if (ds.size == 1) ds.head else least(ds: _*)
     val assigned = emb
-      .withColumn("cid", least(centDists(col("qv")): _*).getField("cid"))
+      .withColumn("cid", argmin(centDists(col("qv"))).getField("cid"))
       .select(col("vec_id"), col("cid"), col("qv"), col("nsq"))
     // probes: nprobe = 2 nearest lists via sort of the 16-struct array
     val probes = emb.filter(col("vec_id") % 50 === 0)

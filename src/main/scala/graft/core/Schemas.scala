@@ -248,26 +248,36 @@ object Schemas {
     */
   def bootstrap(spark: org.apache.spark.sql.SparkSession, basePath: String,
       specs: Seq[TableSpec] = all): Seq[String] = {
-    val ledger = new java.io.File(basePath, "applied_migrations.txt")
+    // ledger I/O goes through Hadoop FS so basePath may be any supported
+    // filesystem (local, HDFS, s3a) — a driver-local java.io.File would
+    // never see a remote ledger and re-apply everything
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ledgerPath = new org.apache.hadoop.fs.Path(basePath, "applied_migrations.txt")
+    val fs = ledgerPath.getFileSystem(conf)
     val applied: Set[String] =
-      if (ledger.exists()) {
-        val src = scala.io.Source.fromFile(ledger)
-        try src.getLines().map(_.trim).filter(_.nonEmpty).toSet
-        finally src.close()
+      if (fs.exists(ledgerPath)) {
+        val in = fs.open(ledgerPath)
+        try scala.io.Source.fromInputStream(in).getLines()
+          .map(_.trim).filter(_.nonEmpty).toSet
+        finally in.close()
       } else Set.empty
     val todo = specs.filterNot(s => applied(s.name))
     todo.foreach { spec =>
       // empty DF with the declared schema; repartition(1) forces one task
-      // so a real parquet footer (the schema) lands on disk
+      // so a real parquet footer (the schema) lands on disk. Mode IGNORE:
+      // even with a lost/absent ledger, an existing table dir is NEVER
+      // clobbered — the ledger gates re-application, Ignore guards data.
       spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], spec.schema)
         .repartition(1)
-        .write.mode("overwrite").parquet(s"$basePath/${spec.name}")
+        .write.mode("ignore").parquet(s"$basePath/${spec.name}")
     }
     if (todo.nonEmpty) {
-      ledger.getParentFile.mkdirs()
-      val out = new java.io.FileWriter(ledger, true) // append, like the sh ledger
-      try todo.foreach(s => out.write(s.name + "\n")) finally out.close()
+      // rewrite = previous entries + new ones (HDFS/S3 lack reliable append)
+      val out = fs.create(ledgerPath, true)
+      try (applied.toSeq.sorted ++ todo.map(_.name))
+        .foreach(n => out.write((n + "\n").getBytes("UTF-8")))
+      finally out.close()
     }
     todo.map(_.name)
   }

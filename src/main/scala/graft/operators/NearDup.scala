@@ -86,20 +86,22 @@ object NearDup {
     * group's canonical representative, so "keep one per group" is a single
     * join away.
     *
-    * Distributed min-label propagation: every node starts at its own id,
-    * each round takes the min of its own and all neighbours' labels — a
-    * self-equi-join + hash aggregate per round, converging in
-    * graph-diameter rounds (near-dup clusters are shallow: diameter ≤
-    * cluster size, usually ≤ 3). Rounds run until a fixpoint (cheap
-    * 1-row count per round) with `maxIter` as the safety bound; per-round
-    * state is one (node, label) pair per node — linear, cache-swapped
-    * each round. The same bounded-fixpoint discipline as
-    * [[TreeRollup]] (SURVEY §2.5 A2).
+    * Distributed min-label propagation WITH pointer jumping: each round
+    * (a) takes the min of a node's own and all neighbours' labels
+    * (one-hop propagation), then (b) shortcuts every label to its label's
+    * label (lab(n) ← lab(lab(n))) — so the distance a minimum travels
+    * DOUBLES per round and convergence is O(log diameter) rounds, not
+    * O(diameter). Each round is two joins + a hash aggregate over
+    * (node, label) pairs — linear state, cache-swapped. Rounds run until
+    * a fixpoint (cheap emptiness probe per round); if `maxIter` rounds
+    * (default 12 ⇒ diameter ≈ 2¹²) don't converge the call FAILS rather
+    * than silently returning partial labels. The same bounded-fixpoint
+    * discipline as [[TreeRollup]] (SURVEY §2.5 A2).
     *
     * @param pairs (doc_a, doc_b) near-dup pairs (any extra columns ignored)
     * @return (doc_id, rep_id) for every doc appearing in a pair
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
     val edges = pairs.select(col("doc_a").as("n"), col("doc_b").as("m"))
       .unionByName(pairs.select(col("doc_b").as("n"), col("doc_a").as("m")))
       .cache()
@@ -112,8 +114,13 @@ object NearDup {
       val viaNeighbor = edges
         .join(lab.withColumnRenamed("n", "m"), Seq("m"))
         .groupBy(col("n")).agg(min(col("lab")).as("nlab"))
-      val next = lab.join(viaNeighbor, Seq("n"))
+      val hop = lab.join(viaNeighbor, Seq("n"))
         .select(col("n"), least(col("lab"), col("nlab")).as("lab"))
+      // pointer jump: follow the label one more step (labels are nodes too)
+      val next = hop.as("x")
+        .join(hop.select(col("n").as("lab"), col("lab").as("lab2")).as("y"),
+          Seq("lab"), "left")
+        .select(col("n"), least(col("lab"), coalesce(col("lab2"), col("lab"))).as("lab"))
         .cache()
       converged = next.join(lab.withColumnRenamed("lab", "old"), Seq("n"))
         .filter(col("lab") < col("old")).isEmpty
@@ -122,6 +129,9 @@ object NearDup {
       i += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"NearDup.clusters did not converge in $maxIter rounds " +
+        "(cluster diameter > 2^maxIter?) — raise maxIter")
     lab.select(col("n").as("doc_id"), col("lab").as("rep_id"))
   }
 

@@ -96,10 +96,18 @@ object Relational {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(
-        lTagged.unionByName(rTagged, allowMissingColumns = true))(
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    filled.filter(col("__side") === leftTag).drop("__ts", "__side")
+    // the payload carries as ONE struct (null on left rows, so ignoreNulls
+    // skips them): per-column carries would backfill a NULL field of the
+    // as-of row from an OLDER right row — a chimera of two right rows
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("__payload", when(col("__side") === rightTag,
+        struct(rightPayload.map(col): _*)))
+    val filled = unioned
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+    rightPayload.foldLeft(filled)(
+        (df, c) => df.withColumn(c, col(s"__payload.$c")))
+      .filter(col("__side") === leftTag)
+      .drop("__ts", "__side", "__payload")
   }
 
   /** Range (interval) join — points matched to intervals
@@ -117,6 +125,8 @@ object Relational {
     */
   def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
       ptCol: String, loCol: String, hiCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth " +
+      "(div by 0 would null every bin and silently match nothing)")
     val binned = intervals.withColumn("__bin",
       explode(sequence(expr(s"`$loCol` div ${binWidth}L"),
         expr(s"`$hiCol` div ${binWidth}L"))))

@@ -64,13 +64,6 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
   }
 
-  /** Gap-based sessionization via `session_window` — Spark's native
-    * mergeable session state. Sessions close when `gap` passes with no
-    * event; state size is (open sessions × keys), independent of history
-    * length — the 100 TB shape for clickstream sessionization. Runs as a
-    * real streaming query (complete mode over an AvailableNow catch-up) and
-    * returns the finished session table.
-    */
   /** Monotonic suffix so concurrent/repeated runs on one session never
     * collide on a memory-sink table name. */
   private val runId = new java.util.concurrent.atomic.AtomicLong()
@@ -88,7 +81,11 @@ object Streaming {
         "result would be partial")
   }
 
-  /** TEST/ORACLE SHIM — complete-mode memory sink materializes the whole
+  /** Gap-based sessionization via `session_window` — Spark's native
+    * mergeable session state; sessions close when `gap` passes with no
+    * event, state size is (open sessions × keys) independent of history.
+    *
+    * TEST/ORACLE SHIM — complete-mode memory sink materializes the whole
     * session table in driver memory; bounded inputs only. The production
     * path is [[sessionizeToFiles]]. */
   def sessionize(spark: SparkSession, sfDir: String,
@@ -114,7 +111,13 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     awaitOrFail(q, 300000)
-    spark.table(name).orderBy(col("user_id"), col("session_start"))
+    // detach the result from the memory sink (localCheckpoint) and drop
+    // the temp view so repeated invocations don't accumulate driver-held
+    // sink tables
+    val out = spark.table(name)
+      .orderBy(col("user_id"), col("session_start")).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** TEST/ORACLE SHIM — see [[sessionize]]; production path is
@@ -144,7 +147,10 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     awaitOrFail(q, 300000)
-    spark.table(name).orderBy(col("hour"), col("event_type"))
+    val out = spark.table(name)
+      .orderBy(col("hour"), col("event_type")).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** PRODUCTION sessionization: append-mode parquet sink with
@@ -157,7 +163,9 @@ object Streaming {
     * emitted) — exactly the long-running-stream contract; resume with more
     * data and they emit once the watermark passes them.
     *
-    * @return rows emitted to `outPath` this run
+    * @return total rows at `outPath` after the run (CUMULATIVE across
+    *         resumed runs against the same path — diff successive returns
+    *         for a per-run count)
     */
   def sessionizeToFiles(spark: SparkSession, srcDir: String, outPath: String,
       checkpoint: String, gap: String = "30 minutes",
@@ -186,7 +194,8 @@ object Streaming {
   }
 
   /** PRODUCTION hourly rollup: append-mode parquet sink, watermark-bounded
-    * state — see [[sessionizeToFiles]] for the emission contract. */
+    * state — see [[sessionizeToFiles]] for the emission contract and the
+    * cumulative return-value semantics. */
   def hourlyEventCountsToFiles(spark: SparkSession, srcDir: String,
       outPath: String, checkpoint: String, late: String = "1 hour",
       timeoutMs: Long = 300000): Long = {

@@ -111,6 +111,20 @@ class RelationalSpec extends SparkSpec {
       Seq(("p0", "c3"), ("p1", "c10"), ("p2", "c15"), ("p3", null)))
   }
 
+  test("asofJoin carries the payload ATOMICALLY: null fields never backfill from older rows") {
+    val left = Seq((1L, 20L, "p")).toDF("k", "lts", "lid")
+    // the as-of row (ts=10) has extra=NULL; the older row (ts=5) has "x" —
+    // the output must NOT be the chimera (rid="b", extra="x")
+    val right = Seq((1L, 5L, "a", Some("x")), (1L, 10L, "b", None))
+      .toDF("k", "rts", "rid", "extra")
+    val got = Relational.asofJoin(left, right, Seq("k"), "lts", "rts",
+        Seq("rid", "extra"))
+      .select($"rid", $"extra")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(got == Seq(("b", null)))
+  }
+
   test("asofJoin plans join-free: one tagged union + one window, no range join") {
     val left = Seq((1L, 10L, "p")).toDF("k", "lts", "lid")
     val right = Seq((1L, 3L, "c")).toDF("k", "rts", "rid")
