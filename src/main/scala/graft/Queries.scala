@@ -541,6 +541,35 @@ object Queries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** §2.9 extension — INTERSECT / EXCEPT set semantics (beyond q15's
+    * union-all): converting-user and error-free-buyer audiences as one
+    * labeled table. Spark plans both as hash joins over distinct key sets
+    * (LeftSemi / LeftAnti after aggregation) — no materialized key lists.
+    */
+  private val q29: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    def users(et: String) =
+      ev.filter(col("event_type") === et).select(col("user_id")).distinct()
+    users("click").intersect(users("purchase"))
+      .withColumn("op", lit("click_and_purchase"))
+      .unionByName(users("purchase").except(users("error"))
+        .withColumn("op", lit("purchase_no_error")))
+      .select(col("op"), col("user_id"))
+      .orderBy(col("op"), col("user_id"))
+  }
+
+  private val q29Sql =
+    """SELECT 'click_and_purchase' AS op, user_id FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |UNION ALL
+      |SELECT 'purchase_no_error' AS op, user_id FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      |  EXCEPT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+      |ORDER BY op, user_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   // lazy: QueriesExt constructs Entry instances, which touches this object's
@@ -572,7 +601,8 @@ object Queries {
     Entry("q22_sink_partitioned", q22, Some(q22Sql)),
     Entry("q26_rollup_subtotals", q26, Some(q26Sql)),
     Entry("q27_pivot_crosstab", q27, Some(q27Sql)),
-    Entry("q28_window_lag", q28, Some(q28Sql))
+    Entry("q28_window_lag", q28, Some(q28Sql)),
+    Entry("q29_intersect_except", q29, Some(q29Sql))
   )
 
   def queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
