@@ -734,6 +734,29 @@ object QueriesExt {
       |       ['jpg', 'png', 'webp'][octet_length(encode(text)) % 3 + 1] AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Multimodal end-to-end: binary payloads → per-partition stub decode →
+    * frame histogram features → dominant-intensity bin per frame — the
+    * full [[graft.operators.Multimodal]] composition (typed Datasets,
+    * decoder instantiated once per partition, lazy frame expansion). The
+    * decode seam is imperative partition logic, not SQL-expressible, so
+    * this entry carries no oracle: the driver records a rows-only check,
+    * and MultimodalSpec pins the numeric behavior. */
+  private val q49: Q = (s, dir) => {
+    import graft.operators.Multimodal
+    import s.implicits._
+    val media = Multimodal.fromBinary(s,
+      t(s, dir, "documents").limit(200)
+        .select(col("doc_id"), encode(col("text"), "UTF-8"))
+        .as[(Long, Array[Byte])],
+      format = "jpg", width = 16, height = 8, nFrames = 2)
+    val feats = Multimodal.histogramFeatures(Multimodal.decodeFrames(media))
+    feats.toDF()
+      .select(col("mediaId").as("media_id"), col("frameIdx").as("frame_idx"),
+        expr("array_position(feature, array_max(feature))").cast("long")
+          .as("top_bin"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[Entry] = Seq(
@@ -758,6 +781,7 @@ object QueriesExt {
     Entry("q45_sample_stratified", q45, Some(q45Sql)),
     Entry("q46_range_join", q46, Some(q46Sql)),
     Entry("q47_vocab_topk", q47, Some(q47Sql)),
-    Entry("q48_dedup_clusters", q48, Some(q48Sql))
+    Entry("q48_dedup_clusters", q48, Some(q48Sql)),
+    Entry("q49_multimodal_features", q49, None)
   )
 }
