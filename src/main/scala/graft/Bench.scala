@@ -37,7 +37,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // fixed single-thread integer workload, timed — host/VM contention was
+    // observed to swing identical-code query times 3×; this calibration
+    // constant lets rounds be compared speed-normalized
+    val calib = {
+      val t0 = System.nanoTime()
+      var s = 0L
+      var i = 0L
+      while (i < 400000000L) { s += i * i; i += 1 }
+      if (s == 42) print("") // keep the loop live
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib}""")
     spark.stop()
   }
 }
