@@ -745,7 +745,9 @@ object QueriesExt {
     import graft.operators.Multimodal
     import s.implicits._
     val media = Multimodal.fromBinary(s,
-      t(s, dir, "documents").limit(200)
+      // deterministic subset: a predicate, not limit() (limit on an
+      // unordered scan takes partitioning-dependent rows)
+      t(s, dir, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"), encode(col("text"), "UTF-8"))
         .as[(Long, Array[Byte])],
       format = "jpg", width = 16, height = 8, nFrames = 2)

@@ -263,21 +263,34 @@ object Schemas {
       } else Set.empty
     val todo = specs.filterNot(s => applied(s.name))
     todo.foreach { spec =>
-      // empty DF with the declared schema; repartition(1) forces one task
-      // so a real parquet footer (the schema) lands on disk. Mode IGNORE:
-      // even with a lost/absent ledger, an existing table dir is NEVER
-      // clobbered — the ledger gates re-application, Ignore guards data.
-      spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], spec.schema)
-        .repartition(1)
-        .write.mode("ignore").parquet(s"$basePath/${spec.name}")
+      // An un-ledgered EXISTING dir is either a live table (adopt it —
+      // never clobber readable data) or debris from a crashed bootstrap
+      // (unreadable: no parquet footer — repair by rewriting). Readability
+      // is the discriminator; a plain mode would either wipe live data
+      // (overwrite) or strand debris forever (ignore).
+      val dir = new org.apache.hadoop.fs.Path(basePath, spec.name)
+      val adoptable = fs.exists(dir) &&
+        scala.util.Try(spark.read.parquet(dir.toString).schema).isSuccess
+      if (!adoptable) {
+        // empty DF with the declared schema; repartition(1) forces one
+        // task so a real parquet footer (the schema) lands on disk
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], spec.schema)
+          .repartition(1)
+          .write.mode("overwrite").parquet(dir.toString)
+      }
     }
     if (todo.nonEmpty) {
-      // rewrite = previous entries + new ones (HDFS/S3 lack reliable append)
-      val out = fs.create(ledgerPath, true)
+      // rewrite-to-temp + rename: the old truncate-in-place lost the whole
+      // history if the JVM died mid-write (HDFS/S3 lack reliable append)
+      val tmp = new org.apache.hadoop.fs.Path(basePath,
+        "applied_migrations.txt.tmp")
+      val out = fs.create(tmp, true)
       try (applied.toSeq.sorted ++ todo.map(_.name))
         .foreach(n => out.write((n + "\n").getBytes("UTF-8")))
       finally out.close()
+      if (fs.exists(ledgerPath)) fs.delete(ledgerPath, false)
+      fs.rename(tmp, ledgerPath)
     }
     todo.map(_.name)
   }

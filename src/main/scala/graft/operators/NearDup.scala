@@ -114,16 +114,24 @@ object NearDup {
       val viaNeighbor = edges
         .join(lab.withColumnRenamed("n", "m"), Seq("m"))
         .groupBy(col("n")).agg(min(col("lab")).as("nlab"))
+      // cache the one-hop result: the pointer-jump self-join reads it from
+      // BOTH sides — uncached, the edges join + aggregate would run twice
       val hop = lab.join(viaNeighbor, Seq("n"))
         .select(col("n"), least(col("lab"), col("nlab")).as("lab"))
-      // pointer jump: follow the label one more step (labels are nodes too)
+        .cache()
+      // pointer jump: follow the label one more step (labels are nodes too).
+      // localCheckpoint (eager) TRUNCATES LINEAGE: the self-join references
+      // hop twice, so without truncation the logical plan doubles per round
+      // and planning itself blows up exponentially (the classic iterative-
+      // algorithm failure; same discipline as GraphX's periodic checkpoint)
       val next = hop.as("x")
         .join(hop.select(col("n").as("lab"), col("lab").as("lab2")).as("y"),
           Seq("lab"), "left")
         .select(col("n"), least(col("lab"), coalesce(col("lab2"), col("lab"))).as("lab"))
-        .cache()
+        .localCheckpoint()
       converged = next.join(lab.withColumnRenamed("lab", "old"), Seq("n"))
         .filter(col("lab") < col("old")).isEmpty
+      hop.unpersist()
       lab.unpersist()
       lab = next
       i += 1

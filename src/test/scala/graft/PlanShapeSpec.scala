@@ -102,13 +102,19 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("NO query degenerates to a cartesian product or an unintended nested loop") {
-    // q34 intentionally BroadcastNestedLoopJoins: the tiny query set
-    // broadcasts and the corpus streams once — that IS the plan
-    val intendedNlj = Set("q34_sim_cosine_topk")
-    Queries.queries.keys.filterNot(intendedNlj).foreach { q =>
+    // q34 intentionally BroadcastNestedLoopJoins (tiny query set broadcasts,
+    // corpus streams once — that IS the plan). q24/q25 return
+    // post-materialization plans (streaming runs + localCheckpoint: the
+    // inspected plan would be a vacuous RDD scan at real streaming cost);
+    // q48 runs its clustering fixpoint eagerly and returns a post-fixpoint
+    // projection — both classes carry their own dedicated specs instead.
+    val excluded = Set("q34_sim_cosine_topk",
+      "q24_streaming_window", "q25_streaming_sessions", "q48_dedup_clusters")
+    Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: nested-loop join:\n$p")
+      spark.catalog.clearCache() // q31/q32/q35/… cache doc/emb projections
     }
   }
 

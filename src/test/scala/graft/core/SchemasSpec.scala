@@ -104,4 +104,24 @@ class SchemasSpec extends SparkSpec {
     val third = Schemas.bootstrap(spark, base, specs :+ Schemas.teacher)
     assert(third == Seq("teacher"))
   }
+
+  test("bootstrap repairs crash debris but adopts readable un-ledgered tables") {
+    val base = java.nio.file.Files.createTempDirectory("bootstrap_repair").toString
+    // debris: a dir with no parquet footer (crashed write), no ledger entry
+    new java.io.File(s"$base/school/_temporary").mkdirs()
+    // live table: readable parquet, but its ledger entry was lost
+    Schemas.guardian.conform(Seq(("g1", "sch1", "Ana", "Lee"))
+        .toDF("guardianId", "schoolId", "firstName", "lastName"))
+      .write.parquet(s"$base/guardian")
+    val applied = Schemas.bootstrap(spark, base,
+      Seq(Schemas.school, Schemas.guardian))
+    assert(applied == Seq("school", "guardian"))
+    // debris was repaired into a readable empty table
+    assert(spark.read.parquet(s"$base/school").count() == 0)
+    // the live table was ADOPTED, not clobbered
+    assert(spark.read.parquet(s"$base/guardian").count() == 1)
+    // and both are now ledgered: re-run is a no-op
+    assert(Schemas.bootstrap(spark, base,
+      Seq(Schemas.school, Schemas.guardian)).isEmpty)
+  }
 }
