@@ -41,6 +41,9 @@ object Sessions {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.plans.GraftFunctions.register(spark)
+    // runtime-injectable optimizer rules (extensions bind at build time
+    // only); idempotent — extraOptimizations is replaced, not appended
+    spark.experimental.extraOptimizations = Seq(graft.plans.FuseJaccard)
     spark
   }
 }

@@ -136,8 +136,11 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions=graft.plans.GraftExtensions` wiring point. */
+/** `spark.sql.extensions=graft.plans.GraftExtensions` wiring point:
+  * SQL functions + the [[FuseJaccard]] optimizer rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(ext)
+    ext.injectOptimizerRule(_ => FuseJaccard)
+  }
 }

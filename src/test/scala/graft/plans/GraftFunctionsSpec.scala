@@ -49,6 +49,35 @@ class GraftFunctionsSpec extends SparkSpec {
       s"type error must surface at analysis: ${wrongType.getMessage}")
   }
 
+  test("FuseJaccard rewrites the naive SQL form into the fused kernel, semantics intact") {
+    graft.core.Sessions.tune(spark)
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString
+    val df = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq.empty[Long], Seq.empty[Long])).toDF("a", "b").repartition(2)
+    val j = df.selectExpr(
+      "size(array_intersect(a, b)) / size(array_union(a, b)) AS jac")
+    assert(planOf(j).contains("graft_jaccard"), s"rule did not fire:\n${planOf(j)}")
+    val rows = j.collect()
+    assert(rows.exists(r => !r.isNullAt(0) && r.getDouble(0) == 0.5))
+    assert(rows.exists(_.isNullAt(0)), "both-empty must stay 0/0 = null")
+    // must NOT fire: different array pairs
+    val mixed = Seq((Seq(1L), Seq(1L), Seq(9L))).toDF("a", "b", "c")
+      .repartition(2) // defeat local-relation constant folding
+      .selectExpr("size(array_intersect(a, b)) / size(array_union(a, c)) AS x")
+    assert(!planOf(mixed).contains("graft_jaccard"))
+    // must NOT fire: non-bigint element type (not the kernel's input type)
+    val strs = Seq((Seq("x"), Seq("x"))).toDF("a", "b")
+      .repartition(2)
+      .selectExpr("size(array_intersect(a, b)) / size(array_union(a, b)) AS x")
+    assert(!planOf(strs).contains("graft_jaccard"))
+    // symmetric pair order fires too
+    val sym = Seq((Seq(1L, 2L), Seq(2L))).toDF("a", "b")
+      .repartition(2)
+      .selectExpr("size(array_intersect(a, b)) / size(array_union(b, a)) AS x")
+    assert(planOf(sym).contains("graft_jaccard"))
+  }
+
   test("registered SQL functions work end-to-end") {
     GraftFunctions.register(spark)
     val r = spark.sql("""
