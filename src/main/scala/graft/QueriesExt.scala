@@ -24,8 +24,7 @@ object QueriesExt {
     * re-hashing. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"),
-        transform(Text.tokens(col("text")), w => Text.hash32(w)).as("__th"))
+      .select(col("doc_id"), Text.tokenHashes(col("text")).as("__th"))
       .select(col("doc_id"),
         Text.shingleHashesFromTokenHashes(col("__th"), 3).as("hs"))
       .filter(size(col("hs")) > 0)
@@ -235,7 +234,7 @@ object QueriesExt {
   private val q33: Q = (s, dir) =>
     Text.simhash32Grouped(
         t(s, dir, "documents")
-          .withColumn("ths", transform(Text.tokens(col("text")), w => Text.hash32(w))),
+          .withColumn("ths", Text.tokenHashes(col("text"))),
         "doc_id", "ths")
       .orderBy(col("doc_id"))
 

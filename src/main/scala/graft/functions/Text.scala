@@ -29,6 +29,16 @@ object Text {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
 
+  /** Tokenize + [[hash32]] every token as ONE codegen'd kernel
+    * ([[graft.plans.TokenHashesExpr]]): bit-identical to
+    * `transform(tokens(text), hash32)`, but the higher-order form pays an
+    * interpreted lambda and a fresh md5 digest per token — this is the
+    * cold-path hot spot of every shingle/fingerprint pipeline. */
+  def tokenHashes(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
+    toCol(graft.plans.TokenHashesExpr(toExpr(text)))
+  }
+
   /** Whitespace tokenization (the corpus is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
@@ -54,24 +64,17 @@ object Text {
     * identical discriminative power; the combine is plain integer math over
     * the per-token hash array. */
   def shingleHashes(text: Column, n: Int): Column =
-    shingleHashesFromTokenHashes(transform(tokens(text), w => hash32(w)), n)
+    shingleHashesFromTokenHashes(tokenHashes(text), n)
 
-  /** Shingle combine over a PRE-COMPUTED token-hash array column. Callers on
-    * a hot path should materialize the token hashes as their own projection
-    * first (md5 per token runs once), then apply this.
-    *
-    * CAUTION: a lambda body referencing an outer array expression
-    * re-evaluates that whole expression PER ELEMENT (no CSE across
-    * higher-order-function boundaries) — shingles are built by zipping n
-    * shifted slices, so every reference to `th` sits outside a lambda and
-    * evaluates once per row. */
+  /** Shingle combine over a PRE-COMPUTED token-hash array column, as the
+    * codegen'd [[graft.plans.ShingleHashesExpr]] kernel — one loop per
+    * row, no per-window interpreted lambdas, no intermediate slice
+    * arrays. Bit-identical to the zip_with-reduce + array_distinct
+    * formulation it replaced (TextSpec pins the equivalence against the
+    * reference form). */
   def shingleHashesFromTokenHashes(th: Column, n: Int): Column = {
-    val m = size(th) - lit(n - 1) // shingle count
-    val shifted = (0 until n).map(j => slice(th, lit(j + 1), m))
-    val combined = shifted.reduceLeft(
-      (acc, s) => zip_with(acc, s, (a, b) => pmod(a * 31 + b, lit(4294967296L))))
-    when(size(th) >= n, array_distinct(combined))
-      .otherwise(array().cast("array<bigint>"))
+    import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
+    toCol(graft.plans.ShingleHashesExpr(toExpr(th), n))
   }
 
   /** Exact Jaccard similarity of two pre-hashed shingle sets. Integer set
@@ -176,7 +179,7 @@ object Text {
     * unlike the set-based signatures above. */
   def rollingFingerprint(text: Column): Column =
     aggregate(
-      transform(tokens(text), w => hash32(w)),
+      tokenHashes(text),
       lit(0L),
       (acc, h) => (acc * 31 + h) % lit(1000000007L))
 

@@ -14,6 +14,44 @@ class TextSpec extends SparkSpec {
     assert(got(2) == Set.empty)
   }
 
+  test("tokenHashes kernel is bit-identical to the higher-order transform form") {
+    import org.apache.spark.sql.functions._
+    // real corpus + adversarial edges: empty string, leading/trailing/double
+    // spaces (empty tokens), unicode, single token
+    val edges = Seq("", " ", "a", "a b", " a", "a ", "a  b", "héllo wörld 你好")
+      .toDF("text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").unionByName(edges)
+    val cmp = corpus.select(
+      Text.tokenHashes($"text").as("fast"),
+      transform(Text.tokens($"text"), w => Text.hash32(w)).as("slow"))
+    assert(cmp.filter(not($"fast" <=> $"slow")).isEmpty,
+      "kernel diverged from the reference form")
+  }
+
+  test("shingle kernel is bit-identical to the zip_with-reduce reference form") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .unionByName(Seq("", "a", "a b", "a b c", "a b c d", "x x x x x").toDF("text"))
+      .select(Text.tokenHashes($"text").as("th"))
+    // the pre-kernel formulation, inlined as the reference
+    def referenceForm(th: org.apache.spark.sql.Column, n: Int) = {
+      val m = size(th) - lit(n - 1)
+      val shifted = (0 until n).map(j => slice(th, lit(j + 1), m))
+      val combined = shifted.reduceLeft(
+        (acc, s) => zip_with(acc, s, (a, b) => pmod(a * 31 + b, lit(4294967296L))))
+      when(size(th) >= n, array_distinct(combined))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    for (n <- Seq(1, 3, 5)) {
+      val cmp = corpus.select(
+        Text.shingleHashesFromTokenHashes($"th", n).as("fast"),
+        referenceForm($"th", n).as("slow"))
+      assert(cmp.filter(not($"fast" <=> $"slow")).isEmpty, s"diverged at n=$n")
+    }
+  }
+
   test("hash32 is a stable 32-bit value (md5-derived, engine-portable)") {
     val got = col0(Seq("hello", "hello", "world").toDF("s").select(Text.hash32($"s")))
     assert(got(0) == got(1) && got(0) != got(2))
