@@ -16,11 +16,14 @@ import org.apache.spark.sql.types.LongType
   */
 object Vectors {
 
-  /** array<float> → array<bigint> fixed-point at 1e-6. */
-  def quantize(v: Column): Column =
-    transform(v, x => floor(x * lit(1000000.0d)).cast(LongType))
-
   import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
+
+  /** array<float> → array<bigint> fixed-point at 1e-6, as the codegen'd
+    * [[graft.plans.QuantizeExpr]] kernel (the transform higher-order form
+    * runs an interpreted lambda per dimension; DeterministicVectorsSpec
+    * pins bit-equality). */
+  def quantize(v: Column): Column =
+    toCol(graft.plans.QuantizeExpr(toExpr(v)))
 
   /** Exact int64 dot product of two quantized vectors. Max magnitude for
     * unit-scale 64-dim embeddings: (1e6)^2 · 64 ≈ 2^46 — safe in long.

@@ -88,6 +88,47 @@ object QuantizedL2Sq {
   }
 }
 
+/** Fixed-point quantization `floor(x·1e6)` of an `array<float>` embedding
+  * into `array<bigint>` as one codegen'd loop — the entry projection of
+  * every similarity operator; the `transform` higher-order form evaluates
+  * an interpreted lambda per dimension per row. Semantics identical to
+  * `transform(v, x => floor(x * 1e6).cast(long))` under non-ANSI casts
+  * (float widens to double, floor, truncating long cast — NaN → 0,
+  * ±Inf → Long.Max/Min), pinned by DeterministicVectorsSpec.
+  */
+case class QuantizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_quantize"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${t.sql}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    QuantizeExpr.compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.plans.QuantizeExpr.compute($v)")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeExpr =
+    copy(child = newChild)
+}
+
+object QuantizeExpr {
+  def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      // identical to Spark's non-ANSI double→long cast of floor(x·1e6)
+      out(i) = Math.floor(v.getFloat(i).toDouble * 1000000.0d).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Sign-LSH bucket id over the deterministic hyperplane lattice
   * (graft.functions.Vectors.lshBucket semantics) as one codegen'd loop —
   * plane components are regenerated arithmetically in-register, so no

@@ -28,6 +28,21 @@ class DeterministicVectorsSpec extends SparkSpec {
       List(1234567L, -1234568L, 0L))
   }
 
+  test("quantize kernel is bit-identical to the transform reference form") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"embedding".as("v"))
+      .unionByName(Seq(
+        Seq(0.0f, -0.0f, 1.5f, -1.5f, Float.NaN,
+          Float.PositiveInfinity, Float.NegativeInfinity, Float.MinPositiveValue))
+        .map(Tuple1(_)).toDF("v"))
+    val cmp = corpus.select(
+      Vectors.quantize($"v").as("fast"),
+      transform($"v", x => floor(x * lit(1000000.0d))
+        .cast(org.apache.spark.sql.types.LongType)).as("slow"))
+    assert(cmp.filter(not($"fast" <=> $"slow")).isEmpty,
+      "quantize kernel diverged from the reference form")
+  }
+
   test("quantize/dotQ/normSqQ compute exact integer inner products") {
     val df = Seq((Seq(1.0f, 0.0f, -1.0f), Seq(0.5f, 0.5f, 0.5f))).toDF("a", "b")
       .select(Vectors.quantize($"a").as("qa"), Vectors.quantize($"b").as("qb"))
