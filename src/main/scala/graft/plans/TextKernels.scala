@@ -41,11 +41,18 @@ case class TokenHashesExpr(child: Expression)
 }
 
 object TokenHashesExpr {
+  // MessageDigest is not thread-safe but IS reusable: one instance per
+  // executor thread, reset per token — no per-row getInstance allocation
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def compute(text: UTF8String): ArrayData = {
     // exactly Spark's split(text, " "): Java regex split, limit -1
     // (single-space pattern → fast path, no actual regex engine involved)
     val tokens = text.toString.split(" ", -1)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val out = new Array[Long](tokens.length)
     var i = 0
     while (i < tokens.length) {
