@@ -42,8 +42,11 @@ object Sessions {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.plans.GraftFunctions.register(spark)
     // runtime-injectable optimizer rules (extensions bind at build time
-    // only); idempotent — extraOptimizations is replaced, not appended
-    spark.experimental.extraOptimizations = Seq(graft.plans.FuseJaccard)
+    // only); idempotent AND append-safe: rules the host application
+    // installed are preserved, ours is de-duplicated
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ eq graft.plans.FuseJaccard) :+ graft.plans.FuseJaccard
     spark
   }
 }

@@ -74,7 +74,10 @@ object Text {
     * reference form). */
   def shingleHashesFromTokenHashes(th: Column, n: Int): Column = {
     import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
-    toCol(graft.plans.ShingleHashesExpr(toExpr(th), n))
+    // coalesce: the replaced when/otherwise form returned [] (not NULL)
+    // for a NULL input array — preserve that contract
+    coalesce(toCol(graft.plans.ShingleHashesExpr(toExpr(th), n)),
+      typedLit(Seq.empty[Long]))
   }
 
   /** Exact Jaccard similarity of two pre-hashed shingle sets. Integer set

@@ -72,12 +72,22 @@ object TokenHashesExpr {
   * occurrence-ordered dedup — bit-identical to the zip_with-reduce +
   * array_distinct formulation (TextSpec proves it), which pays an
   * interpreted lambda per (window × n) plus two materialized slice arrays
-  * per level. */
+  * per level. Matches that form's edge semantics exactly: per-step masking
+  * equals pmod(·, 2³²) for ALL longs (modular arithmetic, incl. negative
+  * and 2⁶⁴-wrapping values); n = 1 returns RAW deduped elements (the
+  * reduce degenerates to array_distinct with no pmod); a window containing
+  * a NULL element yields one NULL shingle (null propagates through the
+  * lambda, array_distinct keeps the first). */
 case class ShingleHashesExpr(child: Expression, n: Int)
     extends UnaryExpression with Serializable {
   require(n >= 1, s"shingle width must be >= 1, got $n")
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def childContainsNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = childContainsNull)
   override def prettyName: String = "graft_shingle_hashes"
   override def checkInputDataTypes(): TypeCheckResult =
     GraftTypeChecks.longArrays(prettyName, child)
@@ -98,24 +108,34 @@ object ShingleHashesExpr {
     val m = len - n + 1
     if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
     // LinkedHashSet: dedup preserving first occurrence — array_distinct's
-    // exact order contract
+    // exact order contract (one null allowed, like array_distinct)
     val seen = new java.util.LinkedHashSet[java.lang.Long](m * 2)
     var i = 0
     while (i < m) {
       var c = 0L
+      var isNull = false
       var j = 0
-      while (j < n) {
-        // hashes are < 2^32 and non-negative: (c*31 + h) mod 2^32 ≡ mask
-        c = (c * 31 + th.getLong(i + j)) & 0xFFFFFFFFL
+      while (j < n && !isNull) {
+        if (th.isNullAt(i + j)) isNull = true
+        else if (n == 1) c = th.getLong(i) // raw: the n=1 reduce never pmods
+        else c = (c * 31 + th.getLong(i + j)) & 0xFFFFFFFFL
         j += 1
       }
-      seen.add(c)
+      seen.add(if (isNull) null else java.lang.Long.valueOf(c))
       i += 1
     }
-    val out = new Array[Long](seen.size())
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    new GenericArrayData(out)
+    if (!seen.contains(null)) {
+      val out = new Array[Long](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    }
   }
 }

@@ -94,12 +94,18 @@ object QuantizedL2Sq {
   * an interpreted lambda per dimension per row. Semantics identical to
   * `transform(v, x => floor(x * 1e6).cast(long))` under non-ANSI casts
   * (float widens to double, floor, truncating long cast — NaN → 0,
-  * ±Inf → Long.Max/Min), pinned by DeterministicVectorsSpec.
+  * ±Inf → Long.Max/Min; NULL elements stay NULL and the output's
+  * containsNull mirrors the input's), pinned by DeterministicVectorsSpec.
   */
 case class QuantizeExpr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with Serializable {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def childContainsNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = childContainsNull)
   override def prettyName: String = "graft_quantize"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
@@ -116,16 +122,30 @@ case class QuantizeExpr(child: Expression)
 }
 
 object QuantizeExpr {
+  private def q(f: Float): Long =
+    // identical to Spark's non-ANSI double→long cast of floor(x·1e6)
+    Math.floor(f.toDouble * 1000000.0d).toLong
+
   def compute(v: ArrayData): ArrayData = {
     val n = v.numElements()
-    val out = new Array[Long](n)
+    var hasNull = false
     var i = 0
-    while (i < n) {
-      // identical to Spark's non-ANSI double→long cast of floor(x·1e6)
-      out(i) = Math.floor(v.getFloat(i).toDouble * 1000000.0d).toLong
-      i += 1
+    while (i < n && !hasNull) { hasNull = v.isNullAt(i); i += 1 }
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) { out(i) = q(v.getFloat(i)); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      // null dimensions stay null, exactly like the transform form
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        out(i) = if (v.isNullAt(i)) null else java.lang.Long.valueOf(q(v.getFloat(i)))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 

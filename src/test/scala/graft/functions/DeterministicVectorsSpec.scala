@@ -41,6 +41,15 @@ class DeterministicVectorsSpec extends SparkSpec {
         .cast(org.apache.spark.sql.types.LongType)).as("slow"))
     assert(cmp.filter(not($"fast" <=> $"slow")).isEmpty,
       "quantize kernel diverged from the reference form")
+    // null dimensions stay null, exactly like the transform form
+    val nullable = Seq(Seq(Option(1.5f), Option.empty[Float], Option(-0.25f)))
+      .map(Tuple1(_)).toDF("v")
+    val cmp2 = nullable.select(
+      Vectors.quantize($"v").as("fast"),
+      transform($"v", x => floor(x * lit(1000000.0d))
+        .cast(org.apache.spark.sql.types.LongType)).as("slow"))
+    assert(cmp2.filter(not($"fast" <=> $"slow")).isEmpty,
+      "quantize kernel diverged on null elements")
   }
 
   test("quantize/dotQ/normSqQ compute exact integer inner products") {

@@ -50,6 +50,20 @@ class TextSpec extends SparkSpec {
         referenceForm($"th", n).as("slow"))
       assert(cmp.filter(not($"fast" <=> $"slow")).isEmpty, s"diverged at n=$n")
     }
+    // null INPUT → [] (the when/otherwise contract) and null ELEMENTS →
+    // one null shingle per covered window set, deduped — plus raw
+    // (unmasked) values at n=1, incl. negatives and >= 2^32
+    val edgy = Seq(
+      Option(Seq(Option(1L), Option.empty[Long], Option(2L), Option(3L), Option(4L))),
+      Option(Seq(Option(-1L), Option(1L << 40), Option(7L))),
+      Option.empty[Seq[Option[Long]]])
+      .map(Tuple1(_)).toDF("th")
+    for (n <- Seq(1, 3)) {
+      val cmp = edgy.select(
+        Text.shingleHashesFromTokenHashes($"th", n).as("fast"),
+        coalesce(referenceForm($"th", n), typedLit(Seq.empty[Long])).as("slow"))
+      assert(cmp.filter(not($"fast" <=> $"slow")).isEmpty, s"edge diverged at n=$n")
+    }
   }
 
   test("hash32 is a stable 32-bit value (md5-derived, engine-portable)") {

@@ -8,7 +8,18 @@ import org.apache.spark.sql.graftbridge.Bridge
 class GraftFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Scope a body to a rule-free optimizer so kernel-vs-naive equivalence
+    * tests genuinely exercise the naive form (the shared session may have
+    * FuseJaccard installed by Sessions.tune, which would rewrite the
+    * reference side into the kernel and vacate the comparison). */
+  private def withoutGraftRules[T](body: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    try body finally spark.experimental.extraOptimizations = prev
+  }
+
   test("JaccardSimilarity matches the array-function jaccard on executed plans") {
+    withoutGraftRules {
     val df = Seq(
       (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
       (Seq(1L, 2L), Seq(1L, 2L)),
@@ -20,6 +31,7 @@ class GraftFunctionsSpec extends SparkSpec {
       Text.jaccard($"a", $"b").as("arrays"))
       .collect()
     got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    }
   }
 
   test("JaccardSimilarity stays inside codegen (no fallback)") {
@@ -50,17 +62,25 @@ class GraftFunctionsSpec extends SparkSpec {
   }
 
   test("FuseJaccard rewrites the naive SQL form into the fused kernel, semantics intact") {
+    val prevRules = spark.experimental.extraOptimizations
+    try {
     graft.core.Sessions.tune(spark)
     def planOf(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.optimizedPlan.toString
-    val df = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
-      (Seq.empty[Long], Seq.empty[Long])).toDF("a", "b").repartition(2)
+    val df = Seq(
+      (Option(Seq(1L, 2L, 3L)), Option(Seq(2L, 3L, 4L))),
+      (Option(Seq.empty[Long]), Option(Seq.empty[Long])),
+      (Option.empty[Seq[Long]], Option(Seq(1L)))).toDF("a", "b").repartition(2)
     val j = df.selectExpr(
       "size(array_intersect(a, b)) / size(array_union(a, b)) AS jac")
     assert(planOf(j).contains("graft_jaccard"), s"rule did not fire:\n${planOf(j)}")
     val rows = j.collect()
     assert(rows.exists(r => !r.isNullAt(0) && r.getDouble(0) == 0.5))
     assert(rows.exists(_.isNullAt(0)), "both-empty must stay 0/0 = null")
+    // legacy sizeOfNull (the engine default): size(null) = -1, so the
+    // naive form gives (-1)/(-1) = 1.0 on a null input - preserved
+    assert(rows.exists(r => !r.isNullAt(0) && r.getDouble(0) == 1.0),
+      "null input must keep the legacy (-1)/(-1) = 1.0 value")
     // must NOT fire: different array pairs
     val mixed = Seq((Seq(1L), Seq(1L), Seq(9L))).toDF("a", "b", "c")
       .repartition(2) // defeat local-relation constant folding
@@ -76,6 +96,14 @@ class GraftFunctionsSpec extends SparkSpec {
       .repartition(2)
       .selectExpr("size(array_intersect(a, b)) / size(array_union(b, a)) AS x")
     assert(planOf(sym).contains("graft_jaccard"))
+    // must NOT fire: nullable-element arrays (kernel reads elements
+    // primitively; a null element would silently read as 0)
+    val nullable = Seq((Seq(Option(1L), Option.empty[Long]), Seq(Option(1L))))
+      .toDF("a", "b")
+      .repartition(2)
+      .selectExpr("size(array_intersect(a, b)) / size(array_union(a, b)) AS x")
+    assert(!planOf(nullable).contains("graft_jaccard"))
+    } finally spark.experimental.extraOptimizations = prevRules
   }
 
   test("registered SQL functions work end-to-end") {
