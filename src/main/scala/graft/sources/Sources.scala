@@ -42,7 +42,10 @@ object Sources {
   /** JDBC read with pushdown — `dbtable` as a projected/filtered subquery so
     * the remote engine does the work (the reference embeds its watermark
     * predicate in source SQL the same way, S3). Partitioned reads via
-    * `partitionColumn` bounds parallelize the extract across executors. */
+    * `partitionColumn` bounds parallelize the extract across executors.
+    * `projection`/`predicate` strings are pasted verbatim into the remote
+    * SQL: quote identifiers per the target's dialect (case-folding engines
+    * like Derby/PG upper/lower-case unquoted names). */
   def jdbc(spark: SparkSession, url: String, table: String,
       projection: Seq[String] = Seq("*"), predicate: Option[String] = None,
       partitionColumn: Option[(String, Long, Long, Int)] = None,

@@ -62,6 +62,38 @@ class FederationSpec extends SparkSpec {
       .collect().head.getLong(0) == 2)
   }
 
+  test("partitioned JDBC read splits the extract across bounded ranges (S2/S3)") {
+    val rows = (1 to 100).map { i =>
+      ("u" + i, "First" + i, "Last" + i, i % 2 == 0, "start", "start",
+        ts(f"2024-01-${i % 28 + 1}%02d 00:00:00"),
+        ts(f"2024-01-${i % 28 + 1}%02d 00:00:00"), "sch" + (i % 3))
+    }.toDF("uniqueKey", "firstName", "lastName", "noAttendance", "status",
+      "finalAcademicStatus", "updatedAt", "createdAt", "schoolId")
+      // conform fills the rest; give ids a numeric column for partitioning
+      .withColumn("archiveStatus",
+        org.apache.spark.sql.functions.lit(0).cast("tinyint"))
+    Sinks.writeJdbc(rows, Schemas.student, url)
+    // numeric partition column: archiveStatus is constant — use a synthetic
+    // range over the row count via a projected subquery read instead
+    // projection strings land verbatim in the remote SELECT — quote for
+    // case-folding engines (Derby upper-cases unquoted identifiers)
+    val got = Sources.jdbc(spark, url, "student",
+      projection = Seq("\"uniqueKey\"", "\"schoolId\""))
+    assert(got.count() == 100)
+    // partitioned read: 4 bounded range scans on a numeric column exposed
+    // by the pushed-down subquery (the reference's id-range extract shape)
+    val part = spark.read
+      .option("partitionColumn", "ULEN")
+      .option("lowerBound", "0").option("upperBound", "10")
+      .option("numPartitions", "4")
+      .option("url", url)
+      .option("dbtable",
+        "(SELECT \"uniqueKey\", LENGTH(\"uniqueKey\") AS ULEN FROM student) AS t")
+      .format("jdbc").load()
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.count() == 100)
+  }
+
   test("mongo source fails actionably without the connector; stand-in covers it (S1)") {
     val schema = Schemas.student.schema
     val e = intercept[IllegalStateException] {
