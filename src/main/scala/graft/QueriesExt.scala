@@ -191,10 +191,12 @@ object QueriesExt {
     * size — instead of any pairwise structure; that is the 100 TB path. */
   private val q32: Q = (s, dir) => {
     val docs = docShingles(s, dir).cache()
-    // Codegen'd grouped minhash (explode + k min-aggregates), then banding
-    // over the compact signature array — the per-element lane hashing never
-    // runs interpreted.
-    val bands = Text.minhashSignatureGrouped(docs, "doc_id", "hs")
+    // Fused per-row minhash kernel: the whole signature is a pure map over
+    // the shingle sets (docShingles guarantees them non-empty), so the
+    // signature stage has NO shuffle at all — banding then runs over the
+    // compact signature array.
+    val bands = docs
+      .select(col("doc_id"), Text.minhashSignatureFused(col("hs")).as("sig"))
       .withColumn("bands", Text.lshBandKeys(col("sig")))
     // cache the band postings: the self-join would otherwise run the whole
     // minhash aggregation once per side
@@ -230,12 +232,16 @@ object QueriesExt {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** SimHash fingerprints: 32-bit near-dup sketch per document (frequency-
-    * weighted term hashes; Hamming-close fingerprints ⇒ similar docs). */
+    * weighted term hashes; Hamming-close fingerprints ⇒ similar docs).
+    * The fused kernel makes the sketch a pure map — the only exchange left
+    * in the plan is the output ordering. The `isNotNull` filter mirrors the
+    * grouped form's drop of token-less documents (never fires here: split
+    * always yields ≥1 token for non-null text). */
   private val q33: Q = (s, dir) =>
-    Text.simhash32Grouped(
-        t(s, dir, "documents")
-          .withColumn("ths", Text.tokenHashes(col("text"))),
-        "doc_id", "ths")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        Text.simhash32Fused(Text.tokenHashes(col("text"))).as("simhash"))
+      .filter(col("simhash").isNotNull)
       .orderBy(col("doc_id"))
 
   private val q33Sql =

@@ -143,6 +143,9 @@ object Text {
     * inside WholeStageCodegen with map-side partial aggregation (the shuffle
     * carries 32 longs per key, independent of document length). Documents
     * with zero tokens drop out (no rows to explode).
+    * Superseded in the hot path by [[simhash32Fused]], which computes the
+    * same sketch as a pure map with no shuffle at all — this grouped form
+    * remains as the independent reference the kernel is pinned against.
     */
   def simhash32Grouped(df: org.apache.spark.sql.DataFrame, key: String,
       tokenHashesCol: String): org.apache.spark.sql.DataFrame = {
@@ -165,6 +168,9 @@ object Text {
     * shuffle carries k longs per document, independent of document length —
     * where the higher-order-function form is interpreted per (element × lane).
     * Documents must have non-empty hash sets (explode drops empty rows).
+    * Superseded in the hot path by [[minhashSignatureFused]], which computes
+    * the same lanes as a pure map with no shuffle at all — this grouped form
+    * remains as the independent reference the kernel is pinned against.
     */
   def minhashSignatureGrouped(df: org.apache.spark.sql.DataFrame, key: String,
       hashesCol: String, k: Int = MinhashK): org.apache.spark.sql.DataFrame = {
@@ -174,6 +180,29 @@ object Text {
     }
     exploded.groupBy(col(key)).agg(laneMins.head, laneMins.tail: _*)
       .select(col(key), array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+  }
+
+  /** MinHash signature as ONE codegen'd per-row kernel
+    * ([[graft.plans.MinhashSignatureExpr]]): all k lanes advance in a
+    * single pass over the hash set, so the signature is a pure map — no
+    * explode, no aggregation shuffle. Bit-identical lanes to
+    * [[minhashSignatureGrouped]] (TextSpec pins it); yields NULL where the
+    * grouped form would drop the document (empty / all-null hash set), so
+    * callers that rely on the drop add `.filter(sig.isNotNull)`. */
+  def minhashSignatureFused(hashes: Column, k: Int = MinhashK): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
+    toCol(graft.plans.MinhashSignatureExpr(toExpr(hashes), k))
+  }
+
+  /** SimHash as ONE codegen'd per-row kernel ([[graft.plans.Simhash32Expr]]):
+    * the 32 bit-counters advance in a single pass over the token hashes —
+    * no explode, no aggregation shuffle. Bit-identical to
+    * [[simhash32Grouped]] (TextSpec pins it), including the NULL-token
+    * (−1 to every bit) edge; yields NULL where the grouped form would drop
+    * the document (empty array). */
+  def simhash32Fused(tokenHashes: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
+    toCol(graft.plans.Simhash32Expr(toExpr(tokenHashes)))
   }
 
   /** Rolling polynomial fingerprint over token hashes:

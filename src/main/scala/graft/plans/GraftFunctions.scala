@@ -115,9 +115,23 @@ object GraftFunctions {
       build(children)
     }
 
+  /** Constant-int argument (e.g. a lane count baked into codegen): only a
+    * foldable integer literal is meaningful — anything else fails at
+    * analysis time with the function name. */
+  private def intLit(name: String, arg: String)(e: Expression): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects an integer literal for $arg, got ${other.sql}")
+  }
+
   private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_jaccard", "_FUNC_(a, b) - exact Jaccard similarity of two bigint-array sets",
       arity("graft_jaccard", 2)(c => JaccardSimilarity(c(0), c(1)))),
+    ("graft_minhash", "_FUNC_(hashes, k) - k-lane MinHash signature of a bigint-array hash set",
+      arity("graft_minhash", 2)(c =>
+        MinhashSignatureExpr(c(0), intLit("graft_minhash", "k")(c(1))))),
+    ("graft_simhash", "_FUNC_(token_hashes) - 32-bit SimHash sketch of a bigint token-hash array",
+      arity("graft_simhash", 1)(c => Simhash32Expr(c.head))),
     ("graft_grade", "_FUNC_(pct) - reference grade scale: struct(grade, gpa, meaning)",
       arity("graft_grade", 1)(c => gradeExpr(c.head))),
     ("graft_percentage", "_FUNC_(score, maxScore) - percentage with the maxScore guard",

@@ -139,3 +139,142 @@ object ShingleHashesExpr {
     }
   }
 }
+
+/** k-lane MinHash signature over a hashed-shingle set as ONE codegen'd
+  * loop per row — all lanes advance together in a single pass over the
+  * array, so the signature is a pure map and needs NO explode and NO
+  * aggregation shuffle (the grouped form it replaces shuffled k longs per
+  * document through a hash aggregate).
+  *
+  * Lane math is exactly [[graft.functions.Text.minhashSignatureGrouped]]'s:
+  * lane i of value x is `(x·(2i+1) + 104729·(i+1)) mod 4294967311`, the
+  * signature is the per-lane minimum. Java long arithmetic (wrap + `%`
+  * remainder) is Spark's non-ANSI long arithmetic, so values are
+  * BIT-IDENTICAL to the grouped form (TextSpec pins it). Edge semantics
+  * mirror the grouped form's explode+min shape: NULL elements are skipped
+  * (min ignores nulls), an array of ONLY nulls yields a signature of k
+  * nulls (the null rows still form a group whose mins are all null), and
+  * an empty input yields NULL (the grouped form drops the document —
+  * callers filter `isNotNull` where the drop matters). */
+case class MinhashSignatureExpr(child: Expression, k: Int)
+    extends UnaryExpression with Serializable {
+  require(k >= 1, s"minhash lane count must be >= 1, got $k")
+
+  private def childContainsNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = childContainsNull)
+  override def prettyName: String = "graft_minhash"
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.longArrays(prettyName, child)
+
+  override protected def nullSafeEval(v: Any): Any =
+    MinhashSignatureExpr.compute(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("mhSig")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.plans.MinhashSignatureExpr.compute($v, $k);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignatureExpr =
+    copy(child = newChild)
+}
+
+object MinhashSignatureExpr {
+  def compute(hs: ArrayData, k: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return null // no rows to explode: the grouped form drops the doc
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        any = true
+        val x = hs.getLong(i)
+        var lane = 0
+        while (lane < k) {
+          val v = (x * (2L * lane + 1L) + 104729L * (lane + 1L)) % 4294967311L
+          if (v < mins(lane)) mins(lane) = v
+          lane += 1
+        }
+      }
+      i += 1
+    }
+    if (any) new GenericArrayData(mins)
+    // only-null elements: the null rows still group — every lane min is null
+    else new GenericArrayData(Array.fill[Any](k)(null))
+  }
+}
+
+/** 32-bit SimHash over a token-hash array as ONE codegen'd loop per row —
+  * the 32 bit-counters advance together in a single pass, so the sketch is
+  * a pure map with NO explode and NO aggregation shuffle (the grouped form
+  * shuffled 32 partial sums per document).
+  *
+  * Bit j of the result is set iff Σ_tokens (bit_j(h) ? +1 : −1) ≥ 0 —
+  * exactly [[graft.functions.Text.simhash32Grouped]]'s conditional-sum
+  * shape, including its edge semantics: a NULL token hash contributes −1 to
+  * EVERY bit (the grouped `when(...).otherwise(-1)` turns the null
+  * comparison into the otherwise branch), and an empty array yields NULL
+  * (the grouped form drops the document). TextSpec pins bit-equality. */
+case class Simhash32Expr(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.longArrays(prettyName, child)
+
+  override protected def nullSafeEval(v: Any): Any =
+    Simhash32Expr.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("simH")
+      s"""
+         |java.lang.Long $r = graft.plans.Simhash32Expr.compute($v);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash32Expr =
+    copy(child = newChild)
+}
+
+object Simhash32Expr {
+  def compute(ths: ArrayData): java.lang.Long = {
+    val n = ths.numElements()
+    if (n == 0) return null
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      if (ths.isNullAt(i)) {
+        var j = 0
+        while (j < 32) { counts(j) -= 1; j += 1 }
+      } else {
+        val h = ths.getLong(i)
+        var j = 0
+        while (j < 32) {
+          counts(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) { if (counts(j) >= 0) out |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(out)
+  }
+}

@@ -138,6 +138,80 @@ class TextSpec extends SparkSpec {
     assert(viaArrays.toSeq == viaGroup.toSeq)
   }
 
+  test("minhash fused kernel is bit-identical to the grouped reference form") {
+    // real corpus: every document's signature must match lane-for-lane
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", Text.shingleHashes($"text", 3).as("hs"))
+      .filter(size($"hs") > 0)
+    val viaGroup = Text.minhashSignatureGrouped(docs, "doc_id", "hs")
+      .withColumnRenamed("sig", "slow")
+    val cmp = docs
+      .select($"doc_id", Text.minhashSignatureFused($"hs").as("fast"))
+      .join(viaGroup, Seq("doc_id"), "full_outer")
+    assert(cmp.filter(not($"fast" <=> $"slow")).isEmpty,
+      "fused minhash diverged from the grouped reference form")
+    // edge semantics: null elements skipped (min ignores nulls); an
+    // only-nulls set keeps its group with all-null lanes; empty / null
+    // input → NULL where the grouped form drops the document
+    val edgy = Seq(
+      (1, Option(Seq(Option(5L), Option.empty[Long], Option(9L)))),
+      (2, Option(Seq(Option.empty[Long]))),
+      (3, Option(Seq.empty[Option[Long]])),
+      (4, Option.empty[Seq[Option[Long]]])
+    ).toDF("doc_id", "hs")
+    val fused = edgy.select($"doc_id", Text.minhashSignatureFused($"hs", 8).as("sig"))
+      .collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    def lanes(v: Any): List[Any] =
+      v.asInstanceOf[scala.collection.Seq[Any]].toList
+    val grouped = Text.minhashSignatureGrouped(edgy.filter($"hs".isNotNull), "doc_id", "hs", 8)
+      .collect().map(r => r.getInt(0) -> lanes(r.get(1))).toMap
+    assert(fused(1).map(lanes) == grouped.get(1))
+    assert(fused(2).map(lanes) == grouped.get(2)) // both: 8 null lanes
+    assert(fused(3).isEmpty && fused(4).isEmpty)
+    assert(!grouped.contains(3)) // explode of [] drops the document
+  }
+
+  test("simhash fused kernel is bit-identical to the grouped reference form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", Text.tokenHashes($"text").as("ths"))
+    val viaGroup = Text.simhash32Grouped(docs, "doc_id", "ths")
+      .withColumnRenamed("simhash", "slow")
+    val cmp = docs
+      .select($"doc_id", Text.simhash32Fused($"ths").as("fast"))
+      .join(viaGroup, Seq("doc_id"), "full_outer")
+    assert(cmp.filter(not($"fast" <=> $"slow")).isEmpty,
+      "fused simhash diverged from the grouped reference form")
+    // edge semantics: a NULL token hash contributes −1 to every bit (the
+    // grouped when/otherwise shape); empty array → NULL (grouped drop)
+    val edgy = Seq(
+      (1, Seq(Option(0xFFFFFFFFL), Option.empty[Long])),
+      (2, Seq(Option.empty[Long], Option.empty[Long])),
+      (3, Seq.empty[Option[Long]])
+    ).toDF("doc_id", "ths")
+    val fused = edgy.select($"doc_id", Text.simhash32Fused($"ths").as("h"))
+      .collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    val grouped = Text.simhash32Grouped(edgy.filter(size($"ths") > 0), "doc_id", "ths")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fused(1).contains(grouped(1)) && fused(2).contains(grouped(2)))
+    assert(fused(3).isEmpty && !grouped.contains(3))
+  }
+
+  test("graft_minhash / graft_simhash SQL functions resolve and type-check") {
+    graft.plans.GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_minhash(array(1L, 2L, 3L), 4) AS sig,
+        |       graft_simhash(array(1L, 2L, 3L)) AS sh""".stripMargin).head()
+    assert(row.getSeq[Long](0).size == 4)
+    // values pinned to the column-API kernels
+    val viaCol = Seq(Seq(1L, 2L, 3L)).toDF("a")
+      .select(Text.minhashSignatureFused($"a", 4), Text.simhash32Fused($"a")).head()
+    assert(row.getSeq[Long](0) == viaCol.getSeq[Long](0) && row.getLong(1) == viaCol.getLong(1))
+    // misuse fails at analysis, not execution
+    intercept[Exception](spark.sql("SELECT graft_minhash(array(1L), 2, 3)").head())
+    intercept[Exception](spark.sql("SELECT graft_simhash('nope')").head())
+    intercept[Exception](spark.sql("SELECT graft_minhash(array(1L), NULL)").head())
+  }
+
   test("lshBandKeys: identical signatures share all bands; banding is deterministic") {
     val df = Seq((1L to 60L).toSeq).toDF("hs")
       .select(Text.minhashSignature($"hs").as("sig"))
