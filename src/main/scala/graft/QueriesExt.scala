@@ -742,10 +742,9 @@ object QueriesExt {
   /** Multimodal end-to-end: binary payloads → per-partition stub decode →
     * frame histogram features → dominant-intensity bin per frame — the
     * full [[graft.operators.Multimodal]] composition (typed Datasets,
-    * decoder instantiated once per partition, lazy frame expansion). The
-    * decode seam is imperative partition logic, not SQL-expressible, so
-    * this entry carries no oracle: the driver records a rows-only check,
-    * and MultimodalSpec pins the numeric behavior. */
+    * decoder instantiated once per partition, lazy frame expansion).
+    * MultimodalSpec pins the numeric behavior; [[q49Sql]] is the
+    * independent DuckDB derivation. */
   private val q49: Q = (s, dir) => {
     import graft.operators.Multimodal
     import s.implicits._
@@ -763,6 +762,52 @@ object QueriesExt {
           .as("top_bin"))
       .orderBy(col("media_id"), col("frame_idx"))
   }
+
+  /** Independent DuckDB mirror of the stub-decode → histogram → top-bin
+    * pipeline. The rolling mix `acc = acc·31 + byte` (Java int wrap) is not
+    * a fold DuckDB can run, but it HAS a closed form over mod-2³² math:
+    * `acc_i = 31^(i+1)·acc₀ + Σ_j 31^(i−j)·b_j (mod 2³²)`, with
+    * `px_i = acc_i mod 256` (int wrap ≡ mod 2³²; `& 0xFF` ≡ mod 256) — a
+    * recursive CTE builds the 31-power table, `hex()` gives byte-exact
+    * payload access (no ASCII assumption), and the histogram/argmax mirror
+    * is exact because every bin value is k/128 (a binary fraction, lossless
+    * in both float and double). O(frames·128²) work per document — fine at
+    * oracle scale, and a genuinely independent derivation of the same
+    * semantics. */
+  private val q49Sql =
+    """WITH RECURSIVE pw(e, v) AS (
+      |  SELECT 0, CAST(1 AS BIGINT)
+      |  UNION ALL
+      |  SELECT e + 1, (v * 31) % 4294967296 FROM pw WHERE e < 128
+      |),
+      |p AS (SELECT list(v ORDER BY e) AS pow31 FROM pw),
+      |d AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |             octet_length(encode(text)) AS cl
+      |      FROM documents WHERE doc_id < 200),
+      |b AS (SELECT doc_id, cl,
+      |        list_transform(range(least(cl, 128)), j ->
+      |          CAST(('0x' || substring(hx, CAST(j*2+1 AS INTEGER), 2)) AS BIGINT)) AS bytes
+      |      FROM d),
+      |f AS (SELECT doc_id, cl, bytes, CAST(fr AS INTEGER) AS frame_idx,
+      |             fr * 131 + 17 AS acc0
+      |      FROM b CROSS JOIN range(2) t(fr)),
+      |px AS (SELECT doc_id, frame_idx,
+      |         list_transform(range(128), i ->
+      |           ((pow31[CAST(i+2 AS INTEGER)] * acc0 +
+      |             list_sum(list_transform(range(i+1), j ->
+      |               pow31[CAST(i-j+1 AS INTEGER)] *
+      |               (CASE WHEN cl = 0 THEN 0
+      |                     ELSE bytes[CAST((j % cl)+1 AS INTEGER)] END)))
+      |            ) % 4294967296) % 256) AS pxs
+      |       FROM f CROSS JOIN p),
+      |feat AS (SELECT doc_id, frame_idx,
+      |           list_transform(range(16), t ->
+      |             CAST(len(list_filter(pxs, x -> x // 16 = t)) AS DOUBLE) / 128) AS feature
+      |         FROM px)
+      |SELECT doc_id AS media_id, frame_idx,
+      |       CAST(list_position(feature, list_max(feature)) AS BIGINT) AS top_bin
+      |FROM feat
+      |ORDER BY media_id, frame_idx""".stripMargin
 
   // ------------------------------------------------------------ registry
 
@@ -789,6 +834,6 @@ object QueriesExt {
     Entry("q46_range_join", q46, Some(q46Sql)),
     Entry("q47_vocab_topk", q47, Some(q47Sql)),
     Entry("q48_dedup_clusters", q48, Some(q48Sql)),
-    Entry("q49_multimodal_features", q49, None)
+    Entry("q49_multimodal_features", q49, Some(q49Sql))
   )
 }
