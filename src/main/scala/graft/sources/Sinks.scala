@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode}
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** K1-K5 sink semantics (SURVEY §2.2) re-expressed engine-natively.
   *
@@ -28,10 +28,18 @@ object Sinks {
     *  - `ORDER BY` clustered key → `sortWithinPartitions`, so every INSERT
     *    batch arrives in clustered-key order (in-order inserts are the
     *    cheap path for LSM/MergeTree-family targets);
-    *  - K4 empty-batch guard via the cheap `isEmpty` probe.
+    *  - K4 empty-batch semantics WITHOUT a probe: the row count rides the
+    *    write itself as an `observe` metric (the [[graft.pipelines.Runner]]
+    *    pattern), so the batch executes exactly once — the old `isEmpty`
+    *    guard partially re-executed the transform before every write. An
+    *    empty batch issues no INSERT round-trips (empty partition
+    *    iterators); it does create the declared table if missing, which
+    *    doubles as schema bootstrap.
     *
     * `batchsize` bounds rows per round-trip; executors write in parallel,
     * one connection per partition.
+    *
+    * @return number of rows written (observed in the write pass)
     */
   def writeJdbc(
       df: DataFrame,
@@ -39,9 +47,9 @@ object Sinks {
       url: String,
       props: java.util.Properties = new java.util.Properties(),
       mode: SaveMode = SaveMode.Append,
-      batchsize: Int = 10000): Unit = {
-    val conformed = spec.conform(df)
-    if (conformed.isEmpty) return
+      batchsize: Int = 10000): Long = {
+    val obs = Observation()
+    val conformed = spec.conform(df).observe(obs, count(lit(1)).as("n"))
     val partitioned =
       if (spec.partitionBy.nonEmpty)
         conformed.repartition(spec.partitionBy.map(col): _*)
@@ -54,6 +62,7 @@ object Sinks {
     p.putAll(props)
     p.setProperty("batchsize", batchsize.toString)
     arranged.write.mode(mode).jdbc(url, spec.name, p)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Partitioned, clustered, append-mode write.
@@ -98,6 +107,13 @@ object Sinks {
     * Bucketing requires a catalog table (bucket metadata lives in the
     * catalog, not the files): `path` anchors the data externally,
     * `table` names it.
+    *
+    * Single execution: the row count rides the write as an `observe`
+    * metric — no `isEmpty` pre-probe re-running the input plan. An empty
+    * input yields an empty (but correctly bucketed) catalog table, which
+    * is the right overwrite semantic.
+    *
+    * @return number of rows written (observed in the write pass)
     */
   def writeBucketed(
       df: DataFrame,
@@ -106,13 +122,15 @@ object Sinks {
       bucketCols: Seq[String],
       nBuckets: Int,
       sortCols: Seq[String] = Nil,
-      mode: SaveMode = SaveMode.Overwrite): Unit = {
-    if (df.isEmpty) return
-    val w = df.write.mode(mode).format("parquet").option("path", path)
+      mode: SaveMode = SaveMode.Overwrite): Long = {
+    val obs = Observation()
+    val w = df.observe(obs, count(lit(1)).as("n"))
+      .write.mode(mode).format("parquet").option("path", path)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     val sorted =
       if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
     sorted.saveAsTable(table)
+    obs.get("n").asInstanceOf[Long]
   }
 }
 

@@ -36,9 +36,26 @@ class FederationSpec extends SparkSpec {
         .toDF("schoolId", "name", "url", "createdAt", "updatedAt"),
       Schemas.school, url)
     assert(spark.read.jdbc(url, "school", new Properties()).count() == 3)
-    // K4: an empty batch is a no-op, not an empty INSERT round-trip
-    Sinks.writeJdbc(rows.limit(0), Schemas.school, url)
+    // K4: an empty batch issues no INSERTs (and reports zero rows)
+    assert(Sinks.writeJdbc(rows.limit(0), Schemas.school, url) == 0L)
     assert(spark.read.jdbc(url, "school", new Properties()).count() == 3)
+  }
+
+  test("writeJdbc executes the batch exactly once and returns the observed count") {
+    val onceUrl = "jdbc:derby:memory:graft_fed_once;create=true"
+    val acc = spark.sparkContext.longAccumulator("jdbc_rows_scanned")
+    val rows = Seq(
+      ("s1", "School One", "http://one", ts("2024-01-01 00:00:00"),
+        ts("2024-01-02 00:00:00")),
+      ("s2", "School Two", "http://two", ts("2024-02-01 00:00:00"),
+        ts("2024-02-02 00:00:00")))
+      .toDF("schoolId", "name", "url", "createdAt", "updatedAt")
+      .filter((_: org.apache.spark.sql.Row) => { acc.add(1); true })
+    val n = Sinks.writeJdbc(rows, Schemas.school, onceUrl)
+    assert(n == 2L)
+    // the old isEmpty probe partially re-executed the transform before
+    // every write; the observe path must touch each row exactly once
+    assert(acc.value == 2, s"expected 2 row passes, saw ${acc.value}")
   }
 
   test("registerJdbc exposes a remote table on the spark.sql surface (S5)") {

@@ -61,6 +61,18 @@ class SinksSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("writeBucketed executes its input exactly once and returns the observed count") {
+    val base = Files.createTempDirectory("sinks_bucketed_once").toString
+    val acc = spark.sparkContext.longAccumulator("bucketed_rows_scanned")
+    val df = (1 to 50).map(i => (i % 5, s"v$i")).toDF("k", "v")
+      .filter((_: org.apache.spark.sql.Row) => { acc.add(1); true })
+    val n = Sinks.writeBucketed(df, s"$base/t", "bucketed_once", Seq("k"), 4)
+    assert(n == 50)
+    // the old isEmpty probe partially re-executed the plan before the
+    // write; the observe path must touch each row exactly once
+    assert(acc.value == 50, s"expected 50 row passes, saw ${acc.value}")
+  }
+
   test("WatermarkStore get/set round-trip with epoch default (§2.10 protocol)") {
     val f = Files.createTempDirectory("wm_spec").toString + "/wm.properties"
     val store = new WatermarkStore(f)
