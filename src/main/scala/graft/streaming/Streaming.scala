@@ -81,6 +81,23 @@ object Streaming {
         "result would be partial")
   }
 
+  /** Observation name for the rows-entering-the-sink metric. */
+  private val EmittedMetric = "graft_emitted"
+
+  /** Rows THIS run emitted, summed over the run's micro-batch progress
+    * reports — O(1) driver-side metadata, where re-counting the output
+    * directory would re-scan the entire (cumulative) history on every
+    * resumed run. The file sink reports no `sink.numOutputRows` (−1), so
+    * the count rides a streaming `observe` on the final projection: in
+    * append mode, rows reaching the sink ARE the emission. Bounded by
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100) batches —
+    * far above an AvailableNow catch-up's batch count. */
+  private def rowsEmitted(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.iterator
+      .flatMap(p => Option(p.observedMetrics.get(EmittedMetric)))
+      .map(_.getAs[Long]("n"))
+      .sum
+
   /** Gap-based sessionization via `session_window` — Spark's native
     * mergeable session state; sessions close when `gap` passes with no
     * event, state size is (open sessions × keys) independent of history.
@@ -163,9 +180,8 @@ object Streaming {
     * emitted) — exactly the long-running-stream contract; resume with more
     * data and they emit once the watermark passes them.
     *
-    * @return total rows at `outPath` after the run (CUMULATIVE across
-    *         resumed runs against the same path — diff successive returns
-    *         for a per-run count)
+    * @return rows emitted by THIS run (from the run's sink progress
+    *         metrics — never re-scans the cumulative output directory)
     */
   def sessionizeToFiles(spark: SparkSession, srcDir: String, outPath: String,
       checkpoint: String, gap: String = "30 minutes",
@@ -182,6 +198,7 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"), col("n_events"))
+      .observe(EmittedMetric, count(lit(1)).as("n"))
       .writeStream
       .outputMode("append")
       .format("parquet")
@@ -190,12 +207,12 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     awaitOrFail(q, timeoutMs)
-    spark.read.parquet(outPath).count()
+    rowsEmitted(q)
   }
 
   /** PRODUCTION hourly rollup: append-mode parquet sink, watermark-bounded
     * state — see [[sessionizeToFiles]] for the emission contract and the
-    * cumulative return-value semantics. */
+    * per-run return-value semantics. */
   def hourlyEventCountsToFiles(spark: SparkSession, srcDir: String,
       outPath: String, checkpoint: String, late: String = "1 hour",
       timeoutMs: Long = 300000): Long = {
@@ -210,6 +227,7 @@ object Streaming {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"))
+      .observe(EmittedMetric, count(lit(1)).as("n"))
       .writeStream
       .outputMode("append")
       .format("parquet")
@@ -218,6 +236,6 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     awaitOrFail(q, timeoutMs)
-    spark.read.parquet(outPath).count()
+    rowsEmitted(q)
   }
 }

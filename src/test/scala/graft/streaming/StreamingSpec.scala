@@ -49,6 +49,22 @@ class StreamingSpec extends SparkSpec {
     assert(nSessions > 0, "session append sink emitted nothing")
   }
 
+  test("file-sink counts are per-run, not cumulative, across resumed runs") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("stream_resume").toString
+    val run1 = Streaming.hourlyEventCountsToFiles(spark, sf,
+      s"$dir/hourly", s"$dir/ckpt")
+    assert(run1 > 0)
+    // resume against the same checkpoint with no new source data: THIS run
+    // emits nothing — the old implementation re-counted the whole output
+    // directory and reported run1 again
+    val run2 = Streaming.hourlyEventCountsToFiles(spark, sf,
+      s"$dir/hourly", s"$dir/ckpt")
+    assert(run2 == 0, s"resumed no-op run reported $run2 rows (cumulative?)")
+    // the cumulative directory still holds exactly run1's emission
+    assert(spark.read.parquet(s"$dir/hourly").count() == run1)
+  }
+
   test("memory-sink query names are unique per invocation (no collision)") {
     val sf = "/root/testdata/sf0.001"
     val a = Streaming.hourlyEventCounts(spark, sf).count()
