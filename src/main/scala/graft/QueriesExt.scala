@@ -351,9 +351,10 @@ object QueriesExt {
     * nearest-centroid lists; each query probes its 2 nearest lists and ranks
     * only those candidates by exact cosine. The 100 TB shape: assignment is
     * one broadcast pass over the corpus, search shuffles only probed-list
-    * candidates; recall is tuned by nprobe, never by corpus scans. (Swap the
-    * id-prefix quantizer for k-means centroids in production — the plan
-    * shape is identical.)
+    * candidates; recall is tuned by nprobe, never by corpus scans. The
+    * id-prefix quantizer here is pinned by the oracle; production training
+    * is [[graft.operators.Ivf.train]] (sampled k-means++ + distributed
+    * Lloyd) behind the same broadcast-model plan shape.
     */
   private val q42: Q = (s, dir) => {
     val emb = quantizedEmb(s, dir).cache()

@@ -196,3 +196,54 @@ object SignLshBucketExpr {
     bucket
   }
 }
+
+/** Nearest-centroid assignment over a broadcast centroid matrix as one
+  * codegen'd loop: argmin over exact int64 squared-L2 distances, ties to
+  * the lower index. The centroid matrix rides the generated code as a
+  * reference object (the KMeans-model-broadcast pattern), so assignment is
+  * a pure per-row map — the building block of IVF list assignment and
+  * Lloyd iterations ([[graft.operators.Ivf]]) with NO exchange and no
+  * per-centroid literal columns (k literal struct columns blow up the plan
+  * for k beyond a few dozen). */
+case class NearestCentroidExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    centroids: Array[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  require(centroids.nonEmpty, "nearest-centroid needs at least one centroid")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.longArrays(prettyName, child)
+
+  override protected def nullSafeEval(v: Any): Any =
+    NearestCentroidExpr.compute(v.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCentroids", centroids, "long[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.plans.NearestCentroidExpr.compute($v, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): NearestCentroidExpr =
+    copy(child = newChild)
+}
+
+object NearestCentroidExpr {
+  def compute(v: ArrayData, cents: Array[Array[Long]]): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(v.numElements(), cent.length)
+      var acc = 0L
+      var i = 0
+      while (i < n) { val d = v.getLong(i) - cent(i); acc += d * d; i += 1 }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+}
