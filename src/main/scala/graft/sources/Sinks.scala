@@ -37,7 +37,9 @@ object Sinks {
     *    doubles as schema bootstrap.
     *
     * `batchsize` bounds rows per round-trip; executors write in parallel,
-    * one connection per partition.
+    * one connection per partition. For a ClickHouse target, call
+    * [[ClickHouseDialect.register]] first — types, quoting, nullability
+    * and transaction caveats are documented there.
     *
     * @return number of rows written (observed in the write pass)
     */

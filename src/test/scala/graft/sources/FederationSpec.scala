@@ -58,6 +58,30 @@ class FederationSpec extends SparkSpec {
     assert(acc.value == 2, s"expected 2 row passes, saw ${acc.value}")
   }
 
+  test("ClickHouse dialect maps types per the documented table; Derby unaffected") {
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    ClickHouseDialect.register()
+    ClickHouseDialect.register() // idempotent
+    val d = JdbcDialects.get("jdbc:clickhouse://host:8123/db")
+    assert(d == ClickHouseDialect)
+    assert(JdbcDialects.get("jdbc:ch://host/db") == ClickHouseDialect)
+    // the generic-JDBC (Derby) path must not be captured
+    assert(JdbcDialects.get(url) != ClickHouseDialect)
+    val expected = Seq(
+      BooleanType -> "Bool", ByteType -> "Int8", ShortType -> "Int16",
+      IntegerType -> "Int32", LongType -> "Int64", FloatType -> "Float32",
+      DoubleType -> "Float64", StringType -> "String",
+      BinaryType -> "String", DateType -> "Date32",
+      TimestampType -> "DateTime64(6)",
+      DecimalType(10, 2) -> "Decimal(10, 2)")
+    expected.foreach { case (t, ch) =>
+      assert(d.getJDBCType(t).map(_.databaseTypeDefinition).contains(ch),
+        s"wrong ClickHouse type for $t")
+    }
+    assert(d.quoteIdentifier("weird`col") == "`weird``col`")
+  }
+
   test("registerJdbc exposes a remote table on the spark.sql surface (S5)") {
     val rows = Seq(("g1", "sch1", "Ana", "Lee", ts("2024-01-01 00:00:00"),
       ts("2024-01-01 00:00:00")))
