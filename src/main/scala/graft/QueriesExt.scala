@@ -764,6 +764,105 @@ object QueriesExt {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Gopher-style repetition metrics (top/duplicate token, 2-gram and
+    * 3-gram occurrence fractions) per document — the repetition-removal
+    * quality-filter family. Token hashes are computed once (cached pure
+    * map); each gram width is a map-side-combined (doc, gram) count
+    * aggregate. All metrics are exact integer ratios. */
+  private val q50: Q = (s, dir) => {
+    val th = t(s, dir, "documents")
+      .select(col("doc_id"), Text.tokenHashes(col("text")).as("th"))
+      .cache()
+    Text.repetitionMetrics(th, "doc_id", "th").orderBy(col("doc_id"))
+  }
+
+  private val q50Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |t AS (SELECT doc_id,
+      |        list_transform(w, x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT)) AS th
+      |      FROM w WHERE len(w) >= 3),
+      |g1 AS (SELECT doc_id, unnest(th) AS g FROM t),
+      |g2 AS (SELECT doc_id, unnest(list_transform(range(len(th) - 1),
+      |         i -> (th[i+1]*31 + th[i+2]) % 4294967296)) AS g FROM t),
+      |g3 AS (SELECT doc_id, unnest(list_transform(range(len(th) - 2),
+      |         i -> ((th[i+1]*31 + th[i+2])*31 + th[i+3]) % 4294967296)) AS g FROM t),
+      |m1 AS (SELECT doc_id,
+      |         CAST(max(c) AS DOUBLE) / sum(c) AS top_token_frac,
+      |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup_token_frac
+      |       FROM (SELECT doc_id, g, count(*) AS c FROM g1 GROUP BY 1, 2) GROUP BY doc_id),
+      |m2 AS (SELECT doc_id,
+      |         CAST(max(c) AS DOUBLE) / sum(c) AS top_2gram_frac,
+      |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup_2gram_frac
+      |       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY doc_id),
+      |m3 AS (SELECT doc_id,
+      |         CAST(max(c) AS DOUBLE) / sum(c) AS top_3gram_frac,
+      |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup_3gram_frac
+      |       FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY doc_id)
+      |SELECT m1.doc_id, top_token_frac, dup_token_frac,
+      |       top_2gram_frac, dup_2gram_frac, top_3gram_frac, dup_3gram_frac
+      |FROM m1 JOIN m2 USING (doc_id) JOIN m3 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** PII scrubbing: emails / NA phones / IPv4 replaced with typed tags.
+    * The corpus carries no PII, so a deterministic synthetic injection
+    * (every 7th document) proves real replacement; the result ships as an
+    * md5 of the scrubbed text plus the pre-scrub match count. */
+  private val q51: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("t2",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-123-4567 at 10.0.0.1")))
+          .otherwise(col("text")))
+      .select(col("doc_id"),
+        Text.piiMatchCount(col("t2")).cast("long").as("n_pii"),
+        md5(Text.scrubPii(col("t2"))).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+
+  private val q51Sql =
+    """WITH t AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0
+      |       THEN text || ' contact user' || doc_id ||
+      |            '@example.com or 555-123-4567 at 10.0.0.1'
+      |       ELSE text END AS t2 FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |     + len(regexp_extract_all(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+      |     + len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+      |    AS BIGINT) AS n_pii,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+      |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Deterministic mixture re-weighting over lineitem return flags:
+    * target 50/30/20 R/A/N basis-point mixture, largest feasible subset,
+    * stable-hash membership. Output is the per-stratum kept counts — the
+    * mixture property itself. */
+  private val q52: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .withColumn("lid", concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+    graft.operators.Sampling
+      .toMixture(li, "lid", "l_returnflag", Map("R" -> 5000, "A" -> 3000, "N" -> 2000))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q52Sql =
+    """WITH li AS (SELECT l_returnflag,
+      |             l_orderkey || '-' || l_linenumber AS lid FROM lineitem),
+      |w(f, bp) AS (SELECT * FROM (VALUES ('R', 5000), ('A', 3000), ('N', 2000))),
+      |c AS (SELECT l_returnflag AS f, count(*) AS c FROM li
+      |      WHERE l_returnflag IN ('R', 'A', 'N') GROUP BY 1),
+      |tt AS (SELECT min(c.c * 10000 // w.bp) AS T FROM c JOIN w USING (f)),
+      |r AS (SELECT c.f, (tt.T * w.bp) // c.c AS rate
+      |      FROM c JOIN w USING (f) CROSS JOIN tt)
+      |SELECT li.l_returnflag, count(*) AS n
+      |FROM li JOIN r ON li.l_returnflag = r.f
+      |WHERE CAST(('0x' || substring(md5(lid), 1, 8)) AS BIGINT) % 10000 < r.rate
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Independent DuckDB mirror of the stub-decode → histogram → top-bin
     * pipeline. The rolling mix `acc = acc·31 + byte` (Java int wrap) is not
     * a fold DuckDB can run, but it HAS a closed form over mod-2³² math:
@@ -835,6 +934,9 @@ object QueriesExt {
     Entry("q46_range_join", q46, Some(q46Sql)),
     Entry("q47_vocab_topk", q47, Some(q47Sql)),
     Entry("q48_dedup_clusters", q48, Some(q48Sql)),
-    Entry("q49_multimodal_features", q49, Some(q49Sql))
+    Entry("q49_multimodal_features", q49, Some(q49Sql)),
+    Entry("q50_text_repetition", q50, Some(q50Sql)),
+    Entry("q51_pii_scrub", q51, Some(q51Sql)),
+    Entry("q52_sample_mixture", q52, Some(q52Sql))
   )
 }

@@ -267,4 +267,72 @@ object Text {
     * non-space chars — the usual pre-tokenizer regex shape. */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** ALL-occurrence n-gram hashes (order-preserving, NOT deduped) — the
+    * repetition-metric companion to [[shingleHashesFromTokenHashes]];
+    * codegen'd [[graft.plans.NgramHashesExpr]], same combine math. */
+  def ngramHashes(th: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
+    toCol(graft.plans.NgramHashesExpr(toExpr(th), n))
+  }
+
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1, the
+    * repetition-removal family of quality filters): per document, the
+    * fraction of token/2-gram occurrences claimed by the single most
+    * frequent gram, and the fraction of 3-gram occurrences belonging to
+    * grams that occur more than once. Boilerplate and degenerate
+    * (keyboard-mash / template) documents score high and get filtered.
+    *
+    * Relational 100 TB shape: the token-hash array is computed ONCE (pure
+    * map), each gram width explodes into a map-side-combined
+    * (doc, gram)-count aggregate, and the per-document reductions ride the
+    * same shuffle key — work is O(total tokens), never O(doc²). All
+    * metrics are exact integer ratios → bit-deterministic doubles.
+    *
+    * Input: a frame with `key` and a token-hash array column (from
+    * [[tokenHashes]]). Documents with fewer than 3 tokens are dropped
+    * (their 3-gram denominator is empty).
+    */
+  def repetitionMetrics(df: org.apache.spark.sql.DataFrame, key: String,
+      thCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(key), col(thCol).as("__th"))
+      .filter(size(col("__th")) >= 3)
+    def widthMetrics(n: Int, top: String, dup: String) = {
+      val grams = base.select(col(key),
+        explode(ngramHashes(col("__th"), n)).as("__g"))
+      grams.groupBy(col(key), col("__g")).agg(count(lit(1)).as("__c"))
+        .groupBy(col(key))
+        .agg(
+          (max(col("__c")).cast("double") / sum(col("__c"))).as(top),
+          (sum(when(col("__c") > 1, col("__c")).otherwise(lit(0L)))
+            .cast("double") / sum(col("__c"))).as(dup))
+    }
+    widthMetrics(1, "top_token_frac", "dup_token_frac")
+      .join(widthMetrics(2, "top_2gram_frac", "dup_2gram_frac"), Seq(key))
+      .join(widthMetrics(3, "top_3gram_frac", "dup_3gram_frac"), Seq(key))
+  }
+
+  /** PII scrubbing: emails, North-American phone shapes, and IPv4
+    * addresses replaced with typed placeholder tags — the standard
+    * pre-training redaction pass. Patterns stay inside the regex subset
+    * Java and RE2 share (no backrefs, no lookaround), so the operator is
+    * engine-portable and DuckDB-oracle-checkable. Order matters (emails
+    * first: an email never contains a phone/IP match, but scrubbing IPs
+    * first could split a host-shaped address) — apply via [[scrubPii]].
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** Count of PII matches (pre-scrub), for redaction auditing. */
+  def piiMatchCount(text: Column): Column =
+    PiiPatterns.map { case (pat, _) =>
+      size(regexp_extract_all(text, lit(pat), lit(0)))
+    }.reduce(_ + _)
 }

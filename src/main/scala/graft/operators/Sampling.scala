@@ -35,4 +35,49 @@ object Sampling {
     }
     df.filter(hashGate(col(idCol), pct))
   }
+
+  /** Basis-point (1/10000) hash gate — [[hashGate]] at the resolution
+    * mixture targets need. */
+  def hashGateBp(id: Column, bp: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(10000)) < bp
+
+  /** Deterministic mixture re-weighting: sample the LARGEST subset whose
+    * strata follow `targetBp` (basis points per stratum, e.g. web 7000 /
+    * code 2000 / papers 1000) — the static domain-mixture step of
+    * training-data curation.
+    *
+    * The derivation is pure integer arithmetic, so the sample is exact and
+    * engine-portable: with per-stratum counts c_s, the feasible total is
+    * T = min_s ⌊c_s·10000/bp_s⌋ (the binding stratum is kept whole-ish),
+    * each stratum keeps rate_s = ⌊T·bp_s/c_s⌋ basis points of its rows via
+    * the stable hash gate, and rows of unlisted strata are dropped. One
+    * tiny count aggregate (|strata| rows to the driver — a model, not a
+    * data collect) then a pure-map gate: no shuffle of the data itself,
+    * identical membership under any partitioning, and adjusting targets
+    * only moves hash-band edges — [[stratifiedHash]]'s stability contract.
+    */
+  def toMixture(df: DataFrame, idCol: String, strataCol: String,
+      targetBp: Map[String, Int]): DataFrame = {
+    require(targetBp.nonEmpty && targetBp.values.forall(_ > 0),
+      "targetBp must be positive basis points per stratum")
+    require(targetBp.values.sum <= 10000,
+      s"target basis points sum to ${targetBp.values.sum} > 10000")
+    val strata = targetBp.keys.toSeq.sorted
+    val counts: Map[String, Long] = df
+      .filter(col(strataCol).isin(strata.map(lit): _*))
+      .groupBy(col(strataCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strata.foreach { s =>
+      require(counts.getOrElse(s, 0L) > 0, s"stratum '$s' has no rows")
+      require(counts(s) <= Long.MaxValue / 10000,
+        s"stratum '$s' count overflows the bp arithmetic")
+    }
+    val total = strata.map(s => Math.floorDiv(counts(s) * 10000L, targetBp(s).toLong)).min
+    val rateBp: Column = strata.foldRight(lit(-1L): Column) { (s, els) =>
+      when(col(strataCol) === s,
+        lit(Math.floorDiv(total * targetBp(s), counts(s)))).otherwise(els)
+    }
+    df.filter(hashGateBp(col(idCol), rateBp))
+  }
 }

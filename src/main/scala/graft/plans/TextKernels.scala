@@ -278,3 +278,70 @@ object Simhash32Expr {
     java.lang.Long.valueOf(out)
   }
 }
+
+/** ALL-occurrence n-gram combine over a token-hash array as one codegen'd
+  * loop — [[ShingleHashesExpr]]'s window math (`((h₁·31 + h₂)·31 + h₃)
+  * mod 2³²`, n = 1 raw) WITHOUT the distinct: repetition metrics
+  * (Gopher-style duplicate/top n-gram fractions) need every occurrence,
+  * not the set. A window containing a NULL element yields a NULL gram;
+  * fewer than n tokens yield an empty array. */
+case class NgramHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  require(n >= 1, s"n-gram width must be >= 1, got $n")
+
+  private def childContainsNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = childContainsNull)
+  override def prettyName: String = "graft_ngram_hashes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.longArrays(prettyName, child)
+
+  override protected def nullSafeEval(v: Any): Any =
+    NgramHashesExpr.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.plans.NgramHashesExpr.compute($v, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashesExpr =
+    copy(child = newChild)
+}
+
+object NgramHashesExpr {
+  def compute(th: ArrayData, n: Int): ArrayData = {
+    val len = th.numElements()
+    val m = len - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    var anyNull = false
+    val out = new Array[Long](m)
+    val nulls = new Array[Boolean](m)
+    var i = 0
+    while (i < m) {
+      var c = 0L
+      var isNull = false
+      var j = 0
+      while (j < n && !isNull) {
+        if (th.isNullAt(i + j)) isNull = true
+        else if (n == 1) c = th.getLong(i) // raw values at width 1
+        else c = (c * 31 + th.getLong(i + j)) & 0xFFFFFFFFL
+        j += 1
+      }
+      out(i) = c
+      nulls(i) = isNull
+      anyNull |= isNull
+      i += 1
+    }
+    if (!anyNull) new GenericArrayData(out)
+    else {
+      val boxed = new Array[Any](m)
+      i = 0
+      while (i < m) {
+        boxed(i) = if (nulls(i)) null else java.lang.Long.valueOf(out(i))
+        i += 1
+      }
+      new GenericArrayData(boxed)
+    }
+  }
+}

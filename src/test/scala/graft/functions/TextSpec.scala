@@ -138,6 +138,69 @@ class TextSpec extends SparkSpec {
     assert(viaArrays.toSeq == viaGroup.toSeq)
   }
 
+  test("ngram kernel keeps every occurrence, matching the HOF reference form") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .unionByName(Seq("", "a", "a b", "x x x x", "a b a b a b").toDF("text"))
+      .select(Text.tokenHashes($"text").as("th"))
+    // reference: per-window combine WITHOUT array_distinct
+    def referenceForm(th: org.apache.spark.sql.Column, n: Int) = {
+      val m = size(th) - lit(n - 1)
+      val shifted = (0 until n).map(j => slice(th, lit(j + 1), m))
+      val combined = shifted.reduceLeft(
+        (acc, s) => zip_with(acc, s, (a, b) => pmod(a * 31 + b, lit(4294967296L))))
+      when(size(th) >= n, combined).otherwise(array().cast("array<bigint>"))
+    }
+    for (n <- Seq(1, 2, 3)) {
+      val cmp = corpus.select(
+        Text.ngramHashes($"th", n).as("fast"), referenceForm($"th", n).as("slow"))
+      assert(cmp.filter(not($"fast" <=> $"slow")).isEmpty, s"diverged at n=$n")
+    }
+    // repetition is preserved: "x x x x" has three identical 2-grams
+    val reps = Seq("x x x x").toDF("text")
+      .select(Text.ngramHashes(Text.tokenHashes($"text"), 2).as("g"))
+      .head().getSeq[Long](0)
+    assert(reps.length == 3 && reps.distinct.length == 1)
+  }
+
+  test("repetitionMetrics flags degenerate documents, not diverse ones") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "one two one two one two one two one two"),
+      (4L, "a b") // < 3 tokens: dropped
+    ).toDF("doc_id", "text")
+      .select($"doc_id", Text.tokenHashes($"text").as("th"))
+    val m = Text.repetitionMetrics(docs, "doc_id", "th")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(3), r.getDouble(6))).toMap
+    assert(!m.contains(4L))
+    val (spamTop, spamTop2, spamDup3) = m(1L)
+    assert(spamTop == 1.0 && spamTop2 == 1.0 && spamDup3 == 1.0)
+    val (diverseTop, _, diverseDup3) = m(2L)
+    assert(diverseTop == 0.2 && diverseDup3 == 0.0) // 'the' twice in 10 tokens
+    val (_, cycleTop2, cycleDup3) = m(3L)
+    assert(cycleTop2 > 0.5 && cycleDup3 == 1.0) // alternating cycle
+  }
+
+  test("scrubPii replaces emails, phones and IPs with typed tags") {
+    val df = Seq(
+      "mail me at jo.doe+x@sub.example.org thanks",
+      "call 555-123-4567 or 555.987.6543 now",
+      "host 192.168.1.254 is up",
+      "no pii here at all",
+      "overlap user@h.io 10.0.0.1 555-000-1111"
+    ).toDF("text").select(Text.scrubPii($"text").as("s"),
+      Text.piiMatchCount($"text").as("n"))
+    val got = df.collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(got(0) == ("mail me at <EMAIL> thanks", 1))
+    assert(got(1) == ("call <PHONE> or <PHONE> now", 2))
+    assert(got(2) == ("host <IP> is up", 1))
+    assert(got(3) == ("no pii here at all", 0))
+    assert(got(4) == ("overlap <EMAIL> <IP> <PHONE>", 3))
+  }
+
   test("minhash fused kernel is bit-identical to the grouped reference form") {
     // real corpus: every document's signature must match lane-for-lane
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -174,4 +174,36 @@ class RelationalSpec extends SparkSpec {
       Map("en" -> 80), 10))
     assert(s1.subsetOf(wider))
   }
+
+  test("toMixture hits the target mixture on the largest feasible subset") {
+    // 6000 web / 1000 code / 3000 junk; target web 70% code 30%
+    val docs = (0 until 10000).map { i =>
+      (i.toLong, if (i % 10 < 6) "web" else if (i % 10 == 6) "code" else "junk")
+    }.toDF("id", "domain")
+    val kept = Sampling.toMixture(docs, "id", "domain",
+      Map("web" -> 7000, "code" -> 3000))
+      .groupBy($"domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // code is the binding stratum: T = 1000·10000/3000 = 3333 →
+    // expected keeps ≈ web 2333, code 999 (rates are exact; realized
+    // counts vary with hash uniformity)
+    assert(!kept.contains("junk"), "unlisted strata must be dropped")
+    val share = kept("web").toDouble / (kept("web") + kept("code"))
+    assert(share > 0.65 && share < 0.75, s"web share $share off target 0.70")
+    // binding stratum keeps ~its whole feasible band
+    assert(kept("code") > 900)
+    // determinism across partitioning
+    val a = Sampling.toMixture(docs.repartition(3), "id", "domain",
+      Map("web" -> 7000, "code" -> 3000)).select($"id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.toMixture(docs.repartition(17), "id", "domain",
+      Map("web" -> 7000, "code" -> 3000)).select($"id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // misuse fails fast
+    intercept[IllegalArgumentException](
+      Sampling.toMixture(docs, "id", "domain", Map("web" -> 9000, "code" -> 2000)))
+    intercept[IllegalArgumentException](
+      Sampling.toMixture(docs, "id", "domain", Map("absent" -> 1000)))
+  }
 }
