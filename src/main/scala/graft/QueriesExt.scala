@@ -863,6 +863,71 @@ object QueriesExt {
       |WHERE CAST(('0x' || substring(md5(lid), 1, 8)) AS BIGINT) % 10000 < r.rate
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Benchmark decontamination: drop corpus documents sharing ANY 5-gram
+    * shingle with a benchmark set (here: doc_id < 10 as the held-out
+    * suite) — the n-gram-overlap decontamination pass of every serious
+    * pre-training pipeline. 100 TB shape: the benchmark shingle set is
+    * small by construction → broadcast semi-join on the exploded corpus
+    * shingles, then an anti-join; work is linear in corpus tokens, the
+    * only shuffle is the distinct over contaminated ids (bounded by the
+    * contamination count). */
+  private val q53: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        Text.shingleHashesFromTokenHashes(Text.tokenHashes(col("text")), 5).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .cache()
+    val bench = docs.filter(col("doc_id") < 10)
+      .select(explode(col("hs")).as("g")).distinct()
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val contaminated = corpus.select(col("doc_id"), explode(col("hs")).as("g"))
+      .join(broadcast(bench), Seq("g"))
+      .select(col("doc_id")).distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  private val q53Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |t AS (SELECT doc_id,
+      |        list_transform(w, x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT)) AS th
+      |      FROM w),
+      |h AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(len(th) - 4), i ->
+      |          list_reduce(list_slice(th, i + 1, i + 5),
+      |            (a, b) -> (a * 31 + b) % 4294967296))) AS hs
+      |      FROM t WHERE len(th) >= 5),
+      |b AS (SELECT DISTINCT unnest(hs) AS g FROM h WHERE doc_id < 10),
+      |c AS (SELECT DISTINCT doc_id FROM
+      |        (SELECT doc_id, unnest(hs) AS g FROM h WHERE doc_id >= 10)
+      |      WHERE g IN (SELECT g FROM b))
+      |SELECT doc_id FROM h
+      |WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM c)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Exact distribution profiling: per-stratum exact continuous
+    * percentiles (p50/p90/p99) + count — the data-quality monitoring
+    * readout. Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * p·(n−1) linear-interpolation definition, so exact values
+    * cross-check. */
+  private val q54: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        expr("percentile(l_quantity, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val q54Sql =
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.5) AS p50,
+      |       quantile_cont(l_quantity, 0.9) AS p90,
+      |       quantile_cont(l_quantity, 0.99) AS p99,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Independent DuckDB mirror of the stub-decode → histogram → top-bin
     * pipeline. The rolling mix `acc = acc·31 + byte` (Java int wrap) is not
     * a fold DuckDB can run, but it HAS a closed form over mod-2³² math:
@@ -937,6 +1002,8 @@ object QueriesExt {
     Entry("q49_multimodal_features", q49, Some(q49Sql)),
     Entry("q50_text_repetition", q50, Some(q50Sql)),
     Entry("q51_pii_scrub", q51, Some(q51Sql)),
-    Entry("q52_sample_mixture", q52, Some(q52Sql))
+    Entry("q52_sample_mixture", q52, Some(q52Sql)),
+    Entry("q53_decontaminate", q53, Some(q53Sql)),
+    Entry("q54_percentiles", q54, Some(q54Sql))
   )
 }

@@ -48,20 +48,17 @@ object Scalar {
     * `datetime.date@version=2(yyyy-mm-dd)` rescue; anything else → null
     * (the reference's silent-None semantics). */
   def parseTimestampLoose(c: Column): Column = {
-    // rlike guards before each try_to_timestamp: a failed parse is an
-    // internal exception (slow path); the regex pre-check is codegen'd and
-    // skips it for the overwhelmingly common non-matching case.
-    def guarded(pattern: String, fmt: String) =
-      when(c.rlike(pattern), try_to_timestamp(c, lit(fmt)))
+    // ONE classifying rlike admits exactly the four accepted shapes
+    // (ISO8601 T...Z with 0/3/6 fraction digits, or space-separated), then
+    // ONE format-free try_to_timestamp parses them all — Spark's native
+    // ISO cast handles optional fraction and Z, and the session is pinned
+    // UTC so Z-suffixed values parse identically to the per-format
+    // variants this replaced (4 rlike + per-shape parses; the fused guard
+    // halves the per-row regex work, ScalarSpec pins the semantics).
+    val shapes = "^\\d{4}-\\d{2}-\\d{2}" +
+      "(T\\d{2}:\\d{2}:\\d{2}(\\.\\d{3}|\\.\\d{6})?Z| \\d{2}:\\d{2}:\\d{2})$"
     coalesce(
-      guarded("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{6}Z$",
-        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
-      guarded("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{3}Z$",
-        "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
-      guarded("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}Z$",
-        "yyyy-MM-dd'T'HH:mm:ss'Z'"),
-      guarded("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$",
-        "yyyy-MM-dd HH:mm:ss"),
+      when(c.rlike(shapes), try_to_timestamp(c)),
       try_to_timestamp(
         nullif(regexp_extract(c, "\\((\\d{4}-\\d{2}-\\d{2})\\)", 1), lit("")),
         lit("yyyy-MM-dd"))
