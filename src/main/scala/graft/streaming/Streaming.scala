@@ -238,4 +238,73 @@ object Streaming {
     awaitOrFail(q, timeoutMs)
     rowsEmitted(q)
   }
+
+  /** PRODUCTION streaming exact-dedup: `dropDuplicatesWithinWatermark` on
+    * the event key — the ingest-side dedup of a training-data pipeline
+    * (at-least-once sources replay; §2.10's read-time `dedupLatest`
+    * becomes write-time on a stream). State holds one entry per key seen
+    * within the watermark horizon and is dropped as the watermark passes —
+    * bounded by (keys × horizon), never by history. Exactly-once within
+    * the horizon; replays older than `late` are the at-least-once residue
+    * the horizon explicitly trades away (a batch `dedupLatest` downstream
+    * stays cheap on the thinned stream).
+    *
+    * @return rows emitted by THIS run (per-run, from progress metrics)
+    */
+  def dedupEventsToFiles(spark: SparkSession, srcDir: String, outPath: String,
+      checkpoint: String, keyCols: Seq[String] = Seq("event_id"),
+      late: String = "1 hour", timeoutMs: Long = 300000): Long = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
+    val q = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events*.parquet") // new files arrive over runs
+      .parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", late)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .observe(EmittedMetric, count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, timeoutMs)
+    rowsEmitted(q)
+  }
+
+  /** PRODUCTION stream-static enrichment: the event stream joined to a
+    * slowly-changing dimension (a batch DataFrame) — Spark plans the
+    * static side as a broadcast into every micro-batch, so enrichment
+    * adds NO stream-side shuffle and no state; the dimension is re-read
+    * per batch, which is exactly the slowly-changing-lookup contract.
+    * The standard shape for stamping metadata (license, source, domain)
+    * onto documents at ingest.
+    *
+    * @return rows emitted by THIS run (per-run, from progress metrics)
+    */
+  def enrichEventsToFiles(spark: SparkSession, srcDir: String, dim: DataFrame,
+      joinKey: String, outPath: String, checkpoint: String,
+      timeoutMs: Long = 300000): Long = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
+    val q = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events*.parquet") // new files arrive over runs
+      .parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq(joinKey), "left")
+      .observe(EmittedMetric, count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, timeoutMs)
+    rowsEmitted(q)
+  }
 }

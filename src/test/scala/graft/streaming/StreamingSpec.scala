@@ -65,6 +65,62 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/hourly").count() == run1)
   }
 
+  test("streaming dedup drops duplicates within the watermark, across runs") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_dedup").toString
+    val ns = 1000000000L // event-time nanos (source files carry int64 nanos)
+    def writeEvents(name: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val tmp = s"$dir/tmp_$name"
+      rows.toDF("event_id", "user_id", "ts", "event_type")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/src/$name"))
+    }
+    new java.io.File(s"$dir/src").mkdirs()
+    val t0 = 1700000000L * ns
+    writeEvents("events.parquet", Seq(
+      (1L, 10L, t0, "click"),
+      (1L, 10L, t0 + 60 * ns, "click"), // within-batch duplicate
+      (2L, 10L, t0 + 120 * ns, "view"),
+      (3L, 11L, t0 + 180 * ns, "click"),
+      (4L, 11L, t0 + 240 * ns, "view"),
+      (5L, 12L, t0 + 300 * ns, "click")))
+    val run1 = Streaming.dedupEventsToFiles(spark, s"$dir/src",
+      s"$dir/out", s"$dir/ckpt")
+    assert(run1 == 5, s"run1 emitted $run1, expected 5 (one dup dropped)")
+    // a later file replays id 3 within the horizon and adds a new id 6:
+    // checkpointed dedup state must drop the replay
+    writeEvents("events2.parquet", Seq(
+      (3L, 11L, t0 + 360 * ns, "click"), // cross-run duplicate
+      (6L, 12L, t0 + 420 * ns, "view")))
+    val run2 = Streaming.dedupEventsToFiles(spark, s"$dir/src",
+      s"$dir/out", s"$dir/ckpt")
+    assert(run2 == 1, s"run2 emitted $run2, expected 1 (replay dropped)")
+    val ids = spark.read.parquet(s"$dir/out")
+      .groupBy($"event_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(ids.values.forall(_ == 1L), s"duplicates survived: $ids")
+  }
+
+  test("stream-static enrichment stamps dimension values, no stream state") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_enrich").toString
+    val sf = "/root/testdata/sf0.001"
+    val dim = Seq(("click", "interactive"), ("view", "passive"))
+      .toDF("event_type", "label")
+    val n = Streaming.enrichEventsToFiles(spark, sf, dim, "event_type",
+      s"$dir/out", s"$dir/ckpt")
+    val src = graft.core.Tables(spark, sf, "events")
+    assert(n == src.count(), "enrichment must be row-preserving (left join)")
+    val out = spark.read.parquet(s"$dir/out")
+    // every known type got its label; unknown types survive with null
+    val labels = out.groupBy($"event_type", $"label").count().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels.get("click").contains("interactive"))
+    assert(labels.get("view").contains("passive"))
+  }
+
   test("memory-sink query names are unique per invocation (no collision)") {
     val sf = "/root/testdata/sf0.001"
     val a = Streaming.hourlyEventCounts(spark, sf).count()
