@@ -101,6 +101,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q33: the fused simhash sketch is a pure map — only the output sort shuffles") {
+    val p = plan("q33_dedup_simhash")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"sketch stage must not shuffle (fused kernel regressed?):\n$p")
+    assert(!p.contains("Generate"), "fused sketch must not explode")
+  }
+
+  test("q32: the minhash signature stage has no explode and no aggregate") {
+    val p = plan("q32_dedup_minhash_lsh")
+    // banding explodes (posexplode of band keys) but the SIGNATURE must
+    // not: exactly one Generate (the banding), no partial_min lanes
+    assert(!p.contains("partial_min"),
+      "signature lanes must come from the fused kernel, not aggregates")
+  }
+
+  test("q53: the benchmark shingle set broadcasts; decontamination is linear") {
+    val p = plan("q53_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark set must broadcast into the corpus scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q52: the mixture gate is a pure filter over the scan (no data shuffle)") {
+    // rates are derived driver-side from a tiny count model; the gated
+    // output itself aggregates, so assert the FILTER side: gate appears
+    // as a Filter, not a join against a rates table
+    val p = plan("q52_sample_mixture")
+    assert(!p.contains("Join"), "mixture gate must not join a rates table")
+  }
+
   test("NO query degenerates to a cartesian product or an unintended nested loop") {
     // q34 intentionally BroadcastNestedLoopJoins (tiny query set broadcasts,
     // corpus streams once — that IS the plan). q24/q25 return
