@@ -134,6 +134,67 @@ object Sinks {
     sorted.saveAsTable(table)
     obs.get("n").asInstanceOf[Long]
   }
+
+  /** Compact a parquet directory's small files — the operational
+    * counterpart of the streaming append sinks, whose per-micro-batch
+    * files otherwise accumulate until metadata handling (file listing,
+    * footer reads, task scheduling) dominates every downstream scan. At
+    * 100 TB this is run per partition-era as a maintenance pass.
+    *
+    * Rewrites the directory at `targetBytes`-sized files: partitioned
+    * layouts pass `partitionCols` so the rewrite preserves the directory
+    * scheme (and clusters each key's rows into its own files). The swap is
+    * rename-based (write `.compact_tmp`, move the old dir to
+    * `.compact_bak`, move tmp in, drop bak) — on rename-atomic filesystems
+    * (HDFS, local) readers see old or new, never a mix; a crash between
+    * the two renames leaves the data intact in `.compact_bak` for manual
+    * recovery. Not safe under concurrent WRITERS — schedule around the
+    * producing stream (its checkpoint, not the output dir, is the source
+    * of truth for resume).
+    *
+    * @return (files before, files after)
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L << 20,
+      partitionCols: Seq[String] = Nil): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.result()
+    }
+
+    val before = dataFiles(hPath)
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+
+    val df = spark.read.parquet(path)
+    val arranged =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      else df.repartition(nOut)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + ".compact_bak")
+    fs.delete(tmp, true)
+    val writer = arranged.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp.toString)
+
+    if (!fs.rename(hPath, bak))
+      throw new java.io.IOException(s"compact: could not move $path aside")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(bak, hPath) // restore; tmp is still on disk for inspection
+      throw new java.io.IOException(s"compact: could not install $tmp")
+    }
+    fs.delete(bak, true)
+    (before.size, dataFiles(hPath).size)
+  }
 }
 
 /** §2.10 incremental-load protocol: per-pipeline high watermark persisted

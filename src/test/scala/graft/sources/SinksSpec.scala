@@ -73,6 +73,27 @@ class SinksSpec extends SparkSpec {
     assert(acc.value == 50, s"expected 50 row passes, saw ${acc.value}")
   }
 
+  test("compact folds small files into few, preserving data and partition dirs") {
+    val base = Files.createTempDirectory("sinks_compact").toString
+    val flat = s"$base/flat"
+    val df = (1 to 5000).map(i => (i.toLong, i % 7, s"v$i")).toDF("id", "k", "v")
+    df.repartition(40).write.parquet(flat) // 40 tiny files
+    val (b1, a1) = Sinks.compact(spark, flat)
+    assert(b1 == 40 && a1 < 5, s"$b1 -> $a1 files")
+    val back = spark.read.parquet(flat)
+    assert(back.count() == 5000)
+    assert(back.agg(sum($"id")).head().getLong(0) == 5000L * 5001 / 2)
+    assert(!new java.io.File(s"$flat.compact_tmp").exists())
+    assert(!new java.io.File(s"$flat.compact_bak").exists())
+    // partitioned layout survives, one-ish file per key dir
+    val part = s"$base/part"
+    df.repartition(10).write.partitionBy("k").parquet(part) // 7 dirs x 10 files
+    val (b2, a2) = Sinks.compact(spark, part, partitionCols = Seq("k"))
+    assert(b2 > 50 && a2 <= 14, s"$b2 -> $a2 files")
+    assert(new java.io.File(part, "k=3").isDirectory)
+    assert(spark.read.parquet(part).count() == 5000)
+  }
+
   test("WatermarkStore get/set round-trip with epoch default (§2.10 protocol)") {
     val f = Files.createTempDirectory("wm_spec").toString + "/wm.properties"
     val store = new WatermarkStore(f)
