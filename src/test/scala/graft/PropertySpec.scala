@@ -177,6 +177,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("toMixture: kept set respects targets, nests under scaling, stays feasible") {
+    val mixGen: Gen[(Int, Map[String, Int])] = for {
+      nRows <- Gen.choose(500, 3000)
+      wA <- Gen.choose(1000, 8000)
+      wB <- Gen.choose(500, 10000 - wA)
+    } yield (nRows, Map("a" -> wA, "b" -> wB))
+    forAll(mixGen, n = 8) { case (nRows, weights) =>
+      val docs = (0 until nRows)
+        .map(i => (i.toLong, if (i % 3 == 0) "a" else "b")).toDF("id", "s")
+      val kept = graft.operators.Sampling.toMixture(docs, "id", "s", weights)
+        .groupBy($"s").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val a = kept.getOrElse("a", 0L).toDouble
+      val b = kept.getOrElse("b", 0L).toDouble
+      assert(a + b > 0)
+      // realized mixture within hash-uniformity tolerance of the target
+      val targetShare = weights("a").toDouble / (weights("a") + weights("b"))
+      val share = a / (a + b)
+      assert(math.abs(share - targetShare) < 0.12,
+        s"share $share vs target $targetShare (weights $weights, n $nRows)")
+      // feasibility: no stratum keeps more rows than it has
+      assert(a <= (nRows + 2) / 3 && b <= nRows)
+    }
+  }
+
   test("percentage: in [0, ∞) with 0 exactly when guard trips") {
     forAll(Gen.listOfN(30,
       Gen.zip(Gen.choose(0.0, 100.0), Gen.option(Gen.choose(-10.0, 100.0))))) { rows =>
