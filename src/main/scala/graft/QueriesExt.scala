@@ -928,6 +928,54 @@ object QueriesExt {
       |       count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** TF-IDF keyword extraction: top-3 most characteristic terms per
+    * document. The score is the RATIONAL form tf·(N/df) =
+    * (tf_count·N)/(len·df) — exact integer products into one IEEE
+    * division, so both engines compute bit-identical doubles (a log-based
+    * idf would hang determinism on libm rounding). Relational 100 TB
+    * shape: one exploded (doc, term) count aggregate, a broadcast-sized
+    * df table joined back on term, and a per-doc top-k window — work is
+    * O(total tokens), the df join key space is the vocabulary. */
+  private val q55: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), Text.tokenHashes(col("text")).as("th"))
+    val n = docs.count()
+    val terms = docs
+      .select(col("doc_id"), size(col("th")).as("len"), explode(col("th")).as("tm"))
+      .groupBy(col("doc_id"), col("len"), col("tm"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("tm"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tm"))
+    terms.join(dfreq, Seq("tm"))
+      .withColumn("score",
+        (col("tf") * lit(n)).cast("double") / (col("len") * col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("tm").as("term_hash"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val q55Sql =
+    """WITH d AS (SELECT doc_id,
+      |             list_transform(string_split(text, ' '),
+      |               x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT)) AS th
+      |           FROM documents),
+      |n AS (SELECT count(*) AS n FROM d),
+      |tm AS (SELECT doc_id, len(th) AS len, unnest(th) AS tm FROM d),
+      |tf AS (SELECT doc_id, len, tm, count(*) AS tf FROM tm GROUP BY 1, 2, 3),
+      |dfq AS (SELECT tm, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id, tf.tm,
+      |         CAST(tf.tf * n.n AS DOUBLE) / (tf.len * dfq.df) AS score
+      |       FROM tf JOIN dfq USING (tm) CROSS JOIN n),
+      |rk AS (SELECT doc_id, tm, score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY score DESC, tm) AS rank
+      |       FROM sc)
+      |SELECT doc_id, CAST(rank AS INTEGER) AS rank, tm AS term_hash, score
+      |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** Independent DuckDB mirror of the stub-decode → histogram → top-bin
     * pipeline. The rolling mix `acc = acc·31 + byte` (Java int wrap) is not
     * a fold DuckDB can run, but it HAS a closed form over mod-2³² math:
@@ -1004,6 +1052,7 @@ object QueriesExt {
     Entry("q51_pii_scrub", q51, Some(q51Sql)),
     Entry("q52_sample_mixture", q52, Some(q52Sql)),
     Entry("q53_decontaminate", q53, Some(q53Sql)),
-    Entry("q54_percentiles", q54, Some(q54Sql))
+    Entry("q54_percentiles", q54, Some(q54Sql)),
+    Entry("q55_tfidf_keywords", q55, Some(q55Sql))
   )
 }
