@@ -939,7 +939,9 @@ object QueriesExt {
   private val q55: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), Text.tokenHashes(col("text")).as("th"))
-    val n = docs.count()
+    // corpus size rides the plan as a broadcast 1-row aggregate — no
+    // separate driver-side count() job scanning the corpus twice
+    val corpusN = docs.agg(count(lit(1)).as("__n"))
     val terms = docs
       .select(col("doc_id"), size(col("th")).as("len"), explode(col("th")).as("tm"))
       .groupBy(col("doc_id"), col("len"), col("tm"))
@@ -949,8 +951,9 @@ object QueriesExt {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tm"))
     terms.join(dfreq, Seq("tm"))
+      .crossJoin(broadcast(corpusN))
       .withColumn("score",
-        (col("tf") * lit(n)).cast("double") / (col("len") * col("df")))
+        (col("tf") * col("__n")).cast("double") / (col("len") * col("df")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("tm").as("term_hash"), col("score"))
