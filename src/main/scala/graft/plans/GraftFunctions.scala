@@ -100,6 +100,25 @@ object GraftFunctions {
       Some(Literal(0.0)))
   }
 
+  /** PII scrub / count as raw Catalyst trees (mirror
+    * [[graft.functions.Text.scrubPii]] / `piiMatchCount` — same pattern
+    * table, same application order). */
+  private def scrubPiiExpr(text: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+    graft.functions.Text.PiiPatterns.foldLeft(text) { case (e, (pat, tag)) =>
+      RegExpReplace(e, Literal(pat), Literal(tag))
+    }
+  }
+
+  private def piiCountExpr(text: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, RegExpExtractAll, Size}
+    graft.functions.Text.PiiPatterns
+      .map { case (pat, _) =>
+        Size(RegExpExtractAll(text, Literal(pat), Literal(0))): Expression
+      }
+      .reduce[Expression]((a, b) => Add(a, b))
+  }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[JaccardSimilarity].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
@@ -135,7 +154,11 @@ object GraftFunctions {
     ("graft_grade", "_FUNC_(pct) - reference grade scale: struct(grade, gpa, meaning)",
       arity("graft_grade", 1)(c => gradeExpr(c.head))),
     ("graft_percentage", "_FUNC_(score, maxScore) - percentage with the maxScore guard",
-      arity("graft_percentage", 2)(c => percentageExpr(c(0), c(1))))
+      arity("graft_percentage", 2)(c => percentageExpr(c(0), c(1)))),
+    ("graft_scrub_pii", "_FUNC_(text) - emails/phones/IPv4 replaced with typed tags",
+      arity("graft_scrub_pii", 1)(c => scrubPiiExpr(c.head))),
+    ("graft_pii_count", "_FUNC_(text) - number of PII matches (pre-scrub)",
+      arity("graft_pii_count", 1)(c => piiCountExpr(c.head)))
   )
 
   def register(spark: SparkSession): Unit =

@@ -76,6 +76,26 @@ class ScalarSpec extends SparkSpec {
       None))
   }
 
+  test("parseTimestampLoose: shape grammar is exact; fractions keep precision") {
+    // shapes OUTSIDE the accepted grammar must null (the fused classifier
+    // must not be looser than the per-format guards it replaced)
+    val rejected = Seq(
+      "2024-03-05T10:20:30.12Z", // 2 fraction digits
+      "2024-03-05T10:20:30.123456789Z", // 9 fraction digits
+      "2024-03-05T10:20:30+02:00", // offset form
+      "2024-03-05T10:20:30", // missing Z
+      "2024-03-05" // date only
+    ).toDF("raw")
+    assert(rejected.select(Scalar.parseTimestampLoose($"raw"))
+      .collect().forall(_.isNullAt(0)))
+    // fractional seconds survive to the microsecond
+    val micros = Seq("2024-03-05T10:20:30.123456Z").toDF("raw")
+      .select(date_format(Scalar.parseTimestampLoose($"raw"),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .head().getString(0)
+    assert(micros == "2024-03-05 10:20:30.123456")
+  }
+
   test("toDoubleOrNull casts silently (F4 to_float semantics)") {
     val df = Seq("95.5", "abc", "", "7", "-1.25e2").toDF("s")
     val got = df.select(Scalar.toDoubleOrNull($"s")).collect().map(r =>

@@ -201,6 +201,20 @@ class TextSpec extends SparkSpec {
     assert(got(4) == ("overlap <EMAIL> <IP> <PHONE>", 3))
   }
 
+  test("graft_scrub_pii / graft_pii_count SQL functions match the Column API") {
+    graft.plans.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT graft_scrub_pii('reach a@b.io or 555-123-4567') AS s,
+        |       graft_pii_count('reach a@b.io or 555-123-4567') AS n""".stripMargin)
+      .head()
+    assert(viaSql.getString(0) == "reach <EMAIL> or <PHONE>" && viaSql.getInt(1) == 2)
+    val viaCol = Seq("reach a@b.io or 555-123-4567").toDF("t")
+      .select(Text.scrubPii($"t"), Text.piiMatchCount($"t")).head()
+    assert(viaSql.getString(0) == viaCol.getString(0)
+      && viaSql.getInt(1) == viaCol.getInt(1))
+    intercept[Exception](spark.sql("SELECT graft_scrub_pii('a', 'b')").head())
+  }
+
   test("minhash fused kernel is bit-identical to the grouped reference form") {
     // real corpus: every document's signature must match lane-for-lane
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
