@@ -131,14 +131,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), "mixture gate must not join a rates table")
   }
 
+  test("q55: the only nested loop is the 1-row corpus-size broadcast") {
+    val p = plan("q55_tfidf_keywords")
+    // the corpus-size scalar joins as a broadcast with a single-row
+    // inner (the model-broadcast pattern); the term/df joins must stay
+    // hash equi-joins
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+    spark.catalog.clearCache()
+  }
+
   test("NO query degenerates to a cartesian product or an unintended nested loop") {
     // q34 intentionally BroadcastNestedLoopJoins (tiny query set broadcasts,
-    // corpus streams once — that IS the plan). q24/q25 return
+    // corpus streams once — that IS the plan); q55's corpus-size scalar is
+    // a 1-row broadcast cross join (the model-broadcast pattern — O(n)
+    // with a single-row inner, asserted below). q24/q25 return
     // post-materialization plans (streaming runs + localCheckpoint: the
     // inspected plan would be a vacuous RDD scan at real streaming cost);
     // q48 runs its clustering fixpoint eagerly and returns a post-fixpoint
     // projection — both classes carry their own dedicated specs instead.
-    val excluded = Set("q34_sim_cosine_topk",
+    val excluded = Set("q34_sim_cosine_topk", "q55_tfidf_keywords",
       "q24_streaming_window", "q25_streaming_sessions", "q48_dedup_clusters")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
