@@ -185,6 +185,32 @@ object QueriesExt {
       |SELECT n AS doc_id, min(l) AS rep_id FROM r GROUP BY n
       |ORDER BY doc_id""".stripMargin
 
+  /** End-to-end corpus dedup: detection → clustering → keep canonical
+    * representatives + all unclustered docs ([[graft.operators.NearDup
+    * .dedupCorpus]]). The oracle derives survivors from the independent
+    * recursive-CTE closure. */
+  private val q56: Q = (s, dir) =>
+    graft.operators.NearDup.dedupCorpus(docShingles(s, dir).cache(), 0.8)
+      .orderBy(col("doc_id"))
+
+  private val q56Sql =
+    docHsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    """,
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |      WHERE len(list_intersect(a.hs, b.hs))
+      |            / len(list_distinct(a.hs || b.hs)) >= 0.8),
+      |e AS (SELECT doc_a AS n, doc_b AS m FROM p
+      |      UNION ALL SELECT doc_b, doc_a FROM p),
+      |r(n, l) AS (
+      |  SELECT n, n FROM e
+      |  UNION
+      |  SELECT r.n, e.m FROM r JOIN e ON e.n = r.l),
+      |lab AS (SELECT n AS doc_id, min(l) AS rep_id FROM r GROUP BY n)
+      |SELECT doc_id FROM h
+      |WHERE doc_id NOT IN (SELECT doc_id FROM lab WHERE rep_id <> doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** MinHash + LSH near-dup detection: 64-hash signatures, 16 bands × 4
     * rows, bucket-join on band keys, exact-Jaccard verification of
     * candidates. The shuffle moves (doc, band-key) pairs — linear in corpus
@@ -1056,6 +1082,7 @@ object QueriesExt {
     Entry("q52_sample_mixture", q52, Some(q52Sql)),
     Entry("q53_decontaminate", q53, Some(q53Sql)),
     Entry("q54_percentiles", q54, Some(q54Sql)),
-    Entry("q55_tfidf_keywords", q55, Some(q55Sql))
+    Entry("q55_tfidf_keywords", q55, Some(q55Sql)),
+    Entry("q56_dedup_corpus", q56, Some(q56Sql))
   )
 }

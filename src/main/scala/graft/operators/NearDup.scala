@@ -143,6 +143,25 @@ object NearDup {
     lab.select(col("n").as("doc_id"), col("lab").as("rep_id"))
   }
 
+  /** The curation ACTION the detection machinery exists for: dedup a
+    * corpus end-to-end — prefix-filtered pair detection at `tau`,
+    * transitive-closure grouping, keep each group's canonical (minimum
+    * id) representative plus every unclustered document. One call from
+    * `(doc_id, hs)` to the surviving ids; join the result back to the
+    * full corpus to materialize the deduplicated dataset.
+    *
+    * Scale shape is the composition of its parts ([[prefixJoinPairs]] +
+    * [[clusters]]): postings bounded by prefix-df², O(log diameter)
+    * labeling rounds, and the final keep-filter is one anti-join keyed on
+    * the clustered ids (small: only documents that were in some pair). */
+  def dedupCorpus(docs: DataFrame, tau: Double,
+      maxIter: Int = 12): DataFrame = {
+    val dropped = clusters(prefixJoinPairs(docs, tau), maxIter)
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id"))
+    docs.join(dropped, Seq("doc_id"), "left_anti").select(col("doc_id"))
+  }
+
   /** Low-skew alternative: the whole pipeline is codegen'd
     * explode → shuffle-join → hash-aggregate with no verification pass. */
   def countJoinPairs(docs: DataFrame, tau: Double): DataFrame = {

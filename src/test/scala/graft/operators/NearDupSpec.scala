@@ -69,6 +69,26 @@ class NearDupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
   }
 
+  test("dedupCorpus keeps one representative per group and every singleton") {
+    // docs 1,2,3 near-identical (one transitive group), 4 shares nothing,
+    // 5,6 a second pair — survivors must be {1, 4, 5}
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val base = ('a' to 'n').map(_.toString)
+    val docs = Seq(
+      (1L, doc(base)),
+      (2L, doc(base.drop(1) :+ "x")), // high overlap with 1
+      (3L, doc(base.drop(1) :+ "y")), // high overlap with 1 and 2
+      (4L, doc((1 to 14).map(i => s"w$i"))),
+      (5L, doc((1 to 14).map(i => s"z$i"))),
+      (6L, doc((1 to 14).map(i => s"z$i") :+ "tail"))
+    ).toDF("doc_id", "text")
+      .select($"doc_id", Text.shingleHashes($"text", 3).as("hs"))
+      .filter(size($"hs") > 0)
+    val survivors = NearDup.dedupCorpus(docs, 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 4L, 5L), s"got $survivors")
+  }
+
   test("prefix filter bounds join volume under a viral shingle (skew robustness)") {
     // 200 docs all sharing one boilerplate shingle hash (df = 200) plus
     // distinct content. Count-join postings visit df² ≈ 20k ordered pairs
