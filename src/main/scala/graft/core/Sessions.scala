@@ -16,15 +16,20 @@ import org.apache.spark.sql.SparkSession
   *   overhead; on a real cluster this is sized to executors instead.
   */
 object Sessions {
-  def builder(master: String, cores: Int): SparkSession.Builder =
-    SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.session.timeZone", "UTC")
+  /** The engine-semantics confs every session variant shares — one
+    * definition so [[builder]] and [[cluster]] cannot drift (this file's
+    * whole reason to exist). */
+  private def semantics(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+
+  def builder(master: String, cores: Int): SparkSession.Builder =
+    semantics(SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false"))
 
   /** Production-cluster builder: [[builder]]'s engine semantics plus the
     * scale knobs a 100 TB deployment sizes explicitly (all are defaults a
@@ -46,16 +51,12 @@ object Sessions {
     *    high is cheap.
     */
   def cluster(appName: String): SparkSession.Builder =
-    SparkSession.builder()
-      .appName(appName)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
+    semantics(SparkSession.builder()
+      .appName(appName))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (256L << 20).toString)
       .config("spark.sql.parquet.compression.codec", "zstd")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()

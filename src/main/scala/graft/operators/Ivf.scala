@@ -66,6 +66,13 @@ object Ivf {
       .map(_.getSeq[Long](0).toArray)
     require(sample.length >= k,
       s"need at least k=$k vectors to seed, corpus has ${sample.length}")
+    // fail fast on ragged input (the documented equal-length precondition):
+    // unchecked, a long vector would AIOOBE mid-Lloyd via posexplode while
+    // a short one would silently train on a truncated prefix
+    val dim = sample.head.length
+    require(sample.forall(_.length == dim),
+      s"ragged embedding lengths in the seeding sample (expected $dim) — " +
+        "vectors must be equal-length")
 
     var cents = seedPlusPlus(sample, k, seed)
     var it = 0

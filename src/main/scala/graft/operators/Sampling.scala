@@ -74,9 +74,20 @@ object Sampling {
         s"stratum '$s' count overflows the bp arithmetic")
     }
     val total = strata.map(s => Math.floorDiv(counts(s) * 10000L, targetBp(s).toLong)).min
+    val rates = strata.map(s => s -> Math.floorDiv(total * targetBp(s), counts(s))).toMap
+    // a floored rate of 0 means the imbalance exceeds the gate's 1/10000
+    // resolution (stratum should keep < c/10000 rows): fail loudly —
+    // silently dropping the stratum would ship the WRONG mixture, and
+    // clamping to 1 bp would overshoot its share by orders of magnitude
+    rates.find(_._2 == 0L).foreach { case (s, _) =>
+      throw new IllegalArgumentException(
+        s"toMixture: stratum '$s' needs a keep rate below 1/10000 " +
+          s"(counts $counts, targets $targetBp) — the mixture is too " +
+          "imbalanced for the basis-point gate; pre-sample the dominant " +
+          "strata or adjust targets")
+    }
     val rateBp: Column = strata.foldRight(lit(-1L): Column) { (s, els) =>
-      when(col(strataCol) === s,
-        lit(Math.floorDiv(total * targetBp(s), counts(s)))).otherwise(els)
+      when(col(strataCol) === s, lit(rates(s))).otherwise(els)
     }
     df.filter(hashGateBp(col(idCol), rateBp))
   }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Observation, SaveMode}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, pmod, xxhash64}
 
 /** K1-K5 sink semantics (SURVEY §2.2) re-expressed engine-natively.
   *
@@ -64,7 +64,10 @@ object Sinks {
     p.putAll(props)
     p.setProperty("batchsize", batchsize.toString)
     arranged.write.mode(mode).jdbc(url, spec.name, p)
-    obs.get("n").asInstanceOf[Long]
+    // getOrEmpty, not get: SaveMode.Ignore on an existing table runs NO
+    // job, so the metric never materializes and get() would block forever
+    org.apache.spark.sql.graftbridge.Bridge.observedOrEmpty(obs)
+      .get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
   }
 
   /** Partitioned, clustered, append-mode write.
@@ -132,7 +135,9 @@ object Sinks {
     val sorted =
       if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
     sorted.saveAsTable(table)
-    obs.get("n").asInstanceOf[Long]
+    // see writeJdbc: Ignore-mode on an existing table executes nothing
+    org.apache.spark.sql.graftbridge.Bridge.observedOrEmpty(obs)
+      .get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
   }
 
   /** Compact a parquet directory's small files — the operational
@@ -143,14 +148,23 @@ object Sinks {
     *
     * Rewrites the directory at `targetBytes`-sized files: partitioned
     * layouts pass `partitionCols` so the rewrite preserves the directory
-    * scheme (and clusters each key's rows into its own files). The swap is
-    * rename-based (write `.compact_tmp`, move the old dir to
-    * `.compact_bak`, move tmp in, drop bak) — on rename-atomic filesystems
-    * (HDFS, local) readers see old or new, never a mix; a crash between
-    * the two renames leaves the data intact in `.compact_bak` for manual
-    * recovery. Not safe under concurrent WRITERS — schedule around the
-    * producing stream (its checkpoint, not the output dir, is the source
-    * of truth for resume).
+    * scheme; within the scheme, rows spread over (key, salt) so each key
+    * splits into ~⌈dir bytes / (target · keys)⌉ files (uniform-key
+    * approximation — a single pathological key is still bounded by the
+    * per-key split count). The swap is rename-based (write
+    * `.compact_tmp`, move the old dir to `.compact_bak`, move tmp in,
+    * drop bak) — on rename-atomic filesystems (HDFS, local) readers see
+    * old or new, never a mix; a crash between the two renames leaves the
+    * data intact in `.compact_bak` for manual recovery. Not safe under
+    * concurrent WRITERS.
+    *
+    * REFUSES a directory carrying a streaming sink's `_spark_metadata`
+    * transaction log: readers of such a directory go through the sink log
+    * (MetadataLogFileIndex), and a batch rewrite would make every
+    * pre-compact row invisible the moment the producing stream resumes
+    * and re-creates the log — silent data loss. Stop the stream and
+    * migrate the data to a plain directory first (read → writePartitioned),
+    * then compact that.
     *
     * @return (files before, files after)
     */
@@ -160,6 +174,11 @@ object Sinks {
     require(targetBytes > 0, "targetBytes must be positive")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(hPath, "_spark_metadata")))
+      throw new IllegalArgumentException(
+        s"compact: $path is a streaming file-sink output (_spark_metadata " +
+          "present); a batch rewrite would orphan every pre-compact row " +
+          "behind the sink log. Migrate to a plain directory first.")
 
     def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
       val it = fs.listFiles(p, true)
@@ -177,8 +196,17 @@ object Sinks {
 
     val df = spark.read.parquet(path)
     val arranged =
-      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
-      else df.repartition(nOut)
+      if (partitionCols.nonEmpty) {
+        // split each key into ~nOut/nKeys salted groups so big keys still
+        // land near targetBytes (plain repartition(keys) would emit ONE
+        // file per key regardless of size)
+        val nKeys = math.max(1L,
+          df.select(partitionCols.map(col): _*).distinct().count())
+        val splits = math.max(1L, (nOut + nKeys - 1) / nKeys).toInt
+        val salt = pmod(
+          xxhash64(df.columns.map(col): _*), lit(splits))
+        df.repartition(nOut, (partitionCols.map(col) :+ salt): _*)
+      } else df.repartition(nOut)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact_tmp")
     val bak = new org.apache.hadoop.fs.Path(path + ".compact_bak")
     fs.delete(tmp, true)

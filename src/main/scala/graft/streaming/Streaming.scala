@@ -84,19 +84,63 @@ object Streaming {
   /** Observation name for the rows-entering-the-sink metric. */
   private val EmittedMetric = "graft_emitted"
 
-  /** Rows THIS run emitted, summed over the run's micro-batch progress
-    * reports — O(1) driver-side metadata, where re-counting the output
-    * directory would re-scan the entire (cumulative) history on every
-    * resumed run. The file sink reports no `sink.numOutputRows` (−1), so
-    * the count rides a streaming `observe` on the final projection: in
-    * append mode, rows reaching the sink ARE the emission. Bounded by
-    * `spark.sql.streaming.numRecentProgressUpdates` (default 100) batches —
-    * far above an AvailableNow catch-up's batch count. */
-  private def rowsEmitted(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
-    q.recentProgress.iterator
+  /** Progress entries retained per query — sized for long catch-up runs
+    * (file source AvailableNow defaults to 1000 files/trigger, so this
+    * covers ~10M backlogged files); [[rowsEmitted]] still VERIFIES no
+    * overflow rather than trusting the headroom. */
+  private val ProgressRetention = 10000
+
+  /** The shared events source: declared schema, int64-nanos → timestamp
+    * conversion, and a glob that admits `events*.parquet` so files
+    * arriving between runs are picked up on resume. */
+  private def eventsStream(spark: SparkSession, srcDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      ProgressRetention.toString)
+    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events*.parquet")
+      .parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run `df` to completion as an append-mode parquet file-sink query and
+    * return the rows THIS run emitted. The count rides a streaming
+    * `observe` on the final projection (the file sink reports no
+    * `sink.numOutputRows`); in append mode, rows reaching the sink ARE
+    * the emission. Re-counting the output directory instead would re-scan
+    * the entire cumulative history on every resumed run. */
+  private def runAppendToFiles(df: DataFrame, outPath: String,
+      checkpoint: String, timeoutMs: Long): Long = {
+    val q = df.observe(EmittedMetric, count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, timeoutMs)
+    rowsEmitted(q)
+  }
+
+  /** Sum the observed per-batch emission counts, FAILING if the progress
+    * buffer overflowed (batch-id span exceeding retained entries means
+    * early batches were evicted — a silent undercount otherwise). */
+  private def rowsEmitted(q: org.apache.spark.sql.streaming.StreamingQuery): Long = {
+    val ps = q.recentProgress
+    if (ps.nonEmpty) {
+      val span = ps.last.batchId - ps.head.batchId + 1
+      if (span > ps.length) throw new IllegalStateException(
+        s"progress buffer overflowed (${ps.length} entries retained of " +
+          s"$span batches) — raise spark.sql.streaming.numRecentProgressUpdates")
+    }
+    ps.iterator
       .flatMap(p => Option(p.observedMetrics.get(EmittedMetric)))
       .map(_.getAs[Long]("n"))
       .sum
+  }
 
   /** Gap-based sessionization via `session_window` — Spark's native
     * mergeable session state; sessions close when `gap` passes with no
@@ -107,14 +151,8 @@ object Streaming {
     * path is [[sessionizeToFiles]]. */
   def sessionize(spark: SparkSession, sfDir: String,
       gap: String = "30 minutes"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = uniqueName("graft_stream_sessions")
-    val q = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = eventsStream(spark, sfDir)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
@@ -139,19 +177,12 @@ object Streaming {
 
   /** TEST/ORACLE SHIM — see [[sessionize]]; production path is
     * [[hourlyEventCountsToFiles]]. Hourly event counts per type via a real
-    * streaming query over the events parquet (ns timestamps read as longs,
-    * converted after read). Runs to completion on available data and
-    * returns the result table.
+    * streaming query over the events parquet. Runs to completion on
+    * available data and returns the result table.
     */
   def hourlyEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = uniqueName("graft_stream_hourly")
-    val q = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = eventsStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -180,64 +211,34 @@ object Streaming {
     * emitted) — exactly the long-running-stream contract; resume with more
     * data and they emit once the watermark passes them.
     *
-    * @return rows emitted by THIS run (from the run's sink progress
-    *         metrics — never re-scans the cumulative output directory)
+    * @return rows emitted by THIS run (from the run's progress metrics —
+    *         never re-scans the cumulative output directory)
     */
   def sessionizeToFiles(spark: SparkSession, srcDir: String, outPath: String,
       checkpoint: String, gap: String = "30 minutes",
-      late: String = "1 hour", timeoutMs: Long = 300000): Long = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
-    val q = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", late)
-      .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"),
-        col("session_window.start").as("session_start"), col("n_events"))
-      .observe(EmittedMetric, count(lit(1)).as("n"))
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outPath)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    awaitOrFail(q, timeoutMs)
-    rowsEmitted(q)
-  }
+      late: String = "1 hour", timeoutMs: Long = 300000): Long =
+    runAppendToFiles(
+      eventsStream(spark, srcDir)
+        .withWatermark("ts", late)
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"), col("n_events")),
+      outPath, checkpoint, timeoutMs)
 
   /** PRODUCTION hourly rollup: append-mode parquet sink, watermark-bounded
     * state — see [[sessionizeToFiles]] for the emission contract and the
     * per-run return-value semantics. */
   def hourlyEventCountsToFiles(spark: SparkSession, srcDir: String,
       outPath: String, checkpoint: String, late: String = "1 hour",
-      timeoutMs: Long = 300000): Long = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
-    val q = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", late)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("hour"), col("event_type"), col("n"))
-      .observe(EmittedMetric, count(lit(1)).as("n"))
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outPath)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    awaitOrFail(q, timeoutMs)
-    rowsEmitted(q)
-  }
+      timeoutMs: Long = 300000): Long =
+    runAppendToFiles(
+      eventsStream(spark, srcDir)
+        .withWatermark("ts", late)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("hour"), col("event_type"), col("n")),
+      outPath, checkpoint, timeoutMs)
 
   /** PRODUCTION streaming exact-dedup: `dropDuplicatesWithinWatermark` on
     * the event key — the ingest-side dedup of a training-data pipeline
@@ -253,27 +254,12 @@ object Streaming {
     */
   def dedupEventsToFiles(spark: SparkSession, srcDir: String, outPath: String,
       checkpoint: String, keyCols: Seq[String] = Seq("event_id"),
-      late: String = "1 hour", timeoutMs: Long = 300000): Long = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
-    val q = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events*.parquet") // new files arrive over runs
-      .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", late)
-      .dropDuplicatesWithinWatermark(keyCols)
-      .observe(EmittedMetric, count(lit(1)).as("n"))
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outPath)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    awaitOrFail(q, timeoutMs)
-    rowsEmitted(q)
-  }
+      late: String = "1 hour", timeoutMs: Long = 300000): Long =
+    runAppendToFiles(
+      eventsStream(spark, srcDir)
+        .withWatermark("ts", late)
+        .dropDuplicatesWithinWatermark(keyCols),
+      outPath, checkpoint, timeoutMs)
 
   /** PRODUCTION stream-static enrichment: the event stream joined to a
     * slowly-changing dimension (a batch DataFrame) — Spark plans the
@@ -287,24 +273,9 @@ object Streaming {
     */
   def enrichEventsToFiles(spark: SparkSession, srcDir: String, dim: DataFrame,
       joinKey: String, outPath: String, checkpoint: String,
-      timeoutMs: Long = 300000): Long = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
-    val q = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events*.parquet") // new files arrive over runs
-      .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .join(org.apache.spark.sql.functions.broadcast(dim), Seq(joinKey), "left")
-      .observe(EmittedMetric, count(lit(1)).as("n"))
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outPath)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    awaitOrFail(q, timeoutMs)
-    rowsEmitted(q)
-  }
+      timeoutMs: Long = 300000): Long =
+    runAppendToFiles(
+      eventsStream(spark, srcDir)
+        .join(broadcast(dim), Seq(joinKey), "left"),
+      outPath, checkpoint, timeoutMs)
 }

@@ -205,5 +205,12 @@ class RelationalSpec extends SparkSpec {
       Sampling.toMixture(docs, "id", "domain", Map("web" -> 9000, "code" -> 2000)))
     intercept[IllegalArgumentException](
       Sampling.toMixture(docs, "id", "domain", Map("absent" -> 1000)))
+    // imbalance beyond the basis-point gate's resolution must fail loudly,
+    // not silently drop the dominant stratum (its floored rate would be 0)
+    val skewed = ((0 until 60000).map(i => (i.toLong, "big")) :+ (60000L, "tiny"))
+      .toDF("id", "domain")
+    val e = intercept[IllegalArgumentException](
+      Sampling.toMixture(skewed, "id", "domain", Map("big" -> 5000, "tiny" -> 5000)))
+    assert(e.getMessage.contains("resolution") || e.getMessage.contains("imbalanced"))
   }
 }

@@ -94,6 +94,28 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(part).count() == 5000)
   }
 
+  test("compact refuses a streaming file-sink directory (sink-log safety)") {
+    val dir = Files.createTempDirectory("sinks_compact_stream").toString + "/t"
+    Seq((1, "a")).toDF("id", "v").write.parquet(dir)
+    // simulate the sink's transaction log
+    new java.io.File(dir, "_spark_metadata").mkdirs()
+    val e = intercept[IllegalArgumentException](Sinks.compact(spark, dir))
+    assert(e.getMessage.contains("_spark_metadata"))
+    // untouched on disk (reading THROUGH the now-present sink log would
+    // itself demonstrate the invisibility problem compact guards against)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".parquet")))
+  }
+
+  test("writeBucketed Ignore-mode on an existing table returns 0, not a hang") {
+    val base = Files.createTempDirectory("sinks_ignore").toString
+    val df = Seq((1, "a")).toDF("k", "v")
+    assert(Sinks.writeBucketed(df, s"$base/t", "bucketed_ig", Seq("k"), 2) == 1L)
+    // Ignore on the existing table runs no job: must return 0 promptly
+    val n = Sinks.writeBucketed(df, s"$base/t", "bucketed_ig", Seq("k"), 2,
+      mode = SaveMode.Ignore)
+    assert(n == 0L)
+  }
+
   test("WatermarkStore get/set round-trip with epoch default (§2.10 protocol)") {
     val f = Files.createTempDirectory("wm_spec").toString + "/wm.properties"
     val store = new WatermarkStore(f)
