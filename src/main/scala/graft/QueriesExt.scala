@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.functions.{Text, Vectors}
-import graft.operators.TreeRollup
+import graft.operators.{Packing, TreeRollup}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1051,6 +1051,151 @@ object QueriesExt {
       |FROM feat
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ----------------------------------------------- packing / curation
+
+  /** Concat-then-chunk sequence packing: documents in doc_id order are
+    * concatenated into one token stream and cut into fixed-budget shards;
+    * a document belongs to the shard holding its first token. The global
+    * prefix sum behind the assignment is [[graft.operators.Packing]]'s
+    * two-phase scan — bucketed windows plus driver-side offsets — NOT a
+    * single-partition window, so the plan parallelizes at 100 TB. The
+    * oracle states the same cumsum with DuckDB's (single-threaded) global
+    * window, pinning the distributed form to the textbook semantics.
+    */
+  private val q57: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+    Packing.packByBudget(docs, "doc_id", "tok", budget = 1024L, buckets = 32)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"))
+  }
+
+  private val q57Sql =
+    """WITH d AS (SELECT doc_id,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |           FROM documents),
+      |c AS (SELECT doc_id, tok,
+      |        CAST(sum(tok) OVER (ORDER BY doc_id
+      |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM d)
+      |SELECT (cum - tok) // 1024 AS shard,
+      |       count(*) AS n_docs,
+      |       CAST(sum(tok) AS BIGINT) AS shard_tokens,
+      |       min(doc_id) AS first_doc,
+      |       max(doc_id) AS last_doc
+      |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** Corpus-wide chunk-level exact dedup (Lee et al. 2021's exact-substring
+    * dedup at k-token granularity): the token stream of every document is
+    * cut into 3-token chunks, each distinct chunk keeps only its FIRST
+    * occurrence (smallest (doc_id, pos)), and documents are reassembled
+    * from their surviving chunks. One shuffle partitioned by chunk content
+    * decides winners; reassembly is a per-document sort — both scale
+    * linearly in corpus tokens. Documents whose every chunk appeared
+    * earlier vanish entirely (the fully-boilerplate case).
+    */
+  private val q58: Q = (s, dir) => {
+    val k = 3
+    val chunks = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("nch", expr(s"(size(toks) + ${k - 1}) div $k"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), (col("nch") - 1).cast("int")),
+        i => array_join(slice(col("toks"), i * k + 1, lit(k)), " "))))
+      .toDF("doc_id", "pos", "chunk")
+    val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("pos"))
+    chunks.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          c => c.getField("chunk")), " ").as("text_dedup"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q58Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |x AS (SELECT doc_id, toks,
+      |        unnest(range((len(toks) + 2) // 3)) AS pos
+      |      FROM d),
+      |ch AS (SELECT doc_id, pos,
+      |         array_to_string(list_slice(toks, pos*3 + 1, pos*3 + 3), ' ') AS chunk
+      |       FROM x),
+      |kp AS (SELECT doc_id, pos, chunk,
+      |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      |       FROM ch)
+      |SELECT doc_id, count(*) AS n_chunks_kept,
+      |       string_agg(chunk, ' ' ORDER BY pos) AS text_dedup
+      |FROM kp WHERE rn = 1
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** SemDeDup-style semantic dedup: embeddings are bucketed by the pinned
+    * 8-plane sign-LSH lattice (the q35 geometry — same buckets in both
+    * engines) and each semantic cluster keeps ONE representative, the
+    * highest-norm member. One shuffle on bucket id; cluster size rides the
+    * same window pass. Production sizes the lattice with
+    * [[graft.functions.Vectors.adaptivePlanes]] exactly as q35 documents.
+    */
+  private val q59: Q = (s, dir) => {
+    val emb = quantizedEmb(s, dir)
+      .withColumn("bucket", Vectors.lshBucket(col("qv"), 8))
+    val wb = Window.partitionBy(col("bucket"))
+    val wr = wb.orderBy(col("nsq").desc, col("vec_id").desc)
+    emb.withColumn("rn", row_number().over(wr))
+      .withColumn("cluster_size", count(lit(1)).over(wb))
+      .filter(col("rn") === 1)
+      .select(col("bucket"), col("vec_id").as("rep_id"), col("cluster_size"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q59Sql = embCte +
+    """,
+      |bk AS (SELECT vec_id, nsq,
+      |         list_reduce(list_prepend(0::BIGINT,
+      |           list_transform(range(8), p ->
+      |             CASE WHEN list_sum(list_transform(range(64), d ->
+      |                    ((p*73856093 + d*19349663) % 2001 - 1000) * qv[d+1])) >= 0
+      |                  THEN 1::BIGINT ELSE 0::BIGINT END)),
+      |           (a, b) -> a*2 + b) AS bucket
+      |       FROM n)
+      |SELECT bucket, rep_id, cluster_size FROM (
+      |  SELECT bucket, vec_id AS rep_id,
+      |         count(*) OVER (PARTITION BY bucket) AS cluster_size,
+      |         row_number() OVER (PARTITION BY bucket
+      |                            ORDER BY nsq DESC, vec_id DESC) AS rn
+      |  FROM bk)
+      |WHERE rn = 1 ORDER BY bucket""".stripMargin
+
+  /** Per-domain frequency cap: keep at most 10 documents per source,
+    * chosen by the STABLE md5 order ([[graft.operators.Sampling]]'s
+    * engine-portable hash) — the anti-over-representation gate of corpus
+    * curation. The choice is a pure function of (source, doc_id): rerun,
+    * repartition, or rescale and the same documents survive. One window
+    * shuffle partitioned by source; cap work is a bounded per-key heap at
+    * any corpus size.
+    */
+  private val q60: Q = (s, dir) => {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(concat_ws(":", col("source"), col("doc_id"))), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val q60Sql =
+    """SELECT doc_id, source, rn FROM (
+      |  SELECT doc_id, source,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |           ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id)
+      |           AS INTEGER) AS rn
+      |  FROM documents)
+      |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[Entry] = Seq(
@@ -1083,6 +1228,10 @@ object QueriesExt {
     Entry("q53_decontaminate", q53, Some(q53Sql)),
     Entry("q54_percentiles", q54, Some(q54Sql)),
     Entry("q55_tfidf_keywords", q55, Some(q55Sql)),
-    Entry("q56_dedup_corpus", q56, Some(q56Sql))
+    Entry("q56_dedup_corpus", q56, Some(q56Sql)),
+    Entry("q57_pack_sequences", q57, Some(q57Sql)),
+    Entry("q58_chunk_dedup", q58, Some(q58Sql)),
+    Entry("q59_semantic_dedup", q59, Some(q59Sql)),
+    Entry("q60_domain_cap", q60, Some(q60Sql))
   )
 }

@@ -141,6 +141,22 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q57-q60: every curation window is partitioned — no single-partition global scan") {
+    // q57's global cumsum is the two-phase bucketed form; q58/q59/q60 window
+    // by chunk/bucket/source. An UNpartitioned window would serialize the
+    // whole corpus through one task at 100 TB.
+    Seq("q57_pack_sequences", "q58_chunk_dedup", "q59_semantic_dedup",
+      "q60_domain_cap").foreach { q =>
+      val windows = Queries.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }
+      assert(windows.nonEmpty, s"$q: expected at least one window")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q plans a global (unpartitioned) window"))
+    }
+  }
+
   test("NO query degenerates to a cartesian product or an unintended nested loop") {
     // q34 intentionally BroadcastNestedLoopJoins (tiny query set broadcasts,
     // corpus streams once — that IS the plan); q55's corpus-size scalar is
