@@ -1196,6 +1196,112 @@ object QueriesExt {
       |  FROM documents)
       |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin
 
+  /** Semantic corpus map: per-label embedding centroids and the pairwise
+    * cosine matrix between them — the "how do my domains relate" profile of
+    * a curated corpus. The centroid is an exact-integer floor-mean of the
+    * quantized vectors (Spark `div` and DuckDB `//` both truncate toward
+    * zero, so the two engines agree bit-for-bit, and cosine is
+    * scale-invariant so the floor-mean loses nothing material); the
+    * aggregation is a map-side-combined sum over exploded dimensions —
+    * rows × dims partial-aggregates down to |labels|·dims before any
+    * shuffle. Only the |labels|²-pair centroid join is quadratic, and
+    * |labels| is the domain count, not the corpus size.
+    */
+  private val q61: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("label"), Vectors.quantize(col("embedding")).as("qv"))
+    val cent = e.select(col("label"), posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("cx", expr("sx div n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+        c => c.getField("cx")).as("cv"))
+    val a = cent.select(col("label").as("label_a"), col("cv").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("cv").as("cb"))
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        Vectors.cosineFromParts(Vectors.dotQ(col("ca"), col("cb")),
+          Vectors.normSqQ(col("ca")), Vectors.normSqQ(col("cb"))).as("cos"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  private val q61Sql =
+    """WITH e AS (SELECT label,
+      |             list_transform(embedding,
+      |               x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+      |           FROM embeddings),
+      |x AS (SELECT label, t.d AS d, qv[CAST(t.d + 1 AS INTEGER)] AS v
+      |      FROM e CROSS JOIN range(64) t(d)),
+      |c AS (SELECT label, d, CAST(sum(v) AS BIGINT) AS sx, count(*) AS n
+      |      FROM x GROUP BY 1, 2),
+      |m AS (SELECT label, d, sx // n AS cx FROM c),
+      |g AS (SELECT label, list(cx ORDER BY d) AS cv FROM m GROUP BY label),
+      |p AS (SELECT a.label AS label_a, b.label AS label_b,
+      |        list_sum(list_transform(list_zip(a.cv, b.cv), s -> s[1]*s[2])) AS dot,
+      |        list_sum(list_transform(a.cv, v -> v*v)) AS na,
+      |        list_sum(list_transform(b.cv, v -> v*v)) AS nb
+      |      FROM g a JOIN g b ON a.label < b.label)
+      |SELECT label_a, label_b,
+      |       CAST(dot AS DOUBLE)
+      |         / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+      |FROM p ORDER BY label_a, label_b""".stripMargin
+
+  /** End-to-end curation pipeline — the composite the individual operators
+    * exist FOR: tokenize once → quality gate (q43's scoring) → stable-hash
+    * per-source frequency cap (q60's gate) → concat-then-chunk packing into
+    * fixed-budget shards (q57's distributed prefix sum). Every stage is the
+    * already-proven 100 TB shape; the pipeline adds NO new shuffle beyond
+    * its stages (gate is a map, cap windows by source, packing windows by
+    * range bucket). Output is the shard manifest a downstream trainer reads.
+    */
+  private val q62: Q = (s, dir) => {
+    val gated = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("__w"))
+      .select(col("doc_id"), col("source"),
+        size(col("__w")).cast("long").as("tok"),
+        Text.qualityScoreFromTokens(col("__w")).as("q"))
+      .filter(col("q") >= 0.12)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(concat_ws(":", col("source"), col("doc_id"))), col("doc_id"))
+    val capped = gated.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 15)
+      .select(col("doc_id"), col("tok"))
+    Packing.packByBudget(capped, "doc_id", "tok", budget = 512L, buckets = 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"))
+  }
+
+  private val q62Sql = {
+    val stopList = Text.LangProfiles.flatMap(_._2).map("'" + _ + "'").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+       |           FROM documents),
+       |q AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS tok,
+       |        0.5 * least(1.0, CAST(len(w) AS DOUBLE)/200.0)
+       |      + 0.5 * (CAST(len(list_filter(w, t -> t IN ($stopList))) AS DOUBLE)/len(w))
+       |          AS quality
+       |      FROM w),
+       |cap AS (SELECT doc_id, tok FROM (
+       |          SELECT doc_id, tok,
+       |                 row_number() OVER (PARTITION BY source
+       |                   ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)),
+       |                            doc_id) AS rn
+       |          FROM q WHERE quality >= 0.12)
+       |        WHERE rn <= 15),
+       |c AS (SELECT doc_id, tok,
+       |        CAST(sum(tok) OVER (ORDER BY doc_id
+       |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |      FROM cap)
+       |SELECT (cum - tok) // 512 AS shard,
+       |       count(*) AS n_docs,
+       |       CAST(sum(tok) AS BIGINT) AS shard_tokens,
+       |       min(doc_id) AS first_doc,
+       |       max(doc_id) AS last_doc
+       |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[Entry] = Seq(
@@ -1232,6 +1338,8 @@ object QueriesExt {
     Entry("q57_pack_sequences", q57, Some(q57Sql)),
     Entry("q58_chunk_dedup", q58, Some(q58Sql)),
     Entry("q59_semantic_dedup", q59, Some(q59Sql)),
-    Entry("q60_domain_cap", q60, Some(q60Sql))
+    Entry("q60_domain_cap", q60, Some(q60Sql)),
+    Entry("q61_source_centroids", q61, Some(q61Sql)),
+    Entry("q62_curation_pipeline", q62, Some(q62Sql))
   )
 }

@@ -146,7 +146,7 @@ class PlanShapeSpec extends SparkSpec {
     // by chunk/bucket/source. An UNpartitioned window would serialize the
     // whole corpus through one task at 100 TB.
     Seq("q57_pack_sequences", "q58_chunk_dedup", "q59_semantic_dedup",
-      "q60_domain_cap").foreach { q =>
+      "q60_domain_cap", "q62_curation_pipeline").foreach { q =>
       val windows = Queries.queries(q)(spark, sf)
         .queryExecution.optimizedPlan.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
@@ -166,8 +166,12 @@ class PlanShapeSpec extends SparkSpec {
     // inspected plan would be a vacuous RDD scan at real streaming cost);
     // q48 runs its clustering fixpoint eagerly and returns a post-fixpoint
     // projection — both classes carry their own dedicated specs instead.
+    // q61's pairwise-centroid join is |labels|² over a ~10-row aggregated
+    // model (bounded by domain count, never corpus size) — the nested loop
+    // there is the intended plan, like q34's broadcast query set.
     val excluded = Set("q34_sim_cosine_topk", "q55_tfidf_keywords",
-      "q24_streaming_window", "q25_streaming_sessions", "q48_dedup_clusters")
+      "q24_streaming_window", "q25_streaming_sessions", "q48_dedup_clusters",
+      "q61_source_centroids")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")
