@@ -261,6 +261,42 @@ object Streaming {
         .dropDuplicatesWithinWatermark(keyCols),
       outPath, checkpoint, timeoutMs)
 
+  /** PRODUCTION streaming near-dup thinning: documents on the ingest
+    * stream are deduped by their 32-bit SimHash content sketch (the fused
+    * [[graft.functions.Text.simhash32Fused]] kernel — a pure map, no
+    * signature shuffle), so exact duplicates AND trivially re-encoded
+    * copies collapse to one representative at WRITE time, before they
+    * ever reach the corpus. `dropDuplicatesWithinWatermark` keyed on the
+    * sketch holds one state entry per distinct sketch inside the ingest-
+    * time horizon — bounded by (distinct docs × horizon), never by
+    * history — and the checkpoint makes the thinning exactly-once across
+    * resumed runs. Sketch collisions across GENUINELY different documents
+    * are the (rare) false-positive trade of any sketch gate; the batch
+    * near-dup verifiers (q31/q32) remain the exact post-hoc pass.
+    *
+    * @return rows emitted by THIS run (per-run, from progress metrics)
+    */
+  def dedupDocsBySketchToFiles(spark: SparkSession, srcDir: String,
+      outPath: String, checkpoint: String, late: String = "1 hour",
+      timeoutMs: Long = 300000): Long = {
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      ProgressRetention.toString)
+    val schema = spark.read.parquet(s"$srcDir/documents.parquet").schema
+    val docs = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents*.parquet")
+      .parquet(srcDir)
+    runAppendToFiles(
+      docs
+        .withColumn("sketch",
+          graft.functions.Text.simhash32Fused(
+            graft.functions.Text.tokenHashes(col("text"))))
+        .withColumn("ingest_ts", current_timestamp())
+        .withWatermark("ingest_ts", late)
+        .dropDuplicatesWithinWatermark(Seq("sketch")),
+      outPath, checkpoint, timeoutMs)
+  }
+
   /** PRODUCTION stream-static enrichment: the event stream joined to a
     * slowly-changing dimension (a batch DataFrame) — Spark plans the
     * static side as a broadcast into every micro-batch, so enrichment

@@ -104,6 +104,39 @@ class StreamingSpec extends SparkSpec {
     assert(ids.values.forall(_ == 1L), s"duplicates survived: $ids")
   }
 
+  test("streaming sketch dedup collapses duplicate content, across runs") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_sketch").toString
+    def writeDocs(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = s"$dir/tmp_$name"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/src/$name"))
+    }
+    new java.io.File(s"$dir/src").mkdirs()
+    writeDocs("documents.parquet", Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (2L, "the quick brown fox jumps over the dog"), // exact duplicate
+      (3L, "an entirely different document about spark shuffles"),
+      (4L, "a third text with its own distinct content")))
+    val run1 = Streaming.dedupDocsBySketchToFiles(spark, s"$dir/src",
+      s"$dir/out", s"$dir/ckpt")
+    assert(run1 == 3, s"run1 emitted $run1, expected 3 (one content dup dropped)")
+    // a later ingest file replays the same content under a new id and
+    // adds genuinely new content: checkpointed sketch state must thin it
+    writeDocs("documents2.parquet", Seq(
+      (5L, "the quick brown fox jumps over the dog"), // cross-run dup
+      (6L, "fresh never-seen content for the second batch")))
+    val run2 = Streaming.dedupDocsBySketchToFiles(spark, s"$dir/src",
+      s"$dir/out", s"$dir/ckpt")
+    assert(run2 == 1, s"run2 emitted $run2, expected 1 (replayed content dropped)")
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 4)
+    assert(out.select($"sketch").distinct().count() == 4,
+      "every surviving document must carry a distinct sketch")
+  }
+
   test("stream-static enrichment stamps dimension values, no stream state") {
     val dir = java.nio.file.Files.createTempDirectory("stream_enrich").toString
     val sf = "/root/testdata/sf0.001"
