@@ -1302,6 +1302,61 @@ object QueriesExt {
        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
   }
 
+  /** §2.8 completion — the full ranking-window family in one pass: rank /
+    * dense_rank / percent_rank / cume_dist over a value ordering (tie-
+    * stable, so deterministic under duplicate quantities) and ntile over
+    * the unique (orderkey, linenumber) composite (ntile is tie-SENSITIVE —
+    * it must order by a key, never a value). One window shuffle per
+    * ordering, both partitioned by returnflag.
+    */
+  private val q63: Q = (s, dir) => {
+    val byQty = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val byKey = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+      .withColumn("rnk", rank().over(byQty))
+      .withColumn("drnk", dense_rank().over(byQty))
+      .withColumn("prank", percent_rank().over(byQty))
+      .withColumn("cdist", cume_dist().over(byQty))
+      .withColumn("quartile", ntile(4).over(byKey))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val q63Sql =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+      |       CAST(rank() OVER w AS INTEGER) AS rnk,
+      |       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+      |       percent_rank() OVER w AS prank,
+      |       cume_dist() OVER w AS cdist,
+      |       CAST(ntile(4) OVER (PARTITION BY l_returnflag
+      |              ORDER BY l_orderkey, l_linenumber) AS INTEGER) AS quartile
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** §2.5 completion — CUBE grouping sets: all four (flag × status)
+    * grouping combinations in ONE aggregation pass (Spark expands the
+    * grouping-set lattice map-side; no per-set rescans), with the exact-
+    * decimal measure discipline of q26. */
+  private val q64: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Deterministic.decSum(col("l_quantity")).as("sum_qty"),
+        graft.functions.Deterministic.decSum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val q64Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[Entry] = Seq(
@@ -1340,6 +1395,8 @@ object QueriesExt {
     Entry("q59_semantic_dedup", q59, Some(q59Sql)),
     Entry("q60_domain_cap", q60, Some(q60Sql)),
     Entry("q61_source_centroids", q61, Some(q61Sql)),
-    Entry("q62_curation_pipeline", q62, Some(q62Sql))
+    Entry("q62_curation_pipeline", q62, Some(q62Sql)),
+    Entry("q63_window_ranks", q63, Some(q63Sql)),
+    Entry("q64_cube_agg", q64, Some(q64Sql))
   )
 }
