@@ -223,6 +223,84 @@ object Sinks {
     fs.delete(bak, true)
     (before.size, dataFiles(hPath).size)
   }
+
+  /** Atomic snapshot publish: the batch-pipeline answer to "readers must
+    * never see a half-written table". Each publish writes a NEW immutable
+    * version directory `root/v=N` to completion, then flips the
+    * `root/_LATEST` pointer file to it (temp-file + rename — atomic on
+    * rename-atomic filesystems). Readers resolve the pointer FIRST
+    * ([[readPublished]]), so a reader mid-scan of v=N−1 is untouched by
+    * the publish of v=N — snapshots are immutable; there is no in-place
+    * overwrite anywhere in the protocol. Retention drops all but the
+    * newest `keep` versions AFTER the flip (never the pointed-to one).
+    * Readers fall back to the highest version if the pointer is mid-swap —
+    * the delete+rename window on filesystems without atomic replace.
+    * Single-writer protocol, like [[compact]].
+    *
+    * @return the published version number
+    */
+  def publishVersioned(df: DataFrame, root: String, keep: Int = 2,
+      partitionCols: Seq[String] = Nil): Long = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val spark = df.sparkSession
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(rootPath)
+    val existing = versionsOf(fs, rootPath)
+    val next = existing.lastOption.map(_ + 1).getOrElse(0L)
+    val target = new org.apache.hadoop.fs.Path(rootPath, f"v=$next%06d")
+    val writer = df.write.mode(SaveMode.ErrorIfExists)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(target.toString)
+    // flip the pointer: write aside, drop the old pointer, install
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, "._LATEST_tmp")
+    val latest = new org.apache.hadoop.fs.Path(rootPath, "_LATEST")
+    val out = fs.create(tmp, true)
+    try out.write(f"v=$next%06d".getBytes("UTF-8")) finally out.close()
+    fs.delete(latest, false)
+    if (!fs.rename(tmp, latest))
+      throw new java.io.IOException(s"publish: could not install pointer for v=$next")
+    // retention: immutable old snapshots beyond `keep`, never the newest
+    versionsOf(fs, rootPath).dropRight(keep).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(rootPath, f"v=$v%06d"), true)
+    }
+    next
+  }
+
+  /** Read the currently-published snapshot under `root`: resolve `_LATEST`,
+    * falling back to the highest on-disk version while a pointer flip is
+    * mid-swap. The returned frame reads ONE immutable version directory —
+    * subsequent publishes cannot mutate what this scan sees. */
+  def readPublished(spark: org.apache.spark.sql.SparkSession,
+      root: String): org.apache.spark.sql.DataFrame = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = new org.apache.hadoop.fs.Path(rootPath, "_LATEST")
+    val pointed: Option[String] =
+      if (fs.exists(latest)) {
+        val in = fs.open(latest)
+        try {
+          val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          if (s.nonEmpty) Some(s) else None
+        } finally in.close()
+      } else None
+    val dir = pointed.getOrElse {
+      val vs = versionsOf(fs, rootPath)
+      require(vs.nonEmpty, s"readPublished: no published version under $root")
+      f"v=${vs.last}%06d"
+    }
+    spark.read.parquet(new org.apache.hadoop.fs.Path(rootPath, dir).toString)
+  }
+
+  /** Sorted version numbers of the `v=NNNNNN` snapshot dirs under root. */
+  private def versionsOf(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    (if (fs.exists(root)) fs.listStatus(root).toSeq else Nil)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") && n.drop(2).forall(_.isDigit) =>
+        n.drop(2).toLong }
+      .sorted
 }
 
 /** §2.10 incremental-load protocol: per-pipeline high watermark persisted

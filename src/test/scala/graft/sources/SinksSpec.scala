@@ -116,6 +116,37 @@ class SinksSpec extends SparkSpec {
     assert(n == 0L)
   }
 
+  test("publishVersioned: atomic snapshot flips, immutable old versions, retention") {
+    val root = Files.createTempDirectory("publish_spec").toString + "/tbl"
+    val v0 = Sinks.publishVersioned(Seq((1, "a"), (2, "b")).toDF("k", "v"), root)
+    assert(v0 == 0L)
+    val r0 = Sinks.readPublished(spark, root)
+    assert(r0.count() == 2)
+    // a reader holding v0's plan keeps seeing v0 after the next publish
+    val v1 = Sinks.publishVersioned(
+      Seq((3, "c"), (4, "d"), (5, "e")).toDF("k", "v"), root, keep = 2)
+    assert(v1 == 1L)
+    assert(r0.count() == 2, "published snapshots must be immutable")
+    assert(Sinks.readPublished(spark, root).count() == 3)
+    // retention keep=1 drops v0 but never the pointed-to newest
+    val v2 = Sinks.publishVersioned(Seq((6, "f")).toDF("k", "v"), root, keep = 1)
+    assert(v2 == 2L)
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("v=000002"), s"retention left $dirs")
+    assert(Sinks.readPublished(spark, root).count() == 1)
+  }
+
+  test("readPublished falls back to the highest version when the pointer is mid-swap") {
+    val root = Files.createTempDirectory("publish_fb").toString + "/tbl"
+    Sinks.publishVersioned(Seq((1, "a")).toDF("k", "v"), root)
+    Sinks.publishVersioned(Seq((2, "b"), (3, "c")).toDF("k", "v"), root)
+    // simulate the delete+rename window: no pointer on disk
+    assert(new java.io.File(s"$root/_LATEST").delete())
+    assert(Sinks.readPublished(spark, root).count() == 2,
+      "fallback must resolve the newest on-disk snapshot")
+  }
+
   test("WatermarkStore get/set round-trip with epoch default (§2.10 protocol)") {
     val f = Files.createTempDirectory("wm_spec").toString + "/wm.properties"
     val store = new WatermarkStore(f)
