@@ -1302,17 +1302,62 @@ object QueriesExt {
        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
   }
 
+  /** Exact-span packing — q57's trainer-facing refinement: documents
+    * crossing a shard boundary are SPLIT across the shards they overlap
+    * ([[graft.operators.Packing.packSpans]]), so every shard holds exactly
+    * `budget` tokens except the last — the literal "context-length chunks
+    * of the concatenated stream" a pretraining loader consumes. Expansion
+    * is a bounded explode (⌈tokens/budget⌉ spans per document); the only
+    * shuffles are the prefix sum's bucketed window and the final manifest
+    * aggregation.
+    */
+  private val q65: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+    Packing.packSpans(docs, "doc_id", "tok", budget = 1024L, buckets = 32)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok_in_shard")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"))
+  }
+
+  private val q65Sql =
+    """WITH d AS (SELECT doc_id,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |           FROM documents),
+      |c AS (SELECT doc_id, tok,
+      |        CAST(sum(tok) OVER (ORDER BY doc_id
+      |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM d),
+      |sp AS (SELECT doc_id, cum - tok AS s, cum AS e
+      |       FROM c WHERE tok > 0),
+      |x AS (SELECT doc_id, s, e,
+      |        unnest(range(s // 1024, (e - 1) // 1024 + 1)) AS shard
+      |      FROM sp),
+      |tk AS (SELECT shard, doc_id,
+      |         least(e, (shard + 1) * 1024) - greatest(s, shard * 1024) AS t
+      |       FROM x)
+      |SELECT shard, count(*) AS n_docs,
+      |       CAST(sum(t) AS BIGINT) AS shard_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM tk GROUP BY shard ORDER BY shard""".stripMargin
+
   /** §2.8 completion — the full ranking-window family in one pass: rank /
     * dense_rank / percent_rank / cume_dist over a value ordering (tie-
     * stable, so deterministic under duplicate quantities) and ntile over
-    * the unique (orderkey, linenumber) composite (ntile is tie-SENSITIVE —
-    * it must order by a key, never a value). One window shuffle per
+    * the FULL payload ordering (orderkey, linenumber, quantity). ntile is
+    * tie-SENSITIVE: with this data's duplicate (orderkey, linenumber)
+    * pairs, ordering by those two alone left the assignment to partition
+    * luck. Ordering by every payload column makes any remaining tie a
+    * complete duplicate row — the tie group occupies fixed positions, so
+    * the multiset of (row, quartile) outputs is engine-independent even
+    * though which twin gets which bucket is not. One window shuffle per
     * ordering, both partitioned by returnflag.
     */
   private val q63: Q = (s, dir) => {
     val byQty = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
     val byKey = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"))
@@ -1331,7 +1376,7 @@ object QueriesExt {
       |       percent_rank() OVER w AS prank,
       |       cume_dist() OVER w AS cdist,
       |       CAST(ntile(4) OVER (PARTITION BY l_returnflag
-      |              ORDER BY l_orderkey, l_linenumber) AS INTEGER) AS quartile
+      |              ORDER BY l_orderkey, l_linenumber, l_quantity) AS INTEGER) AS quartile
       |FROM lineitem
       |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
@@ -1397,6 +1442,7 @@ object QueriesExt {
     Entry("q61_source_centroids", q61, Some(q61Sql)),
     Entry("q62_curation_pipeline", q62, Some(q62Sql)),
     Entry("q63_window_ranks", q63, Some(q63Sql)),
-    Entry("q64_cube_agg", q64, Some(q64Sql))
+    Entry("q64_cube_agg", q64, Some(q64Sql)),
+    Entry("q65_pack_exact", q65, Some(q65Sql))
   )
 }

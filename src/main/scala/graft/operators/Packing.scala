@@ -99,4 +99,32 @@ object Packing {
       .withColumn(shardCol, expr(s"__pk_first div ${budget}L"))
       .drop("__pk_first")
   }
+
+  /** EXACT concat-then-chunk spans: the trainer-facing form, where a
+    * document crossing a shard boundary is SPLIT — one output row per
+    * (document, shard) it overlaps, carrying the token count that lands in
+    * that shard. Every shard's tokens sum to exactly `budget` except the
+    * last (PackingSpec pins this), which is what "context-length chunks of
+    * the concatenated stream" means. Zero-token documents vanish (they
+    * occupy no interval). The expansion is a pure map + explode bounded by
+    * ⌈v/budget⌉ spans per document — no extra shuffle beyond
+    * [[globalCumSum]]'s bucketed window.
+    */
+  def packSpans(df: DataFrame, orderCol: String, valueCol: String,
+      budget: Long, shardCol: String = "shard",
+      tokCol: String = "tok_in_shard", cumCol: String = "cum",
+      buckets: Int = 64): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    globalCumSum(df, orderCol, valueCol, cumCol, buckets)
+      .withColumn("__pk_v", coalesce(col(valueCol).cast("long"), lit(0L)))
+      .filter(col("__pk_v") > 0)
+      .withColumn("__pk_s", col(cumCol) - col("__pk_v"))
+      .withColumn(shardCol, explode(sequence(
+        expr(s"__pk_s div ${budget}L"),
+        expr(s"(${cumCol} - 1L) div ${budget}L"))))
+      .withColumn(tokCol,
+        least(col(cumCol), (col(shardCol) + 1) * budget) -
+          greatest(col("__pk_s"), col(shardCol) * budget))
+      .drop("__pk_v", "__pk_s")
+  }
 }

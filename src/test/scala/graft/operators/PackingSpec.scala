@@ -78,6 +78,34 @@ class PackingSpec extends SparkSpec {
       "global (unpartitioned) window found — the 100 TB anti-pattern"))
   }
 
+  test("packSpans: every shard holds exactly budget tokens except the last") {
+    val rows = sample(300)
+    val budget = 256L
+    val total = rows.map(_._2).sum
+    val spans = Packing.packSpans(rows.toDF("id", "v"), "id", "v", budget,
+      buckets = 8)
+    val perShard = spans.groupBy("shard")
+      .agg(org.apache.spark.sql.functions.sum("tok_in_shard").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lastShard = perShard.keys.max
+    assert(perShard.keys.toSeq.sorted == (0L to lastShard),
+      "shards must be contiguous from 0")
+    perShard.foreach { case (shard, t) =>
+      if (shard < lastShard)
+        assert(t == budget, s"shard $shard holds $t tokens, expected $budget")
+    }
+    assert(perShard.values.sum == total, "span split must conserve tokens")
+    // per-document conservation: the split pieces sum back to the value
+    val perDoc = spans.groupBy("id")
+      .agg(org.apache.spark.sql.functions.sum("tok_in_shard").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(_._2 > 0).foreach { case (id, v) =>
+      assert(perDoc(id) == v, s"doc $id split into ${perDoc(id)} of $v tokens")
+    }
+    // zero-token rows occupy no interval and must not appear
+    assert(rows.filter(_._2 == 0).forall(r => !perDoc.contains(r._1)))
+  }
+
   test("degenerate inputs: empty frame and a single row") {
     val empty = spark.emptyDataset[(Long, Long)].toDF("id", "v")
     assert(Packing.globalCumSum(empty, "id", "v").count() == 0)
