@@ -1381,18 +1381,31 @@ object QueriesExt {
       |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
-  /** §2.5 completion — CUBE grouping sets: all four (flag × status)
-    * grouping combinations in ONE aggregation pass (Spark expands the
-    * grouping-set lattice map-side; no per-set rescans), with the exact-
-    * decimal measure discipline of q26. */
-  private val q64: Q = (s, dir) =>
-    t(s, dir, "lineitem")
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"),
-        graft.functions.Deterministic.decSum(col("l_quantity")).as("sum_qty"),
-        graft.functions.Deterministic.decSum(col("l_extendedprice")).as("sum_price"))
+  /** §2.5 completion — CUBE grouping sets, in the shape that survives
+    * 100 TB: a plain `cube()` over the raw table Expands every input row
+    * once per grouping set (×4 here, ×2^k in general) BEFORE the partial
+    * aggregate — pure CPU waste when the measures are reassociative. So
+    * aggregate the base (flag, status) cells first — one ordinary
+    * map-side-combined pass, |flag×status| rows out — and run the cube
+    * lattice over THAT: sums of exact-decimal sums and sums of counts
+    * re-aggregate exactly (decimal addition is associative; this is the
+    * classic grouping-sets rollup-from-cells optimization). The q26
+    * decimal discipline end-to-end; the double cast happens once, at the
+    * very end. */
+  private val q64: Q = (s, dir) => {
+    val D = graft.functions.Deterministic
+    val cells = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n0"),
+        sum(D.dec(col("l_quantity"))).as("dq"),
+        sum(D.dec(col("l_extendedprice"))).as("dp"))
+    cells.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n0")).as("n"),
+        sum(col("dq")).cast("double").as("sum_qty"),
+        sum(col("dp")).cast("double").as("sum_price"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
+  }
 
   private val q64Sql =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
