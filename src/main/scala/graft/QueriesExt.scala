@@ -1415,6 +1415,40 @@ object QueriesExt {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** §2.5 family completion — unpivot/melt (the inverse of q27's pivot):
+    * wide measure columns reshaped to long (measure, value) rows. Spark's
+    * `unpivot` plans as an Expand — a pure map, rows × measures, no
+    * shuffle until the aggregate — so melting is scan-speed at any size.
+    * Per-measure averages use the q26 decimal discipline (exact sum,
+    * one double division at the end). */
+  private val q66: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "measure", "value")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"),
+        (graft.functions.Deterministic.decSum(col("value")) / count(lit(1)))
+          .as("avg_value"))
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  private val q66Sql =
+    """WITH m AS (
+      |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+      |SELECT l_returnflag, measure, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+      |FROM m GROUP BY 1, 2
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[Entry] = Seq(
@@ -1456,6 +1490,7 @@ object QueriesExt {
     Entry("q62_curation_pipeline", q62, Some(q62Sql)),
     Entry("q63_window_ranks", q63, Some(q63Sql)),
     Entry("q64_cube_agg", q64, Some(q64Sql)),
-    Entry("q65_pack_exact", q65, Some(q65Sql))
+    Entry("q65_pack_exact", q65, Some(q65Sql)),
+    Entry("q66_unpivot_melt", q66, Some(q66Sql))
   )
 }

@@ -261,6 +261,43 @@ object Streaming {
         .dropDuplicatesWithinWatermark(keyCols),
       outPath, checkpoint, timeoutMs)
 
+  /** PRODUCTION streaming → warehouse load: the reference's per-DAG
+    * "INSERT the day's batch into ClickHouse" loop
+    * (dags/guardian/etl_guardian_to_clickhouse.py:127-132) as a streaming
+    * query. Every micro-batch lands through
+    * [[graft.sources.Sinks.writeJdbc]] (TableSpec conform → partition →
+    * clustered sort → batched insert) inside `foreachBatch`, and a
+    * batch-id ledger (the [[graft.sources.WatermarkStore]] file protocol)
+    * makes the load IDEMPOTENT: `foreachBatch` is at-least-once on
+    * retry/restart, so a batch whose id is already committed is SKIPPED
+    * instead of double-inserted — the write-then-commit ordering of the
+    * batch Runner, per micro-batch. Single writer per ledger, like every
+    * §2.10 store.
+    *
+    * @return rows written by THIS run (skipped replays excluded)
+    */
+  def eventsToJdbc(spark: SparkSession, srcDir: String,
+      spec: graft.core.Schemas.TableSpec, url: String,
+      checkpoint: String, ledgerPath: String,
+      timeoutMs: Long = 300000): Long = {
+    val ledger = new graft.sources.WatermarkStore(ledgerPath)
+    val written = new java.util.concurrent.atomic.AtomicLong(0L)
+    val load: (DataFrame, Long) => Unit = (batch, id) =>
+      if (ledger.get(s"batch_$id", "") != "done") {
+        written.addAndGet(graft.sources.Sinks.writeJdbc(batch, spec, url))
+        ledger.set(s"batch_$id", "done") // commit AFTER the load lands
+      }
+    val q = eventsStream(spark, srcDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(load)
+      .start()
+    awaitOrFail(q, timeoutMs)
+    written.get()
+  }
+
   /** PRODUCTION streaming near-dup thinning: documents on the ingest
     * stream are deduped by their 32-bit SimHash content sketch (the fused
     * [[graft.functions.Text.simhash32Fused]] kernel — a pure map, no

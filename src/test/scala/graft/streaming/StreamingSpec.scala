@@ -104,6 +104,32 @@ class StreamingSpec extends SparkSpec {
     assert(ids.values.forall(_ == 1L), s"duplicates survived: $ids")
   }
 
+  test("streaming foreachBatch JDBC load is idempotent across replayed batches") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("stream_jdbc").toString
+    val sf = "/root/testdata/sf0.001"
+    val spec = graft.core.Schemas.TableSpec(
+      "stream_events",
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts", TimestampType), StructField("event_type", StringType))),
+      Nil, Seq("event_id"))
+    val url = "jdbc:derby:memory:graft_stream;create=true"
+    val ledger = s"$dir/ledger.properties"
+    val total = graft.core.Tables(spark, sf, "events").count()
+    val n1 = Streaming.eventsToJdbc(spark, sf, spec, url, s"$dir/ckpt", ledger)
+    assert(n1 == total, s"first run wrote $n1 of $total")
+    // resumed run: checkpoint says nothing new — no writes
+    val n2 = Streaming.eventsToJdbc(spark, sf, spec, url, s"$dir/ckpt", ledger)
+    assert(n2 == 0, s"resumed no-op run wrote $n2")
+    // crash-replay: a FRESH checkpoint re-delivers batch 0 (foreachBatch is
+    // at-least-once); the shared ledger must skip the double insert
+    val n3 = Streaming.eventsToJdbc(spark, sf, spec, url, s"$dir/ckpt2", ledger)
+    assert(n3 == 0, s"replayed batch wrote $n3 — ledger failed to dedup")
+    val inDb = spark.read.jdbc(url, "stream_events", new java.util.Properties())
+    assert(inDb.count() == total, "warehouse must hold exactly one copy")
+  }
+
   test("streaming sketch dedup collapses duplicate content, across runs") {
     val dir = java.nio.file.Files.createTempDirectory("stream_sketch").toString
     def writeDocs(name: String, rows: Seq[(Long, String)]): Unit = {
