@@ -1415,6 +1415,57 @@ object QueriesExt {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** Packing payload assembly — the step after q65's manifest: emit the
+    * ACTUAL fixed-budget token streams a trainer reads. Each document span
+    * slices its own token array (offset arithmetic off the same prefix
+    * sum), and shards assemble their pieces in document order — so a
+    * boundary-crossing document's tokens appear split across two
+    * consecutive shard payloads with nothing lost or duplicated (the
+    * oracle's string equality over every payload IS that proof). Slicing
+    * is a pure map; assembly is one shuffle on shard id, each group
+    * bounded by `budget` tokens.
+    */
+  private val q67: Q = (s, dir) => {
+    val budget = 1024L
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("tok", size(col("toks")).cast("long"))
+    Packing.packSpans(docs, "doc_id", "tok", budget, buckets = 32)
+      .withColumn("__s", col("cum") - col("tok"))
+      .withColumn("__off", greatest(col("__s"), col("shard") * budget) - col("__s"))
+      .withColumn("piece", slice(col("toks"), (col("__off") + 1).cast("int"),
+        col("tok_in_shard").cast("int")))
+      .groupBy(col("shard"))
+      .agg(sum(col("tok_in_shard")).as("n_tokens"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("piece")))),
+          x => x.getField("piece"))), " ").as("payload"))
+      .orderBy(col("shard"))
+  }
+
+  private val q67Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |           FROM documents),
+      |c AS (SELECT doc_id, toks, tok,
+      |        CAST(sum(tok) OVER (ORDER BY doc_id
+      |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM d),
+      |sp AS (SELECT doc_id, toks, cum - tok AS s0, cum AS e0
+      |       FROM c WHERE tok > 0),
+      |x AS (SELECT doc_id, toks, s0, e0,
+      |        unnest(range(s0 // 1024, (e0 - 1) // 1024 + 1)) AS shard
+      |      FROM sp),
+      |pc AS (SELECT shard, doc_id,
+      |         list_slice(toks,
+      |           CAST(greatest(s0, shard * 1024) - s0 + 1 AS BIGINT),
+      |           CAST(least(e0, (shard + 1) * 1024) - s0 AS BIGINT)) AS piece
+      |       FROM x)
+      |SELECT shard,
+      |       CAST(sum(len(piece)) AS BIGINT) AS n_tokens,
+      |       string_agg(array_to_string(piece, ' '), ' ' ORDER BY doc_id) AS payload
+      |FROM pc GROUP BY shard ORDER BY shard""".stripMargin
+
   /** §2.5 family completion — unpivot/melt (the inverse of q27's pivot):
     * wide measure columns reshaped to long (measure, value) rows. Spark's
     * `unpivot` plans as an Expand — a pure map, rows × measures, no
@@ -1491,6 +1542,7 @@ object QueriesExt {
     Entry("q63_window_ranks", q63, Some(q63Sql)),
     Entry("q64_cube_agg", q64, Some(q64Sql)),
     Entry("q65_pack_exact", q65, Some(q65Sql)),
-    Entry("q66_unpivot_melt", q66, Some(q66Sql))
+    Entry("q66_unpivot_melt", q66, Some(q66Sql)),
+    Entry("q67_pack_payload", q67, Some(q67Sql))
   )
 }
