@@ -1500,6 +1500,61 @@ object QueriesExt {
       |FROM m GROUP BY 1, 2
       |ORDER BY l_returnflag, measure""".stripMargin
 
+  /** Snapshot reconciliation (CDC diff) — the §2.4 completion for FULL
+    * OUTER joins: two table versions diffed into added / removed / changed
+    * rows, the audit every §2.10 incremental pipeline needs when a source
+    * can't stream deletions. v2 is a deterministic derivation of the same
+    * snapshot (keys ≡0 mod 97 deleted, ≡0 mod 13 re-priced, suppliers
+    * grafted in as inserts), balances compared in exact cents. The plan is
+    * a single shuffled full-outer SortMergeJoin — both sides are fact-
+    * sized, so no broadcast: the correct 100 TB shape for table-vs-table
+    * reconciliation.
+    */
+  private val q68: Q = (s, dir) => {
+    val v1 = t(s, dir, "customer")
+      .select(col("c_custkey").as("key"),
+        floor(col("c_acctbal") * 100).cast("long").as("cents"))
+    val v2 = v1.filter(pmod(col("key"), lit(97)) =!= 0)
+      .withColumn("cents",
+        when(pmod(col("key"), lit(13)) === 0, col("cents") + 100)
+          .otherwise(col("cents")))
+      .unionByName(t(s, dir, "supplier")
+        .select((col("s_suppkey") + 1000000L).as("key"),
+          floor(col("s_acctbal") * 100).cast("long").as("cents")))
+    val a = v1.select(col("key"), col("cents").as("old_cents"))
+    val b = v2.select(col("key"), col("cents").as("new_cents"))
+    a.join(b, Seq("key"), "full_outer")
+      .withColumn("status",
+        when(col("old_cents").isNull, lit("added"))
+          .when(col("new_cents").isNull, lit("removed"))
+          .when(col("old_cents") =!= col("new_cents"), lit("changed"))
+          .otherwise(lit("same")))
+      .filter(col("status") =!= "same")
+      .select(col("key"), col("status"), col("old_cents"), col("new_cents"))
+      .orderBy(col("key"))
+  }
+
+  private val q68Sql =
+    """WITH v1 AS (SELECT c_custkey AS key,
+      |              CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      |            FROM customer),
+      |v2 AS (SELECT key,
+      |         CASE WHEN key % 13 = 0 THEN cents + 100 ELSE cents END AS cents
+      |       FROM v1 WHERE key % 97 <> 0
+      |       UNION ALL
+      |       SELECT s_suppkey + 1000000 AS key,
+      |              CAST(floor(s_acctbal * 100) AS BIGINT) AS cents
+      |       FROM supplier),
+      |d AS (SELECT coalesce(a.key, b.key) AS key,
+      |        a.cents AS old_cents, b.cents AS new_cents,
+      |        CASE WHEN a.key IS NULL THEN 'added'
+      |             WHEN b.key IS NULL THEN 'removed'
+      |             WHEN a.cents <> b.cents THEN 'changed'
+      |             ELSE 'same' END AS status
+      |      FROM v1 a FULL OUTER JOIN v2 b ON a.key = b.key)
+      |SELECT key, status, old_cents, new_cents
+      |FROM d WHERE status <> 'same' ORDER BY key""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[Entry] = Seq(
@@ -1543,6 +1598,7 @@ object QueriesExt {
     Entry("q64_cube_agg", q64, Some(q64Sql)),
     Entry("q65_pack_exact", q65, Some(q65Sql)),
     Entry("q66_unpivot_melt", q66, Some(q66Sql)),
-    Entry("q67_pack_payload", q67, Some(q67Sql))
+    Entry("q67_pack_payload", q67, Some(q67Sql)),
+    Entry("q68_snapshot_diff", q68, Some(q68Sql))
   )
 }
