@@ -1500,6 +1500,44 @@ object QueriesExt {
       |FROM m GROUP BY 1, 2
       |ORDER BY l_returnflag, measure""".stripMargin
 
+  /** Unigram-LM commonness scoring — the language-model-flavored quality
+    * signal (a perplexity proxy with NO floating logs): score =
+    * Σ_t ctf(t) / (n_tok · T), where ctf is the corpus-wide occurrence
+    * count of the token and T the corpus token count. All-integer
+    * numerator and denominator collapse into ONE IEEE division, so both
+    * engines emit bit-identical doubles — the q55 rational-score
+    * discipline. High scores mark boilerplate-common documents, low
+    * scores rare/noisy ones; both tails are curation targets. The
+    * vocabulary aggregate broadcasts (vocab-sized, not corpus-sized) and
+    * the corpus total rides as a 1-row broadcast — no second scan job.
+    */
+  private val q69: Q = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).as("len"), explode(col("w")).as("t"))
+    val ctf = toks.groupBy(col("t")).agg(count(lit(1)).as("ctf"))
+    val total = toks.agg(count(lit(1)).as("__T"))
+    toks.join(broadcast(ctf), Seq("t"))
+      .groupBy(col("doc_id"), col("len"))
+      .agg(sum(col("ctf")).as("sum_ctf"))
+      .crossJoin(broadcast(total))
+      .withColumn("commonness",
+        col("sum_ctf").cast("double") / (col("len").cast("long") * col("__T")))
+      .select(col("doc_id"), col("sum_ctf"), col("commonness"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q69Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tk AS (SELECT doc_id, len(w) AS len, unnest(w) AS t FROM d),
+      |ctf AS (SELECT t, count(*) AS ctf FROM tk GROUP BY t),
+      |tt AS (SELECT count(*) AS T FROM tk),
+      |sc AS (SELECT doc_id, len, CAST(sum(ctf) AS BIGINT) AS sum_ctf
+      |       FROM tk JOIN ctf USING (t) GROUP BY doc_id, len)
+      |SELECT doc_id, sum_ctf,
+      |       CAST(sum_ctf AS DOUBLE) / (len * T) AS commonness
+      |FROM sc CROSS JOIN tt ORDER BY doc_id""".stripMargin
+
   /** Snapshot reconciliation (CDC diff) — the §2.4 completion for FULL
     * OUTER joins: two table versions diffed into added / removed / changed
     * rows, the audit every §2.10 incremental pipeline needs when a source
@@ -1599,6 +1637,7 @@ object QueriesExt {
     Entry("q65_pack_exact", q65, Some(q65Sql)),
     Entry("q66_unpivot_melt", q66, Some(q66Sql)),
     Entry("q67_pack_payload", q67, Some(q67Sql)),
-    Entry("q68_snapshot_diff", q68, Some(q68Sql))
+    Entry("q68_snapshot_diff", q68, Some(q68Sql)),
+    Entry("q69_commonness", q69, Some(q69Sql))
   )
 }

@@ -169,9 +169,10 @@ class PlanShapeSpec extends SparkSpec {
     // q61's pairwise-centroid join is |labels|² over a ~10-row aggregated
     // model (bounded by domain count, never corpus size) — the nested loop
     // there is the intended plan, like q34's broadcast query set.
+    // q69 shares q55's 1-row corpus-total broadcast cross join.
     val excluded = Set("q34_sim_cosine_topk", "q55_tfidf_keywords",
       "q24_streaming_window", "q25_streaming_sessions", "q48_dedup_clusters",
-      "q61_source_centroids")
+      "q61_source_centroids", "q69_commonness")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")
