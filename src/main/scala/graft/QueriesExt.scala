@@ -1169,23 +1169,18 @@ object QueriesExt {
       |  FROM bk)
       |WHERE rn = 1 ORDER BY bucket""".stripMargin
 
-  /** Per-domain frequency cap: keep at most 10 documents per source,
-    * chosen by the STABLE md5 order ([[graft.operators.Sampling]]'s
-    * engine-portable hash) — the anti-over-representation gate of corpus
-    * curation. The choice is a pure function of (source, doc_id): rerun,
-    * repartition, or rescale and the same documents survive. One window
-    * shuffle partitioned by source; cap work is a bounded per-key heap at
-    * any corpus size.
+  /** Per-domain frequency cap — [[graft.operators.Sampling.capPerKey]]:
+    * keep at most 10 documents per source by the stable md5 order of
+    * (source, doc_id), the anti-over-representation gate of corpus
+    * curation. Membership is a pure function of the two columns (rerun,
+    * repartition, rescale — same survivors); one window shuffle
+    * partitioned by source, cap work a bounded per-key heap at any size.
     */
-  private val q60: Q = (s, dir) => {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(md5(concat_ws(":", col("source"), col("doc_id"))), col("doc_id"))
-    t(s, dir, "documents")
-      .select(col("doc_id"), col("source"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
+  private val q60: Q = (s, dir) =>
+    graft.operators.Sampling.capPerKey(
+      t(s, dir, "documents").select(col("doc_id"), col("source")),
+      "source", "doc_id", 10)
       .orderBy(col("source"), col("doc_id"))
-  }
 
   private val q60Sql =
     """SELECT doc_id, source, rn FROM (
@@ -1262,10 +1257,8 @@ object QueriesExt {
         size(col("__w")).cast("long").as("tok"),
         Text.qualityScoreFromTokens(col("__w")).as("q"))
       .filter(col("q") >= 0.12)
-    val w = Window.partitionBy(col("source"))
-      .orderBy(md5(concat_ws(":", col("source"), col("doc_id"))), col("doc_id"))
-    val capped = gated.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 15)
+    val capped = graft.operators.Sampling
+      .capPerKey(gated, "source", "doc_id", 15)
       .select(col("doc_id"), col("tok"))
     Packing.packByBudget(capped, "doc_id", "tok", budget = 512L, buckets = 16)
       .groupBy(col("shard"))
@@ -1516,7 +1509,10 @@ object QueriesExt {
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), size(col("w")).as("len"), explode(col("w")).as("t"))
     val ctf = toks.groupBy(col("t")).agg(count(lit(1)).as("ctf"))
-    val total = toks.agg(count(lit(1)).as("__T"))
+    // corpus total from per-doc lengths: one split per doc, NO explode —
+    // the exploded branch is the expensive one and must not run twice
+    val total = t(s, dir, "documents")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("__T"))
     toks.join(broadcast(ctf), Seq("t"))
       .groupBy(col("doc_id"), col("len"))
       .agg(sum(col("ctf")).as("sum_ctf"))

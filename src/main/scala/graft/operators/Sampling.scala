@@ -36,6 +36,21 @@ object Sampling {
     df.filter(hashGate(col(idCol), pct))
   }
 
+  /** Per-key frequency cap: keep at most `n` rows per `keyCol`, chosen by
+    * the STABLE md5 order of (key, id) — the anti-over-representation gate
+    * of corpus curation (cap documents per domain/source). Membership is a
+    * pure function of the two columns: rerun, repartition, or rescale and
+    * the same rows survive. One window shuffle partitioned by key; the cap
+    * is a bounded per-key heap (WindowGroupLimit pushes the filter below
+    * the exchange), so work per key never exceeds n at any corpus size.
+    * Appends `rn` (1-based stable rank within the key). */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"cap must be >= 1, got $n")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(md5(concat_ws(":", col(keyCol), col(idCol))), col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
   /** Basis-point (1/10000) hash gate — [[hashGate]] at the resolution
     * mixture targets need. */
   def hashGateBp(id: Column, bp: Column): Column =

@@ -233,9 +233,16 @@ object Sinks {
     * the publish of v=N — snapshots are immutable; there is no in-place
     * overwrite anywhere in the protocol. Retention drops all but the
     * newest `keep` versions AFTER the flip (never the pointed-to one).
-    * Readers fall back to the highest version if the pointer is mid-swap —
-    * the delete+rename window on filesystems without atomic replace.
-    * Single-writer protocol, like [[compact]].
+    * Readers fall back to the highest COMPLETE version if the pointer is
+    * mid-swap — the delete+rename window on filesystems without atomic
+    * replace. A version counts as complete only when it carries the
+    * `_SUCCESS` job marker, so a publish that crashed mid-write is
+    * invisible to readers, never counted toward retention, and swept as
+    * garbage by the next publish. Retention contract (the VACUUM
+    * trade-off): a reader is only guaranteed its snapshot for the next
+    * `keep − 1` publishes — size `keep` to cover the longest scan you
+    * expect to overlap the publish cadence. Single-writer protocol, like
+    * [[compact]].
     *
     * @return the published version number
     */
@@ -246,8 +253,15 @@ object Sinks {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(rootPath)
-    val existing = versionsOf(fs, rootPath)
-    val next = existing.lastOption.map(_ + 1).getOrElse(0L)
+    // next version counts ALL v= dirs (complete or crashed partials, so a
+    // partial is never reused), then crashed partials are swept — they are
+    // unreferenced garbage by construction (no _SUCCESS → never pointed to)
+    val allDirs = versionDirs(fs, rootPath)
+    val next = allDirs.lastOption.map(_ + 1).getOrElse(0L)
+    val complete = versionsOf(fs, rootPath).toSet
+    allDirs.filterNot(complete).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(rootPath, f"v=$v%06d"), true)
+    }
     val target = new org.apache.hadoop.fs.Path(rootPath, f"v=$next%06d")
     val writer = df.write.mode(SaveMode.ErrorIfExists)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
@@ -268,9 +282,11 @@ object Sinks {
   }
 
   /** Read the currently-published snapshot under `root`: resolve `_LATEST`,
-    * falling back to the highest on-disk version while a pointer flip is
-    * mid-swap. The returned frame reads ONE immutable version directory —
-    * subsequent publishes cannot mutate what this scan sees. */
+    * falling back to the highest COMPLETE (`_SUCCESS`-marked) version while
+    * a pointer flip is mid-swap — a crashed half-written directory is never
+    * eligible. The returned frame reads ONE immutable version directory —
+    * subsequent publishes cannot mutate what this scan sees (within the
+    * [[publishVersioned]] retention contract). */
   def readPublished(spark: org.apache.spark.sql.SparkSession,
       root: String): org.apache.spark.sql.DataFrame = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -292,8 +308,9 @@ object Sinks {
     spark.read.parquet(new org.apache.hadoop.fs.Path(rootPath, dir).toString)
   }
 
-  /** Sorted version numbers of the `v=NNNNNN` snapshot dirs under root. */
-  private def versionsOf(fs: org.apache.hadoop.fs.FileSystem,
+  /** Sorted version numbers of ALL `v=NNNNNN` dirs under root, complete or
+    * not — the version-allocation view. */
+  private def versionDirs(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[Long] =
     (if (fs.exists(root)) fs.listStatus(root).toSeq else Nil)
       .filter(_.isDirectory)
@@ -301,6 +318,16 @@ object Sinks {
       .collect { case n if n.startsWith("v=") && n.drop(2).forall(_.isDigit) =>
         n.drop(2).toLong }
       .sorted
+
+  /** Sorted COMPLETE snapshot versions: only dirs carrying the `_SUCCESS`
+    * job marker count — a crashed mid-write publish must be invisible to
+    * readers, retention, and the mid-swap fallback. */
+  private def versionsOf(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    versionDirs(fs, root).filter { v =>
+      fs.exists(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root, f"v=$v%06d"), "_SUCCESS"))
+    }
 }
 
 /** §2.10 incremental-load protocol: per-pipeline high watermark persisted

@@ -266,21 +266,35 @@ object Streaming {
     * (dags/guardian/etl_guardian_to_clickhouse.py:127-132) as a streaming
     * query. Every micro-batch lands through
     * [[graft.sources.Sinks.writeJdbc]] (TableSpec conform → partition →
-    * clustered sort → batched insert) inside `foreachBatch`, and a
+    * clustered sort → batched insert) inside `foreachBatch`, with a
     * batch-id ledger (the [[graft.sources.WatermarkStore]] file protocol)
-    * makes the load IDEMPOTENT: `foreachBatch` is at-least-once on
-    * retry/restart, so a batch whose id is already committed is SKIPPED
-    * instead of double-inserted — the write-then-commit ordering of the
-    * batch Runner, per micro-batch. Single writer per ledger, like every
-    * §2.10 store.
+    * deduplicating replayed batches: `foreachBatch` is at-least-once on
+    * retry/restart, and a batch whose id the ledger already committed is
+    * SKIPPED instead of double-inserted.
+    *
+    * Semantics, stated precisely: write-then-commit ordering means data is
+    * NEVER lost; a crash in the window between the insert landing and the
+    * ledger commit re-inserts that one batch on restart — at-least-once
+    * at batch granularity, exactly-once everywhere else. Pair the target
+    * with key-based dedup (ClickHouse ReplacingMergeTree, a PK upsert) to
+    * absorb that residue, exactly as §2.10's batch protocol does. The
+    * ledger lives INSIDE the checkpoint directory by default so its
+    * batch-id namespace shares the checkpoint's lineage: resetting the
+    * checkpoint (which restarts batch numbering at 0) discards the ledger
+    * with it — a stale ledger against a fresh checkpoint would silently
+    * skip never-loaded batches. Keep them together if you relocate it.
+    * Single writer per ledger, like every §2.10 store.
     *
     * @return rows written by THIS run (skipped replays excluded)
     */
   def eventsToJdbc(spark: SparkSession, srcDir: String,
       spec: graft.core.Schemas.TableSpec, url: String,
-      checkpoint: String, ledgerPath: String,
+      checkpoint: String, ledgerPath: String = "",
       timeoutMs: Long = 300000): Long = {
-    val ledger = new graft.sources.WatermarkStore(ledgerPath)
+    val ledgerFile =
+      if (ledgerPath.nonEmpty) ledgerPath
+      else s"$checkpoint/jdbc_ledger.properties"
+    val ledger = new graft.sources.WatermarkStore(ledgerFile)
     val written = new java.util.concurrent.atomic.AtomicLong(0L)
     val load: (DataFrame, Long) => Unit = (batch, id) =>
       if (ledger.get(s"batch_$id", "") != "done") {
@@ -307,15 +321,23 @@ object Streaming {
     * sketch holds one state entry per distinct sketch inside the ingest-
     * time horizon — bounded by (distinct docs × horizon), never by
     * history — and the checkpoint makes the thinning exactly-once across
-    * resumed runs. Sketch collisions across GENUINELY different documents
-    * are the (rare) false-positive trade of any sketch gate; the batch
-    * near-dup verifiers (q31/q32) remain the exact post-hoc pass.
+    * resumed runs. The dedup key is the sketch PLUS a coarse token-length
+    * bucket: a bare 32-bit sketch loses genuinely distinct documents
+    * birthday-fast (≈n²/2³³ expected false drops per horizon — thousands
+    * at 10M docs, and SimHash collides near-but-different texts far more
+    * than uniform hashing), while the length bucket multiplies the
+    * effective key space for near-zero state cost and still collapses
+    * re-encodings that preserve content length. Residual collisions drop
+    * documents irrecoverably — that is the write-time trade; the batch
+    * near-dup verifiers (q31/q32) remain the exact post-hoc pass, and a
+    * paranoid pipeline sets `lengthBucket = 1`.
     *
     * @return rows emitted by THIS run (per-run, from progress metrics)
     */
   def dedupDocsBySketchToFiles(spark: SparkSession, srcDir: String,
       outPath: String, checkpoint: String, late: String = "1 hour",
-      timeoutMs: Long = 300000): Long = {
+      lengthBucket: Int = 16, timeoutMs: Long = 300000): Long = {
+    require(lengthBucket >= 1, s"lengthBucket must be >= 1, got $lengthBucket")
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
       ProgressRetention.toString)
     val schema = spark.read.parquet(s"$srcDir/documents.parquet").schema
@@ -325,12 +347,14 @@ object Streaming {
       .parquet(srcDir)
     runAppendToFiles(
       docs
-        .withColumn("sketch",
-          graft.functions.Text.simhash32Fused(
-            graft.functions.Text.tokenHashes(col("text"))))
+        .withColumn("__th", graft.functions.Text.tokenHashes(col("text")))
+        .withColumn("sketch", graft.functions.Text.simhash32Fused(col("__th")))
+        .withColumn("len_bucket",
+          expr(s"size(__th) div $lengthBucket").cast("int"))
+        .drop("__th")
         .withColumn("ingest_ts", current_timestamp())
         .withWatermark("ingest_ts", late)
-        .dropDuplicatesWithinWatermark(Seq("sketch")),
+        .dropDuplicatesWithinWatermark(Seq("sketch", "len_bucket")),
       outPath, checkpoint, timeoutMs)
   }
 

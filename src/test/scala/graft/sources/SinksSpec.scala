@@ -145,6 +145,18 @@ class SinksSpec extends SparkSpec {
     assert(new java.io.File(s"$root/_LATEST").delete())
     assert(Sinks.readPublished(spark, root).count() == 2,
       "fallback must resolve the newest on-disk snapshot")
+    // a crashed mid-write publish (v-dir without _SUCCESS) must be
+    // invisible to the fallback and swept by the next publish
+    val partial = new java.io.File(s"$root/v=000002")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/v=000002/part-x.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(Sinks.readPublished(spark, root).count() == 2,
+      "half-written snapshot served to a reader")
+    val v3 = Sinks.publishVersioned(Seq((9, "z")).toDF("k", "v"), root)
+    assert(v3 == 3L, "partial dir must not be reused for a new version")
+    assert(!partial.exists(), "crashed partial must be swept")
   }
 
   test("WatermarkStore get/set round-trip with epoch default (§2.10 protocol)") {

@@ -115,16 +115,18 @@ class StreamingSpec extends SparkSpec {
         StructField("ts", TimestampType), StructField("event_type", StringType))),
       Nil, Seq("event_id"))
     val url = "jdbc:derby:memory:graft_stream;create=true"
-    val ledger = s"$dir/ledger.properties"
     val total = graft.core.Tables(spark, sf, "events").count()
-    val n1 = Streaming.eventsToJdbc(spark, sf, spec, url, s"$dir/ckpt", ledger)
+    // default ledger lives inside the checkpoint (shared lineage)
+    val n1 = Streaming.eventsToJdbc(spark, sf, spec, url, s"$dir/ckpt")
     assert(n1 == total, s"first run wrote $n1 of $total")
     // resumed run: checkpoint says nothing new — no writes
-    val n2 = Streaming.eventsToJdbc(spark, sf, spec, url, s"$dir/ckpt", ledger)
+    val n2 = Streaming.eventsToJdbc(spark, sf, spec, url, s"$dir/ckpt")
     assert(n2 == 0, s"resumed no-op run wrote $n2")
-    // crash-replay: a FRESH checkpoint re-delivers batch 0 (foreachBatch is
-    // at-least-once); the shared ledger must skip the double insert
-    val n3 = Streaming.eventsToJdbc(spark, sf, spec, url, s"$dir/ckpt2", ledger)
+    // crash-replay of a COMMITTED batch: fresh checkpoint re-delivers
+    // batch 0 with identical content (foreachBatch is at-least-once); the
+    // surviving ledger must skip the double insert
+    val n3 = Streaming.eventsToJdbc(spark, sf, spec, url, s"$dir/ckpt2",
+      s"$dir/ckpt/jdbc_ledger.properties")
     assert(n3 == 0, s"replayed batch wrote $n3 — ledger failed to dedup")
     val inDb = spark.read.jdbc(url, "stream_events", new java.util.Properties())
     assert(inDb.count() == total, "warehouse must hold exactly one copy")
