@@ -141,6 +141,21 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q69: the only nested loop is the 1-row corpus-total broadcast; ctf broadcasts") {
+    val p = plan("q69_commonness")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+    assert(p.contains("BroadcastHashJoin"), "the vocab ctf join must broadcast")
+  }
+
+  test("q68: snapshot diff full-outer joins as a shuffled merge join, never broadcast") {
+    // both sides are fact-sized at scale; Spark cannot broadcast a full
+    // outer join, so the plan must be the shuffled SMJ shape
+    val p = plan("q68_snapshot_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"expected full-outer SMJ:\n$p")
+  }
+
   test("q57-q60: every curation window is partitioned — no single-partition global scan") {
     // q57's global cumsum is the two-phase bucketed form; q58/q59/q60 window
     // by chunk/bucket/source. An UNpartitioned window would serialize the

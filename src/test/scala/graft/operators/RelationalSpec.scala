@@ -175,6 +175,24 @@ class RelationalSpec extends SparkSpec {
     assert(s1.subsetOf(wider))
   }
 
+  test("capPerKey keeps exactly n per key, membership invariant under partitioning") {
+    val docs = (0 until 1200).map(i => (i.toLong, s"src${i % 6}"))
+      .toDF("id", "src")
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      Sampling.capPerKey(df, "src", "id", 25)
+        .select($"id").collect().map(_.getLong(0)).toSet
+    val k1 = kept(docs.repartition(1))
+    val k16 = kept(docs.repartition(16))
+    assert(k1 == k16, "cap membership must not depend on partitioning")
+    val perKey = Sampling.capPerKey(docs, "src", "id", 25)
+      .groupBy($"src").count().collect().map(_.getLong(1))
+    assert(perKey.length == 6 && perKey.forall(_ == 25L))
+    // raising the cap only ADDS members (stable hash order)
+    val k50 = Sampling.capPerKey(docs, "src", "id", 50)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(k1.subsetOf(k50))
+  }
+
   test("toMixture hits the target mixture on the largest feasible subset") {
     // 6000 web / 1000 code / 3000 junk; target web 70% code 30%
     val docs = (0 until 10000).map { i =>
