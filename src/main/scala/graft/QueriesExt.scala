@@ -1493,6 +1493,33 @@ object QueriesExt {
       |FROM m GROUP BY 1, 2
       |ORDER BY l_returnflag, measure""".stripMargin
 
+  /** Near-dup decontamination — q53's fuzzy complement: corpus documents
+    * within Jaccard 0.8 of ANY benchmark document (doc_id < 10 as the
+    * held-out suite) are flagged even when no 5-gram survives verbatim —
+    * the paraphrase/reformatting leak exact shingle overlap misses.
+    * [[graft.operators.NearDup.prefixJoinPairsAgainst]]: the benchmark's
+    * prefix postings and shingle sets broadcast, the corpus streams once —
+    * linear in corpus tokens, same contract as q53.
+    */
+  private val q70: Q = (s, dir) => {
+    val docs = docShingles(s, dir).cache()
+    graft.operators.NearDup.prefixJoinPairsAgainst(
+      docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10), 0.8)
+      .groupBy(col("doc_a"))
+      .agg(count(lit(1)).as("n_hits"), max(col("jac")).as("max_jac"))
+      .orderBy(col("doc_a"))
+  }
+
+  private val q70Sql = docHsCte +
+    """,
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        len(list_intersect(a.hs, b.hs))
+      |          / len(list_distinct(a.hs || b.hs)) AS jac
+      |      FROM h a JOIN h b ON a.doc_id >= 10 AND b.doc_id < 10)
+      |SELECT doc_a, count(*) AS n_hits, max(jac) AS max_jac
+      |FROM p WHERE jac >= 0.8
+      |GROUP BY doc_a ORDER BY doc_a""".stripMargin
+
   /** Unigram-LM commonness scoring — the language-model-flavored quality
     * signal (a perplexity proxy with NO floating logs): score =
     * Σ_t ctf(t) / (n_tok · T), where ctf is the corpus-wide occurrence
@@ -1634,6 +1661,7 @@ object QueriesExt {
     Entry("q66_unpivot_melt", q66, Some(q66Sql)),
     Entry("q67_pack_payload", q67, Some(q67Sql)),
     Entry("q68_snapshot_diff", q68, Some(q68Sql)),
-    Entry("q69_commonness", q69, Some(q69Sql))
+    Entry("q69_commonness", q69, Some(q69Sql)),
+    Entry("q70_decontaminate_neardup", q70, Some(q70Sql))
   )
 }

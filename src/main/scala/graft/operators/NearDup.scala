@@ -31,6 +31,40 @@ object NearDup {
       docs.select(col("doc_id"), explode(Text.prefixHashes(col("hs"), tau)).as("g"))),
       tau)
 
+  /** Cross-corpus near-dup pairs (the R-S join form of [[prefixJoinPairs]]):
+    * corpus documents within Jaccard τ of ANY probe document — near-dup
+    * DECONTAMINATION against a benchmark suite or known-bad set, the fuzzy
+    * complement of exact shingle-overlap filtering. The prefix theorem
+    * holds across two sets under one shared hash order (J(A,B) ≥ τ ⇒ the
+    * two τ-prefixes intersect), so completeness is unchanged. The probe
+    * side is benchmark-sized by assumption: its postings and shingle sets
+    * BROADCAST, the corpus streams once and never shuffles for the
+    * candidate join — linear in corpus tokens, like exact decontamination.
+    *
+    * @param corpus (doc_id, hs) shingle-hash sets
+    * @param probe  (doc_id, hs) the small held-out set
+    * @return (doc_a ∈ corpus, doc_b ∈ probe, jac ≥ tau)
+    */
+  def prefixJoinPairsAgainst(corpus: DataFrame, probe: DataFrame,
+      tau: Double): DataFrame = {
+    val cp = corpus.select(col("doc_id"),
+      explode(Text.prefixHashes(col("hs"), tau)).as("g"))
+    val pp = probe.select(col("doc_id"),
+      explode(Text.prefixHashes(col("hs"), tau)).as("g"))
+    val cand = cp.as("a")
+      .join(broadcast(pp.as("b")), col("a.g") === col("b.g"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(corpus.select(col("doc_id").as("doc_a"), col("hs").as("hsa")),
+        Seq("doc_a"))
+      .join(broadcast(probe.select(col("doc_id").as("doc_b"), col("hs").as("hsb"))),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Text.jaccardFused(col("hsa"), col("hsb")).as("jac"))
+      .filter(col("jac") >= tau)
+  }
+
   /** Prefix filter with GLOBAL df-ascending ordering (the classic PPJoin
     * token order): one counting pass computes each shingle's document
     * frequency, every document's hash set is re-sorted by (df, hash), and
