@@ -58,6 +58,24 @@ class NearDupSpec extends SparkSpec {
     assert(dfCand == 0, "df order: viral shingle out of every prefix")
   }
 
+  test("cross-corpus prefix join equals the brute-force R-S pairs (completeness)") {
+    // probe = a slice of the corpus, so true matches exist (self-pairs at
+    // jac=1 plus near-dups); brute force is the ground truth
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val probe = docs.filter($"doc_id" % 3 === 0)
+    val got = NearDup.prefixJoinPairsAgainst(corpus, probe, 0.8)
+      .select($"doc_a", $"doc_b", round($"jac", 9))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = corpus.select($"doc_id".as("doc_a"), $"hs".as("hsa"))
+      .crossJoin(probe.select($"doc_id".as("doc_b"), $"hs".as("hsb")))
+      .select($"doc_a", $"doc_b",
+        round(Text.jaccardFused($"hsa", $"hsb"), 9).as("jac"))
+      .filter($"jac" >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty && got == brute,
+      s"prefix R-S join missed pairs: got ${got.size}, brute ${brute.size}")
+  }
+
   test("clusters: transitive closure with min-id representative") {
     // chain 1-2, 2-3 plus isolated pair 10-11 plus a long chain 20..24
     // (diameter 4 — exercises multiple propagation rounds)
