@@ -113,6 +113,24 @@ object QueriesExt {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** §2.10 extension — stream-STREAM watermarked inner join: the
+    * click→purchase funnel through [[graft.streaming.Streaming
+    * .clickPurchaseFunnel]]. Both sides arrive continuously; the
+    * range-bounded predicate lets the join expire state with the
+    * watermark. The oracle is the equivalent batch self-join. */
+  private val q71: Q = (s, dir) =>
+    graft.streaming.Streaming.clickPurchaseFunnel(s, dir)
+
+  private val q71Sql =
+    """SELECT c.user_id,
+      |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+      |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY c.user_id, click_ts, purchase_ts""".stripMargin
+
   // ------------------------------------------------------------- dedup
 
   /** Exact dedup: hash-group on content, keep the smallest doc_id as the
@@ -1662,6 +1680,7 @@ object QueriesExt {
     Entry("q67_pack_payload", q67, Some(q67Sql)),
     Entry("q68_snapshot_diff", q68, Some(q68Sql)),
     Entry("q69_commonness", q69, Some(q69Sql)),
-    Entry("q70_decontaminate_neardup", q70, Some(q70Sql))
+    Entry("q70_decontaminate_neardup", q70, Some(q70Sql)),
+    Entry("q71_stream_stream_join", q71, Some(q71Sql))
   )
 }

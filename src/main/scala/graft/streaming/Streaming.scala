@@ -261,6 +261,50 @@ object Streaming {
         .dropDuplicatesWithinWatermark(keyCols),
       outPath, checkpoint, timeoutMs)
 
+  /** Stream-STREAM inner join — the funnel/attribution primitive: every
+    * (click, purchase) pair for a user where the purchase lands within
+    * `within` after the click. Both sides carry event-time watermarks and
+    * the join predicate bounds purchase_ts to a click_ts range, so Spark
+    * can expire join state as the watermark advances — state is
+    * (events × horizon), never history. This is the capability the
+    * stream-static join cannot express: BOTH sides arrive continuously.
+    * Append output (inner joins emit exactly once, on match).
+    *
+    * TEST/ORACLE SHIM — memory sink materializes the pair table; bounded
+    * inputs only. Production swaps the sink for the append-mode file/JDBC
+    * runners above, unchanged plan.
+    */
+  def clickPurchaseFunnel(spark: SparkSession, sfDir: String,
+      within: String = "1 hour"): DataFrame = {
+    val name = uniqueName("graft_stream_funnel")
+    val ev = eventsStream(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val q = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, 300000)
+    val out = spark.table(name)
+      .orderBy(col("user_id"), col("click_ts"), col("purchase_ts"))
+      .localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** PRODUCTION streaming → warehouse load: the reference's per-DAG
     * "INSERT the day's batch into ClickHouse" loop
     * (dags/guardian/etl_guardian_to_clickhouse.py:127-132) as a streaming

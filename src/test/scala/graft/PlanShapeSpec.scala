@@ -187,7 +187,7 @@ class PlanShapeSpec extends SparkSpec {
     // q69 shares q55's 1-row corpus-total broadcast cross join.
     val excluded = Set("q34_sim_cosine_topk", "q55_tfidf_keywords",
       "q24_streaming_window", "q25_streaming_sessions", "q48_dedup_clusters",
-      "q61_source_centroids", "q69_commonness")
+      "q61_source_centroids", "q69_commonness", "q71_stream_stream_join")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")
