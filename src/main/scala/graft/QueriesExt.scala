@@ -94,11 +94,14 @@ object QueriesExt {
 
   /** Session break when the inter-event gap reaches 30 min (session_window
     * ends are exclusive: an event exactly at last+gap starts a new session).
-    */
+    * The gap compares epoch_us values, not raw ns timestamps: the engine
+    * truncates event times to microseconds, so a raw-ns gap within 1000 ns
+    * of the boundary would break differently in the two engines (the
+    * q44/q46/q71 epoch_us discipline). */
   private val q25Sql =
     """WITH o AS (
       |  SELECT user_id, ts,
-      |         CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
       |              THEN 1 ELSE 0 END AS brk
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -119,8 +122,13 @@ object QueriesExt {
     * range-bounded predicate lets the join expire state with the
     * watermark. The oracle is the equivalent batch self-join. */
   private val q71: Q = (s, dir) =>
-    graft.streaming.Streaming.clickPurchaseFunnel(s, dir)
+    graft.streaming.Streaming.clickPurchaseFunnel(s, dir, within = "1 hour")
 
+  /** Gap bounds compare epoch_us values, NOT raw timestamps: the events
+    * fixture carries TIMESTAMP(NANOS) and the engine truncates to
+    * microseconds (`timestamp_micros(ts div 1000)`), so a raw-ns
+    * comparison would disagree with Spark on pairs within 1000 ns of the
+    * 1-hour boundary — the q44/q46 epoch_us discipline. */
   private val q71Sql =
     """SELECT c.user_id,
       |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
@@ -128,7 +136,8 @@ object QueriesExt {
       |FROM events c JOIN events p
       |  ON c.user_id = p.user_id
       | AND c.event_type = 'click' AND p.event_type = 'purchase'
-      | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      | AND epoch_us(p.ts) > epoch_us(c.ts)
+      | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
       |ORDER BY c.user_id, click_ts, purchase_ts""".stripMargin
 
   // ------------------------------------------------------------- dedup

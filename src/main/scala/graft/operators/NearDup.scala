@@ -27,9 +27,7 @@ object NearDup {
 
   /** Skew-robust default: prefix-filtered candidates + fused-kernel verify. */
   def prefixJoinPairs(docs: DataFrame, tau: Double): DataFrame =
-    verify(docs, candidatesFromPostings(
-      docs.select(col("doc_id"), explode(Text.prefixHashes(col("hs"), tau)).as("g"))),
-      tau)
+    verify(docs, candidatesFromPostings(prefixPostings(docs, tau)), tau)
 
   /** Cross-corpus near-dup pairs (the R-S join form of [[prefixJoinPairs]]):
     * corpus documents within Jaccard τ of ANY probe document — near-dup
@@ -47,22 +45,12 @@ object NearDup {
     */
   def prefixJoinPairsAgainst(corpus: DataFrame, probe: DataFrame,
       tau: Double): DataFrame = {
-    val cp = corpus.select(col("doc_id"),
-      explode(Text.prefixHashes(col("hs"), tau)).as("g"))
-    val pp = probe.select(col("doc_id"),
-      explode(Text.prefixHashes(col("hs"), tau)).as("g"))
-    val cand = cp.as("a")
-      .join(broadcast(pp.as("b")), col("a.g") === col("b.g"))
+    val cand = prefixPostings(corpus, tau).as("a")
+      .join(broadcast(prefixPostings(probe, tau).as("b")),
+        col("a.g") === col("b.g"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(corpus.select(col("doc_id").as("doc_a"), col("hs").as("hsa")),
-        Seq("doc_a"))
-      .join(broadcast(probe.select(col("doc_id").as("doc_b"), col("hs").as("hsb"))),
-        Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        Text.jaccardFused(col("hsa"), col("hsb")).as("jac"))
-      .filter(col("jac") >= tau)
+    verifyRs(corpus, probe, cand, tau, broadcastB = true)
   }
 
   /** Prefix filter with GLOBAL df-ascending ordering (the classic PPJoin
@@ -106,13 +94,26 @@ object NearDup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
+  /** τ-prefix postings projection shared by the self- and R-S joins. */
+  private def prefixPostings(docs: DataFrame, tau: Double): DataFrame =
+    docs.select(col("doc_id"), explode(Text.prefixHashes(col("hs"), tau)).as("g"))
+
   private def verify(docs: DataFrame, cand: DataFrame, tau: Double): DataFrame =
+    verifyRs(docs, docs, cand, tau, broadcastB = false)
+
+  /** Exact-Jaccard verification of candidate pairs, doc_a resolved against
+    * `docsA` and doc_b against `docsB` — the one join-back implementation
+    * behind both the self-join and cross-corpus paths. */
+  private def verifyRs(docsA: DataFrame, docsB: DataFrame, cand: DataFrame,
+      tau: Double, broadcastB: Boolean): DataFrame = {
+    val b = docsB.select(col("doc_id").as("doc_b"), col("hs").as("hsb"))
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hsa")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hsb")), Seq("doc_b"))
+      .join(docsA.select(col("doc_id").as("doc_a"), col("hs").as("hsa")), Seq("doc_a"))
+      .join(if (broadcastB) broadcast(b) else b, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         Text.jaccardFused(col("hsa"), col("hsb")).as("jac"))
       .filter(col("jac") >= tau)
+  }
 
   /** Connected components over a near-dup PAIR set — the corpus-level
     * step every dedup pipeline needs after pairwise detection: transitive

@@ -278,12 +278,14 @@ object Streaming {
       within: String = "1 hour"): DataFrame = {
     val name = uniqueName("graft_stream_funnel")
     val ev = eventsStream(spark, sfDir)
+    // late-tolerance tracks the join horizon: state needs to survive
+    // exactly as long as a click can still find its purchase
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
+      .withWatermark("click_ts", within)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "1 hour")
+      .withWatermark("purchase_ts", within)
     val q = clicks.join(purchases,
       col("user_id") === col("p_user") &&
         col("purchase_ts") > col("click_ts") &&

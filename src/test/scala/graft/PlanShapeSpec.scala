@@ -141,6 +141,16 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q70: benchmark side broadcasts in BOTH joins; no sort-merge join") {
+    // the SURVEY contract: probe postings and shingle sets broadcast, the
+    // corpus streams once — losing a broadcast() hint would silently turn
+    // the linear decontamination pass into a corpus shuffle
+    val p = plan("q70_decontaminate_neardup")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"lost a broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled for a join")
+    spark.catalog.clearCache()
+  }
+
   test("q69: the only nested loop is the 1-row corpus-total broadcast; ctf broadcasts") {
     val p = plan("q69_commonness")
     assert(!p.contains("CartesianProduct"))

@@ -59,8 +59,9 @@ class NearDupSpec extends SparkSpec {
   }
 
   test("cross-corpus prefix join equals the brute-force R-S pairs (completeness)") {
-    // probe = a slice of the corpus, so true matches exist (self-pairs at
-    // jac=1 plus near-dups); brute force is the ground truth
+    // corpus (id%3!=0) and probe (id%3==0) are DISJOINT id sets; matches
+    // exist because the fixture's duplicate/near-dup texts straddle the
+    // mod-3 split (brute.nonEmpty asserts that precondition explicitly)
     val corpus = docs.filter($"doc_id" % 3 =!= 0)
     val probe = docs.filter($"doc_id" % 3 === 0)
     val got = NearDup.prefixJoinPairsAgainst(corpus, probe, 0.8)
@@ -72,7 +73,9 @@ class NearDupSpec extends SparkSpec {
         round(Text.jaccardFused($"hsa", $"hsb"), 9).as("jac"))
       .filter($"jac" >= 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(got.nonEmpty && got == brute,
+    assert(brute.nonEmpty,
+      "fixture precondition: near-dup texts must straddle the mod-3 split")
+    assert(got == brute,
       s"prefix R-S join missed pairs: got ${got.size}, brute ${brute.size}")
   }
 
