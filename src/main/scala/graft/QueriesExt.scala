@@ -1643,6 +1643,42 @@ object QueriesExt {
       |SELECT key, status, old_cents, new_cents
       |FROM d WHERE status <> 'same' ORDER BY key""".stripMargin
 
+  /** §3.3 interactive SQL surface IN the correctness gate: the exact text
+    * a Metabase/CLI user types — registered temp views
+    * ([[graft.core.Tables.registerAll]]) plus the engine's registered SQL
+    * functions (`graft_grade`, installed by `Sessions.tune`/extensions) —
+    * executed through `spark.sql` and hash-checked like every DataFrame
+    * query. SqlSurfaceSpec checks the views exist; THIS proves the whole
+    * SQL entry point computes correct answers end-to-end.
+    */
+  private val q72: Q = (s, dir) => {
+    graft.core.Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT n_name, g.grade AS grade, g.gpa AS gpa, count(*) AS n
+      FROM (SELECT c_nationkey, graft_grade(pmod(c_acctbal, 100)) AS g
+            FROM customer) c
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, g.grade, g.gpa
+      ORDER BY n_name, gpa DESC, grade
+    """)
+  }
+
+  private val q72Sql =
+    """WITH p AS (SELECT n_name, ((c_acctbal % 100) + 100) % 100 AS pct
+      |           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |g AS (SELECT n_name,
+      |        CASE WHEN pct >= 85 THEN 'A' WHEN pct >= 80 THEN 'B+'
+      |             WHEN pct >= 70 THEN 'B' WHEN pct >= 65 THEN 'C+'
+      |             WHEN pct >= 50 THEN 'C' WHEN pct >= 45 THEN 'D'
+      |             WHEN pct >= 40 THEN 'E' ELSE 'F' END AS grade,
+      |        CASE WHEN pct >= 85 THEN 4.0 WHEN pct >= 80 THEN 3.5
+      |             WHEN pct >= 70 THEN 3.0 WHEN pct >= 65 THEN 2.5
+      |             WHEN pct >= 50 THEN 2.0 WHEN pct >= 45 THEN 1.5
+      |             WHEN pct >= 40 THEN 1.0 ELSE 0.0 END AS gpa
+      |      FROM p)
+      |SELECT n_name, grade, gpa, count(*) AS n FROM g
+      |GROUP BY n_name, grade, gpa ORDER BY n_name, gpa DESC, grade""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[Entry] = Seq(
@@ -1690,6 +1726,7 @@ object QueriesExt {
     Entry("q68_snapshot_diff", q68, Some(q68Sql)),
     Entry("q69_commonness", q69, Some(q69Sql)),
     Entry("q70_decontaminate_neardup", q70, Some(q70Sql)),
-    Entry("q71_stream_stream_join", q71, Some(q71Sql))
+    Entry("q71_stream_stream_join", q71, Some(q71Sql)),
+    Entry("q72_sql_surface", q72, Some(q72Sql))
   )
 }
