@@ -39,6 +39,11 @@ object Packing {
   def globalCumSum(df: DataFrame, orderCol: String, valueCol: String,
       cumCol: String = "cum", buckets: Int = 64): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val orderType = df.schema(orderCol).dataType
+    require(orderType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"globalCumSum orders by a NUMERIC column (range boundaries come from " +
+        s"approxQuantile); '$orderCol' is $orderType — derive a numeric key " +
+        "first (e.g. a dense surrogate id) and order by that")
     val probes = (1 until buckets).map(_.toDouble / buckets).toArray
     val bnds: Array[Double] =
       if (probes.isEmpty) Array.empty
