@@ -1681,6 +1681,236 @@ object QueriesExt {
 
   // ------------------------------------------------------------ registry
 
+  // ------------------------------------------- bloom-pruned join (q73)
+
+  /** Join pruning at the scale between broadcast and plain shuffle: a
+    * deterministic Bloom filter of the dim side's keys drops non-matching
+    * fact rows BEFORE the join's exchange ([[graft.operators.BloomPrune]]).
+    * The oracle is the PLAIN join SQL — hash equality with the unpruned
+    * join IS the no-false-negative guarantee surfacing as a correctness
+    * check. Money in integer cents (the q23 discipline). */
+  private val q73: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+      .filter(col("c_acctbal") > 7500)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val orders = t(s, dir, "orders")
+    graft.operators.BloomPrune
+      .prunedJoin(orders, cust, "o_custkey", "c_custkey", mBits = 1 << 16)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy("c_nationkey")
+  }
+
+  private val q73Sql =
+    """SELECT c_nationkey, count(*) AS n_orders,
+      |       CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_acctbal > 7500
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // --------------------------------------- batch sessionization (q74)
+
+  /** Gap-based sessionization as a BATCH window program — the exact batch
+    * twin of q25's streaming `session_window` (same 30-min exclusive-end
+    * gap rule over epoch_us), so backfill and live paths agree row for row
+    * (StreamingSpec pins the parity). One shuffle on user_id; the break
+    * flag, running session id, and per-session rollup ride the same sorted
+    * partition. Ordering ties broken by event_id (ts alone is not unique —
+    * the q63 tie discipline). */
+  private val q74: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val run = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("brk",
+        when(col("us") - lag(col("us"), 1).over(w) >= 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sid"), col("start_us"), col("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "sid")
+  }
+
+  private val q74Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |b AS (
+      |  SELECT user_id, event_id, us,
+      |         CASE WHEN us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (
+      |  SELECT user_id, us,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM b)
+      |SELECT user_id, CAST(sid AS BIGINT) AS sid, min(us) AS start_us,
+      |       max(us) AS end_us, count(*) AS n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
+
+  // ------------------------------------------------ SCD2 intervals (q75)
+
+  /** Slowly-changing-dimension (type 2) build from a change log: per
+    * customer, collapse consecutive equal priority values into validity
+    * intervals [effective_from, effective_to) with a current-row marker —
+    * the standard dimension-history table every warehouse load maintains.
+    * Change detection (lag), island numbering (running sum), interval
+    * bounds (min/lead) all ride ONE shuffle on the business key. Ordering
+    * ties broken by o_orderkey (unique). */
+  private val q75: Q = (s, dir) => {
+    val byK = Window.partitionBy("o_custkey").orderBy(col("us"), col("o_orderkey"))
+    val run = byK.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = Window.partitionBy("o_custkey").orderBy(col("grp"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+        // cast's epoch equals DuckDB's naive epoch_us
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        col("o_orderpriority"))
+      .withColumn("chg",
+        when(lag(col("o_orderpriority"), 1).over(byK).isNull
+          .or(lag(col("o_orderpriority"), 1).over(byK) =!= col("o_orderpriority")), 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("chg")).over(run))
+      .groupBy(col("o_custkey"), col("grp"), col("o_orderpriority"))
+      .agg(min(col("us")).as("effective_from"))
+      .withColumn("effective_to",
+        lead(col("effective_from"), 1).over(islands))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select(col("o_custkey"), col("o_orderpriority").as("priority"),
+        col("effective_from"), col("effective_to"), col("is_current"))
+      .orderBy("o_custkey", "effective_from")
+  }
+
+  private val q75Sql =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS us, o_orderpriority
+      |  FROM orders),
+      |c AS (
+      |  SELECT o_custkey, o_orderkey, us, o_orderpriority,
+      |         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+      |                OR lag(o_orderpriority) OVER w <> o_orderpriority
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY us, o_orderkey)),
+      |g AS (
+      |  SELECT o_custkey, us, o_orderpriority,
+      |         sum(chg) OVER (PARTITION BY o_custkey ORDER BY us, o_orderkey
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM c),
+      |i AS (
+      |  SELECT o_custkey, grp, o_orderpriority, min(us) AS effective_from
+      |  FROM g GROUP BY o_custkey, grp, o_orderpriority)
+      |SELECT o_custkey, o_orderpriority AS priority, effective_from,
+      |       lead(effective_from) OVER (PARTITION BY o_custkey ORDER BY grp)
+      |         AS effective_to,
+      |       lead(effective_from) OVER (PARTITION BY o_custkey ORDER BY grp)
+      |         IS NULL AS is_current
+      |FROM i ORDER BY o_custkey, effective_from""".stripMargin
+
+  // --------------------------------- time-range window frames (q76)
+
+  /** Rolling 30-day revenue per customer via a RANGE frame over days since
+    * epoch — the time-based sliding aggregate (trailing spend, rolling
+    * retention) that ROWS frames cannot express when event spacing is
+    * irregular. RANGE includes all peers of the current day, so the result
+    * is tie-stable by construction; money in integer cents keeps the sums
+    * exact across engines. One shuffle on the key. */
+  private val q76: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+      .rangeBetween(-30L, 0L)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        floor(unix_micros(col("o_orderdate").cast("timestamp")) /
+          lit(86400000000L)).as("day"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("cents_30d", sum(col("cents")).over(w))
+      .withColumn("orders_30d", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        col("cents_30d"), col("orders_30d"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q76Sql =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         epoch_us(o_orderdate) // 86400000000 AS day,
+      |         CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, day,
+      |       CAST(sum(cents) OVER w AS BIGINT) AS cents_30d,
+      |       count(*) OVER w AS orders_30d
+      |FROM o
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+      |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------- z-order layout key (q77)
+
+  /** The Morton sort key behind [[graft.sources.Sinks.writeZOrdered]]
+    * computed as a query (graft.functions.Layout.zorder — one codegen'd
+    * kernel, pure map): bit i·2 of z is bit i of custkey, bit i·2+1 is bit
+    * i of the order day, so sorting by z clusters BOTH dimensions and
+    * every 2^24-aligned z-cell (zbucket) is a 4096×4096 tile of the
+    * (custkey, day) plane. The oracle rebuilds the interleave from 32
+    * shift-and-mask terms — an independent arithmetic derivation of the
+    * same curve. */
+  private val q77: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(unix_micros(col("o_orderdate").cast("timestamp")) /
+          lit(86400000000L)).as("day"))
+      .withColumn("z",
+        graft.functions.Layout.zorder(16, col("o_custkey"), col("day")))
+      .withColumn("zbucket", shiftright(col("z"), 24))
+      .orderBy("o_orderkey")
+  }
+
+  private val q77Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((o_custkey >> $i) & 1) << ${2 * i})",
+      s"(((day >> $i) & 1) << ${2 * i + 1})"))
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_custkey,
+       |         epoch_us(o_orderdate) // 86400000000 AS day
+       |  FROM orders),
+       |m AS (
+       |  SELECT o_orderkey, o_custkey, day,
+       |         ${terms.mkString(" + ")} AS z
+       |  FROM o)
+       |SELECT o_orderkey, o_custkey, day, z, z >> 24 AS zbucket
+       |FROM m ORDER BY o_orderkey""".stripMargin
+  }
+
+  // ----------------------------------------- salted skew join (q78)
+
+  /** [[graft.operators.Relational.skewJoin]] surfaced in the correctness
+    * gate: lineitem ⋈ supplier through the salt-and-replicate join (one
+    * hot supplier key spreads over 16 reducers instead of melting one),
+    * then rolled up per nation. The salt is transient routing state — the
+    * oracle is the PLAIN join SQL, so hash equality proves salting changes
+    * execution, never results. Money in integer cents. */
+  private val q78: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    val supp = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.operators.Relational.skewJoin(li, supp, "l_suppkey")
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("cents"))
+      .orderBy("s_nationkey")
+  }
+
+  private val q78Sql =
+    """SELECT s_nationkey, count(*) AS n_items,
+      |       CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+      |         AS cents
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -1727,6 +1957,12 @@ object QueriesExt {
     Entry("q69_commonness", q69, Some(q69Sql)),
     Entry("q70_decontaminate_neardup", q70, Some(q70Sql)),
     Entry("q71_stream_stream_join", q71, Some(q71Sql)),
-    Entry("q72_sql_surface", q72, Some(q72Sql))
+    Entry("q72_sql_surface", q72, Some(q72Sql)),
+    Entry("q73_bloom_join", q73, Some(q73Sql)),
+    Entry("q74_sessionize_batch", q74, Some(q74Sql)),
+    Entry("q75_scd2_intervals", q75, Some(q75Sql)),
+    Entry("q76_rolling_range", q76, Some(q76Sql)),
+    Entry("q77_zorder_key", q77, Some(q77Sql)),
+    Entry("q78_skew_join", q78, Some(q78Sql))
   )
 }

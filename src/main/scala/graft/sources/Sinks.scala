@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Observation, SaveMode}
-import org.apache.spark.sql.functions.{col, count, lit, pmod, xxhash64}
+import org.apache.spark.sql.functions.{array, col, concat, count, lit, pmod,
+  raise_error, when, xxhash64}
 
 /** K1-K5 sink semantics (SURVEY §2.2) re-expressed engine-natively.
   *
@@ -98,6 +99,50 @@ object Sinks {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(path)
     partitionCols.size
+  }
+
+  /** Z-ordered parquet layout — multi-dimensional data skipping.
+    *
+    * Rows sort by the Morton interleave of the given dimensions
+    * ([[graft.plans.ZOrderExpr]]) and land in range-partitioned files, so
+    * every file's parquet footer min/max stays tight in EVERY clustered
+    * dimension at once. A scan filtering on any subset of those dimensions
+    * then skips most files outright — the layout that makes "WHERE user_id
+    * BETWEEN … AND day BETWEEN …" read a sliver of a 100 TB table instead
+    * of all of it (Delta/Iceberg `OPTIMIZE ZORDER BY` semantics, done
+    * natively). A plain sort clusters only its leading column; Z-order is
+    * the fix when two or more columns carry selective predicates.
+    *
+    * Dimensions must already be non-negative integers under
+    * `2^bitsPerDim` — out-of-range values would alias Morton cells, so
+    * this fails fast instead of silently corrupting the layout
+    * (range-encode or bucket raw values first).
+    *
+    * @param dims (name → column) pairs; the named columns must exist in
+    *             `df` (they are what scans filter on)
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      dims: Seq[String],
+      bitsPerDim: Int = 16,
+      nFiles: Int = 64,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
+    require(dims.size >= 2, "z-order needs at least two dimensions")
+    val lim = 1L << bitsPerDim
+    val guarded = dims.map(d =>
+      when(col(d).isNull.or(col(d) < 0).or(col(d) >= lim),
+        raise_error(concat(lit(s"z-order dim $d out of [0, $lim): "),
+          col(d).cast("string"))))
+        .otherwise(col(d).cast("long")))
+    val z = toCol(graft.plans.ZOrderExpr(
+      toExpr(array(guarded: _*)), bitsPerDim, dims.size))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(mode).parquet(path)
   }
 
   /** Bucketed, sorted, catalogued write — the co-located-join layout.

@@ -10,7 +10,11 @@ class PlanShapeSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def plan(name: String): String =
-    Queries.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // tune registers the graft_* SQL functions q72 needs — the driver's
+    // entry points do the same, so the sweep must not depend on another
+    // suite having tuned the shared session first
+    Queries.queries(name)(graft.core.Sessions.tune(spark), sf)
+      .queryExecution.executedPlan.toString
 
   test("q01: filter and 5-column projection reach the parquet scan") {
     val p = plan("q01_scan_projection")

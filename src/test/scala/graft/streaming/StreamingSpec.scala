@@ -204,4 +204,20 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(custom == native)
   }
+
+  test("q74 batch sessionization agrees with streaming session_window") {
+    // backfill/live parity: the batch window program and the streaming
+    // session_window must carve identical sessions from the same events
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.QueriesExt.entries.find(_.name == "q74_sessionize_batch")
+      .get.fn(spark, sf)
+      .selectExpr("user_id", "start_us / 1000000 AS sm", "n_events")
+      .collect().map(r => (r.getLong(0), r.getDouble(1).toLong, r.getLong(2)))
+      .sorted.toSeq
+    val stream = Streaming.sessionize(spark, sf)
+      .selectExpr("user_id", "unix_seconds(to_timestamp(session_start)) AS sm",
+        "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(batch == stream)
+  }
 }
