@@ -1911,6 +1911,122 @@ object QueriesExt {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  // ------------------------------------------------ funnel analysis (q79)
+
+  /** Ordered conversion funnel (view → click → purchase) per user: each
+    * stage's timestamp is the earliest qualifying event STRICTLY AFTER the
+    * previous stage — three chained conditional-min windows over one
+    * user_id partition, then a rollup that reuses the same hash
+    * partitioning (no second exchange; min/max are tie-stable so the
+    * result is engine-independent). The product-analytics query every
+    * event pipeline serves. */
+  private val q79: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("view_us",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("click_us",
+        min(when(col("event_type") === "click" && col("us") > col("view_us"),
+          col("us"))).over(w))
+      .withColumn("purchase_us",
+        min(when(col("event_type") === "purchase" && col("us") > col("click_us"),
+          col("us"))).over(w))
+      .groupBy("user_id")
+      .agg(max("view_us").as("view_us"), max("click_us").as("click_us"),
+        max("purchase_us").as("purchase_us"))
+      .withColumn("depth",
+        when(col("purchase_us").isNotNull, 3)
+          .when(col("click_us").isNotNull, 2)
+          .when(col("view_us").isNotNull, 1)
+          .otherwise(0))
+      .orderBy("user_id")
+  }
+
+  private val q79Sql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT *, min(CASE WHEN event_type='view' THEN us END)
+      |                  OVER (PARTITION BY user_id) AS view_us FROM e),
+      |c AS (SELECT *, min(CASE WHEN event_type='click' AND us > view_us THEN us END)
+      |                  OVER (PARTITION BY user_id) AS click_us FROM v),
+      |p AS (SELECT *, min(CASE WHEN event_type='purchase' AND us > click_us THEN us END)
+      |                  OVER (PARTITION BY user_id) AS purchase_us FROM c)
+      |SELECT user_id, max(view_us) AS view_us, max(click_us) AS click_us,
+      |       max(purchase_us) AS purchase_us,
+      |       CASE WHEN max(purchase_us) IS NOT NULL THEN 3
+      |            WHEN max(click_us) IS NOT NULL THEN 2
+      |            WHEN max(view_us) IS NOT NULL THEN 1 ELSE 0 END AS depth
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------- cohort retention (q80)
+
+  /** Weekly cohort retention: users grouped by first-seen week, activity
+    * bucketed into week offsets from that cohort — the (cohort_week,
+    * week_offset) → distinct-user matrix behind every retention curve.
+    * Two aggregations and an equi-join, all integer day arithmetic
+    * (`div 7` ≡ DuckDB `//` on non-negatives). */
+  private val q80: Q = (s, dir) => {
+    val days = t(s, dir, "events")
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+    val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(cohort, "user_id")
+      .selectExpr("user_id", "cohort_day div 7 AS cohort_week",
+        "(day - cohort_day) div 7 AS week_offset")
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val q80Sql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+      |a AS (SELECT DISTINCT e.user_id, cohort_day // 7 AS cohort_week,
+      |             (day - cohort_day) // 7 AS week_offset
+      |      FROM e JOIN f USING (user_id))
+      |SELECT cohort_week, week_offset, count(*) AS n_users
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------- integer PageRank (q81)
+
+  /** PageRank over the customer–supplier trade graph (edges from
+    * lineitem ⋈ orders, symmetrized) through [[graft.operators.Graph
+    * .pageRank]] — 3 exact integral iterations, so the DuckDB oracle
+    * (the same recurrence unrolled as CTEs) reproduces every rank
+    * bit-for-bit. Floating PageRank cannot be oracle-checked this way;
+    * the micro-unit rational form can. */
+  private val q81: Q = (s, dir) => {
+    val raw = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct()
+    val edges = raw.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(raw.select(col("b").as("src"), col("a").as("dst")))
+    graft.operators.Graph.pageRank(edges, iters = 3).orderBy("node")
+  }
+
+  private val q81Sql =
+    """WITH raw AS (
+      |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |e AS (SELECT a AS src, b AS dst FROM raw
+      |      UNION SELECT b AS src, a AS dst FROM raw),
+      |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r FROM e),
+      |r1 AS (SELECT e.dst AS node, 150000 + (850 * sum(r0.r // deg.outdeg)) // 1000 AS r
+      |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT e.dst AS node, 150000 + (850 * sum(r1.r // deg.outdeg)) // 1000 AS r
+      |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+      |       GROUP BY e.dst),
+      |r3 AS (SELECT e.dst AS node, 150000 + (850 * sum(r2.r // deg.outdeg)) // 1000 AS r
+      |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src
+      |       GROUP BY e.dst)
+      |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY node""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -1963,6 +2079,9 @@ object QueriesExt {
     Entry("q75_scd2_intervals", q75, Some(q75Sql)),
     Entry("q76_rolling_range", q76, Some(q76Sql)),
     Entry("q77_zorder_key", q77, Some(q77Sql)),
-    Entry("q78_skew_join", q78, Some(q78Sql))
+    Entry("q78_skew_join", q78, Some(q78Sql)),
+    Entry("q79_funnel", q79, Some(q79Sql)),
+    Entry("q80_retention_cohorts", q80, Some(q80Sql)),
+    Entry("q81_pagerank", q81, Some(q81Sql))
   )
 }
