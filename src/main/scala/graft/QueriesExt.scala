@@ -2027,6 +2027,124 @@ object QueriesExt {
       |       GROUP BY e.dst)
       |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY node""".stripMargin
 
+  // ------------------------------------------------ merge upsert (q82)
+
+  /** MERGE-INTO applied as a batch: a deterministic change batch (every
+    * 7th order re-priced and re-statused) upserted into the base snapshot
+    * through [[graft.operators.Relational.upsert]] — updated keys take the
+    * new row, untouched keys survive, all in ONE hash exchange (no join;
+    * the oracle's anti-join+union derivation is an independent algorithm
+    * for the same semantics). */
+  private val q82: Q = (s, dir) => {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        col("o_orderstatus"))
+    val upd = base.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey"), (col("cents") + 555).as("cents"),
+        lit("R").as("o_orderstatus"))
+    graft.operators.Relational.upsert(base, upd, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q82Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+      |         o_orderstatus
+      |  FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, cents + 555 AS cents, 'R' AS o_orderstatus
+      |  FROM base WHERE o_orderkey % 7 = 0)
+      |SELECT o_orderkey, cents, o_orderstatus FROM upd
+      |UNION ALL
+      |SELECT b.* FROM base b ANTI JOIN upd u ON b.o_orderkey = u.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------- data-quality checks (q83)
+
+  /** The dbt-test/Deequ role through [[graft.operators.Checks]]: a
+    * declarative constraint suite (null/range/predicate fused into ONE
+    * aggregation scan per table, key uniqueness as one hash aggregate,
+    * referential integrity as anti joins) producing the per-check
+    * violation report a pipeline gates its publish on. The range check is
+    * deliberately tight so the report carries real nonzero counts — both
+    * engines must agree on the violations, not just on all-zeros. */
+  private val q83: Q = (s, dir) => {
+    import graft.operators.Checks
+    val orders = t(s, dir, "orders")
+    val rowChecks = Checks.report(orders, Seq(
+      Checks.notNull("o_custkey"),
+      Checks.inRange("o_totalprice", 0.0, 200000.0),
+      Checks.satisfies("status_known",
+        col("o_orderstatus").isin("F", "O", "P"))))
+    rowChecks
+      .unionByName(Checks.uniqueReport(orders, Seq("o_orderkey")))
+      .unionByName(Checks.referentialReport(
+        orders, "o_custkey", t(s, dir, "customer"), "c_custkey"))
+      .unionByName(Checks.referentialReport(
+        t(s, dir, "lineitem"), "l_orderkey", orders, "o_orderkey"))
+      .orderBy("check")
+  }
+
+  private val q83Sql =
+    """SELECT * FROM (
+      |  SELECT 'not_null(o_custkey)' AS "check",
+      |         count(CASE WHEN o_custkey IS NULL THEN 1 END) AS violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'in_range(o_totalprice,0.0,200000.0)',
+      |         count(CASE WHEN o_totalprice IS NOT NULL
+      |                     AND (o_totalprice < 0.0 OR o_totalprice > 200000.0)
+      |               THEN 1 END)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'satisfies(status_known)',
+      |         count(CASE WHEN NOT COALESCE(o_orderstatus IN ('F','O','P'), false)
+      |               THEN 1 END)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'unique(o_orderkey)',
+      |         COALESCE(CAST(sum(n - 1) AS BIGINT), 0)
+      |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+      |        HAVING count(*) > 1)
+      |  UNION ALL
+      |  SELECT 'referential(o_custkey->c_custkey)', count(*)
+      |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |  UNION ALL
+      |  SELECT 'referential(l_orderkey->o_orderkey)', count(*)
+      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |ORDER BY "check"""".stripMargin
+
+  // --------------------------------- incremental agg maintenance (q84)
+
+  /** Materialized-aggregate maintenance through [[graft.operators
+    * .Incremental]]: history (events before Jan 21) is aggregated once
+    * into a kept state, the new batch aggregates separately, and `merge`
+    * combines the two partial states — proven equal to the one-shot
+    * aggregate over everything, which is exactly what the oracle computes.
+    * The engine-side cost is |groups|, never history rows. */
+  private val q84: Q = (s, dir) => {
+    val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+          max("cents").as("mx"))
+    val kept = partial(ev.filter(col("ts") < cut))
+    val delta = partial(ev.filter(col("ts") >= cut))
+    graft.operators.Incremental.merge(kept, delta, Seq("event_type"),
+      Map("n" -> "sum", "cents" -> "sum", "mx" -> "max"))
+      .orderBy("event_type")
+  }
+
+  private val q84Sql =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+      |       max(CAST(floor(value*100 + 0.5) AS BIGINT)) AS mx
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -2082,6 +2200,9 @@ object QueriesExt {
     Entry("q78_skew_join", q78, Some(q78Sql)),
     Entry("q79_funnel", q79, Some(q79Sql)),
     Entry("q80_retention_cohorts", q80, Some(q80Sql)),
-    Entry("q81_pagerank", q81, Some(q81Sql))
+    Entry("q81_pagerank", q81, Some(q81Sql)),
+    Entry("q82_merge_upsert", q82, Some(q82Sql)),
+    Entry("q83_quality_checks", q83, Some(q83Sql)),
+    Entry("q84_incremental_agg", q84, Some(q84Sql))
   )
 }

@@ -29,6 +29,26 @@ object Relational {
       .drop("__rn")
   }
 
+  /** MERGE-INTO upsert semantics as one shuffle: rows from `updates`
+    * replace same-key rows in `existing`, new keys insert, untouched keys
+    * survive — the warehouse "apply this batch of changes" primitive
+    * (ClickHouse ReplacingMergeTree's collapse, Delta MERGE's
+    * matched/not-matched arms, minus delete clauses).
+    *
+    * Built on [[dedupLatest]] with a transient source-priority column, so
+    * the whole merge is one hash exchange on the key and a per-partition
+    * row_number — no join. `updates` must be key-unique OR callers append
+    * `ordering` tiebreakers for reproducible within-updates winners (same
+    * contract as dedupLatest). Schemas must match by name.
+    */
+  def upsert(existing: DataFrame, updates: DataFrame, keys: Seq[String],
+      ordering: Seq[Column] = Nil): DataFrame =
+    dedupLatest(
+      existing.withColumn("__pri", lit(0))
+        .unionByName(updates.withColumn("__pri", lit(1))),
+      keys, col("__pri").desc +: ordering)
+      .drop("__pri")
+
   /** S3/P2 incremental watermark scan — `WHERE updatedAt > '<last_run>'`
     * (dags/student/etl_students_to_clickhouse.py:37-46). The predicate is a
     * plain Column filter so it pushes down into parquet row-group pruning or

@@ -36,6 +36,30 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == Seq("y"))
   }
 
+  test("upsert: updates win, new keys insert, untouched keys survive") {
+    val base = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
+    val upd = Seq(("b", 20), ("d", 40)).toDF("k", "v")
+    val got = Relational.upsert(base, upd, Seq("k"))
+      .orderBy($"k").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == Seq(("a", 1), ("b", 20), ("c", 3), ("d", 40)))
+  }
+
+  test("upsert is idempotent: applying the same batch twice is a no-op") {
+    val base = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val upd = Seq(("b", 20)).toDF("k", "v")
+    val once = Relational.upsert(base, upd, Seq("k"))
+    val twice = Relational.upsert(once, upd, Seq("k"))
+    assert(once.orderBy($"k").collect().toSeq == twice.orderBy($"k").collect().toSeq)
+  }
+
+  test("upsert with duplicate update keys picks the ordered winner") {
+    val base = Seq(("a", 1)).toDF("k", "v")
+    val upd = Seq(("a", 10), ("a", 30), ("a", 20)).toDF("k", "v")
+    val got = Relational.upsert(base, upd, Seq("k"), Seq($"v".desc))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == Seq(("a", 30)))
+  }
+
   test("incrementalFrom returns strictly-after-watermark rows (S3)") {
     val df = Seq(
       (1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
