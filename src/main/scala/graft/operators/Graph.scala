@@ -34,11 +34,16 @@ object Graph {
     * @return `node`, `rank_micro` for every node incident to an edge */
   def pageRank(edges: DataFrame, iters: Int, initMicro: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"pageRank needs >= 1 iteration, got $iters")
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // materialize the deduped edge list ONCE: deg, annotated, and nodes all
+    // branch from it, and without truncation every branch re-runs the whole
+    // upstream edge derivation (at sf0.1 that re-ran a lineitem-join scan
+    // per iteration — 9 s instead of ~2)
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val annotated = e.join(deg, "src").cache()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
 
     var rank = nodes.withColumn("rank_micro", lit(initMicro)).localCheckpoint()
     for (_ <- 1 to iters) {
