@@ -2145,6 +2145,222 @@ object QueriesExt {
       |       max(CAST(floor(value*100 + 0.5) AS BIGINT)) AS mx
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------ triangle counting (q85)
+
+  /** Per-node triangle counts over the part co-purchase graph (parts
+    * sharing an order, q09's self-join shape) through [[graft.operators
+    * .Graph.triangleCounts]] — degree-ordered orientation bounds the wedge
+    * join at O(m^1.5), the exact-enumeration optimum. The oracle walks the
+    * same undirected graph by id order (x<y<z three-way join), a different
+    * orientation of the same triangle set, so count equality checks the
+    * algorithm, not the plan. */
+  private val q85: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey")
+          && col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    graft.operators.Graph.triangleCounts(e).orderBy("node")
+  }
+
+  private val q85Sql =
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
+      |  SELECT x AS node FROM tri
+      |  UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri)
+      |GROUP BY node ORDER BY node""".stripMargin
+
+  // --------------------------------------------- multi-source BFS (q86)
+
+  /** Minimum hop distances from every nation-0 customer over the
+    * symmetrized trade graph (q81's edge set) through [[graft.operators
+    * .Graph.bfsDistances]] — frontier-only expansion, 3 bounded rounds.
+    * The oracle unrolls the same three rounds as except-chained CTEs. */
+  private val q86: Q = (s, dir) => {
+    val raw = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct()
+    val edges = raw.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(raw.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = t(s, dir, "customer").filter(col("c_nationkey") === 0)
+      .select(concat(lit("c"), col("c_custkey")).as("node"))
+    graft.operators.Graph.bfsDistances(edges, seeds, maxHops = 3)
+      .orderBy("node")
+  }
+
+  private val q86Sql =
+    """WITH raw AS (
+      |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |e AS (SELECT a AS src, b AS dst FROM raw
+      |      UNION SELECT b AS src, a AS dst FROM raw),
+      |d0 AS (SELECT DISTINCT 'c' || c_custkey AS node FROM customer
+      |       WHERE c_nationkey = 0),
+      |d1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN d0 ON e.src = d0.node
+      |       EXCEPT SELECT node FROM d0),
+      |d2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN d1 ON e.src = d1.node
+      |       EXCEPT (SELECT node FROM d0 UNION SELECT node FROM d1)),
+      |d3 AS (SELECT DISTINCT e.dst AS node FROM e JOIN d2 ON e.src = d2.node
+      |       EXCEPT (SELECT node FROM d0 UNION SELECT node FROM d1
+      |               UNION SELECT node FROM d2))
+      |SELECT node, 0 AS dist FROM d0
+      |UNION ALL SELECT node, 1 FROM d1
+      |UNION ALL SELECT node, 2 FROM d2
+      |UNION ALL SELECT node, 3 FROM d3
+      |ORDER BY node""".stripMargin
+
+  // ------------------------------------- calendar gap-fill + LOCF (q87)
+
+  /** Daily cents per event type over a sparse 2% event sample, repaired
+    * onto the full calendar with last-observation-carried-forward through
+    * [[graft.operators.TimeSeries.gapFillLocf]] — the spine is a broadcast
+    * 1-row bounds aggregate × the type dimension, the fill is one window
+    * pass per type. Day rendered as an ISO string in both engines. */
+  private val q87: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val obs = ev.filter(pmod(col("event_id"), lit(50)) === 0)
+      .select(col("event_type"), col("ts").cast("date").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day").agg(sum("cents").as("cents"))
+    val spine = graft.operators.TimeSeries.dailySpine(
+      ev.select(col("event_type")).distinct(),
+      ev.agg(min(col("ts").cast("date")).as("lo"),
+        max(col("ts").cast("date")).as("hi")),
+      "event_type", "lo", "hi", "day")
+    graft.operators.TimeSeries
+      .gapFillLocf(obs, spine, "event_type", "day", "cents")
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cents_filled"), col("observed"))
+      .orderBy("event_type", "day")
+  }
+
+  private val q87Sql =
+    """WITH obs AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_id % 50 = 0 GROUP BY 1, 2),
+      |bounds AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+      |           FROM events),
+      |spine AS (
+      |  SELECT t.event_type, CAST(u.d AS DATE) AS day
+      |  FROM (SELECT DISTINCT event_type FROM events) t, bounds,
+      |       unnest(generate_series(bounds.lo, bounds.hi, INTERVAL 1 DAY)) AS u(d))
+      |SELECT spine.event_type, strftime(spine.day, '%Y-%m-%d') AS day,
+      |       last_value(obs.cents IGNORE NULLS) OVER (
+      |         PARTITION BY spine.event_type ORDER BY spine.day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_filled,
+      |       CASE WHEN obs.cents IS NULL THEN 0 ELSE 1 END AS observed
+      |FROM spine LEFT JOIN obs
+      |  ON spine.event_type = obs.event_type AND spine.day = obs.day
+      |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------- edit-distance similarity join (q88)
+
+  /** Fuzzy vocabulary reconciliation: Levenshtein ≤ 2 pairs over the
+    * DISTINCT part names (exact dedup composes in front, q30's move)
+    * through [[graft.operators.NearDup.editDistancePairs]] — PassJoin
+    * segment blocking, exact-verify. The oracle is the brute-force cross
+    * join, so hash equality proves the blocking lossless on this data. */
+  private val q88: Q = (s, dir) => {
+    val names = t(s, dir, "part").select(col("p_name").as("s")).distinct()
+      .withColumn("id", col("s"))
+    graft.operators.NearDup.editDistancePairs(names, k = 2)
+      .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
+  private val q88Sql =
+    """WITH v AS (SELECT DISTINCT p_name FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      |FROM v a JOIN v b
+      |  ON (length(a.p_name) < length(b.p_name)
+      |      OR (length(a.p_name) = length(b.p_name) AND a.p_name < b.p_name))
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
+  // ------------------------------------------ inverted index (q89)
+
+  /** Postings-list construction — the searchable-corpus artifact: per
+    * term, document frequency, collection frequency, and the doc-sorted
+    * postings array (doc_id, tf), kept for terms hitting ≥10% of
+    * documents (relative gate so every SF exercises it). Two inherent
+    * shuffles (term×doc tf, then term grouping); the corpus-size gate is
+    * a broadcast 1-row scalar, the q55 pattern. */
+  private val q89: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.functions.Text.tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("postings"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") * 10 >= col("n_docs"))
+      .select(col("term"), col("df"), col("cf"), col("postings"))
+      .orderBy("term")
+  }
+
+  private val q89Sql =
+    """WITH tf AS (
+      |  SELECT term, doc_id, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  GROUP BY term, doc_id),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |       CAST(sum(tf) AS BIGINT) AS cf,
+      |       list(struct_pack(doc_id := doc_id, tf := tf) ORDER BY doc_id)
+      |         AS postings
+      |FROM tf, n
+      |GROUP BY term, n.n_docs
+      |HAVING count(*) * 10 >= n.n_docs
+      |ORDER BY term""".stripMargin
+
+  // ----------------------------------- exact-moment outliers (q90)
+
+  /** 3σ outlier flags per event type through [[graft.operators.Stats
+    * .sigmaOutliers]] — second moments as exact DECIMAL(38,0) integers,
+    * the flag a division-free integer inequality, so DuckDB (HUGEINT
+    * arithmetic) reproduces every flagged row bit-for-bit. Floating
+    * stddev gates cannot be cross-engine-checked this way. */
+  private val q90: Q = (s, dir) => {
+    val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    graft.operators.Stats.sigmaOutliers(ev, Seq("event_type"), "cents", z10 = 30)
+      .orderBy("event_id")
+  }
+
+  private val q90Sql =
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |         CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |         CAST(sum(cents) AS HUGEINT) AS s1,
+      |         CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+      |  FROM ev GROUP BY event_type)
+      |SELECT ev.event_id, ev.event_type, ev.cents, CAST(m.n AS BIGINT) AS n
+      |FROM ev JOIN m USING (event_type)
+      |WHERE (10 * (m.n * ev.cents - m.s1)) * (10 * (m.n * ev.cents - m.s1))
+      |      > 900 * (m.n * m.s2 - m.s1 * m.s1)
+      |ORDER BY event_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -2203,6 +2419,12 @@ object QueriesExt {
     Entry("q81_pagerank", q81, Some(q81Sql)),
     Entry("q82_merge_upsert", q82, Some(q82Sql)),
     Entry("q83_quality_checks", q83, Some(q83Sql)),
-    Entry("q84_incremental_agg", q84, Some(q84Sql))
+    Entry("q84_incremental_agg", q84, Some(q84Sql)),
+    Entry("q85_triangle_counts", q85, Some(q85Sql)),
+    Entry("q86_graph_bfs", q86, Some(q86Sql)),
+    Entry("q87_gapfill_locf", q87, Some(q87Sql)),
+    Entry("q88_editdist_pairs", q88, Some(q88Sql)),
+    Entry("q89_inverted_index", q89, Some(q89Sql)),
+    Entry("q90_outliers_exact", q90, Some(q90Sql))
   )
 }

@@ -64,4 +64,95 @@ object Graph {
     annotated.unpersist()
     rank
   }
+
+  /** Per-node triangle counts via degree-ordered edge orientation — the
+    * standard distributed triangle algorithm (node-iterator++ / Cohen's
+    * MapReduce form). Each undirected edge is oriented from its
+    * lower-(degree, id) endpoint to the higher one; every triangle then has
+    * exactly ONE source node with two outgoing oriented edges, so
+    * enumerating wedges (u→v, u→w with v before w in the same order) and
+    * semi-joining the closing edge (v→w) counts each triangle once.
+    *
+    * Scale shape: orientation bounds every node's out-degree by O(√m) on
+    * any graph (a node of degree d > √m has all its oriented out-neighbors
+    * of degree ≥ d, and there are < 2√m such nodes), so the wedge join —
+    * the only super-linear step — produces O(m^1.5) rows worst-case, the
+    * known optimum for exact triangle enumeration. Both the wedge build
+    * and the closing-edge check are plain equi-joins on edge keys: three
+    * shuffles total, no broadcast assumptions, AQE-safe.
+    *
+    * @param edges two columns `src`, `dst`, treated as UNDIRECTED (both
+    *              orientations and duplicates collapse to one edge;
+    *              self-loops are dropped — a triangle has 3 distinct nodes)
+    * @return (node, tri_cnt) for every node in ≥1 triangle */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set: (a, b) with a < b, deduped
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    // degree over the undirected graph; rank = (deg, node) total order
+    val deg = canon.select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient low-rank → high-rank; carry both endpoints' ranks so the
+    // wedge join can keep (v, w) ordered without another degree join
+    val ra = struct(col("dega").as("d"), col("a").as("n"))
+    val rb = struct(col("degb").as("d"), col("b").as("n"))
+    val oriented = canon
+      .join(deg.select(col("node").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("degb")), "b")
+      .select(
+        when(ra < rb,
+          struct(col("a").as("u"), col("b").as("v"), rb.as("rv")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("v"), ra.as("rv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.rv").as("rv"))
+      .localCheckpoint() // wedge join + closing-edge probe both read it
+    // wedges u→v, u→w with rank(v) < rank(w): each unordered out-pair once
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.rv") < col("e2.rv"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    // closing edge: orientation is a total order, so rank(y) < rank(z)
+    // means the edge, if present, is oriented y→z — one equi semi-join
+    val tris = wedges.join(
+      oriented.select(col("u").as("y"), col("v").as("z")),
+      Seq("y", "z"), "left_semi")
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+  }
+
+  /** Minimum hop distance from a seed set, bounded at `maxHops` —
+    * multi-source BFS as bulk-synchronous frontier expansion. Each round
+    * joins the CURRENT frontier (only the nodes first reached last round,
+    * never the whole reached set) against the edge list and anti-joins
+    * already-reached nodes away: per-round cost is frontier-adjacency,
+    * total cost Σ|frontier adjacencies| ≤ m·maxHops, state is one
+    * (node, dist) row per reached node. Frontiers are lineage-truncated
+    * per round (the [[pageRank]] discipline).
+    *
+    * @param edges directed `src`, `dst` (symmetrize upstream for
+    *              undirected reachability)
+    * @param seeds one column `node`, distance-0 sources
+    * @return (node, dist) for every node within `maxHops` of any seed */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"bfsDistances needs maxHops >= 0, got $maxHops")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var frontier = seeds.select(col("node")).distinct().localCheckpoint()
+    var reached = frontier.withColumn("dist", lit(0)).localCheckpoint()
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .localCheckpoint()
+      reached = reached
+        .unionByName(frontier.withColumn("dist", lit(hop)))
+        .localCheckpoint()
+    }
+    reached
+  }
 }

@@ -197,6 +197,77 @@ object NearDup {
     docs.join(dropped, Seq("doc_id"), "left_anti").select(col("doc_id"))
   }
 
+  /** Edit-distance (Levenshtein ≤ k) similarity self-join via PassJoin
+    * segment blocking (Li, Deng, Feng 2011) — never an n² cross join.
+    *
+    * Pigeonhole: split every string into k+1 contiguous chunks; if
+    * ed(s, t) ≤ k then t contains at least one chunk of s EXACTLY, at a
+    * position shifted by at most k. So the INDEX side emits each string's
+    * k+1 chunks keyed by (own length, chunk index, chunk text), the PROBE
+    * side emits, for every partner length in [len, len+k], the aligned
+    * substrings within ±k of each chunk position — O(k³) probe keys per
+    * string, independent of corpus size — and the candidate join is an
+    * equi-join on those keys. Exact `levenshtein` verifies candidates, so
+    * blocking only needs to be lossless (the oracle equality in q88 IS the
+    * losslessness proof over real data).
+    *
+    * Scale shape: candidates are bounded by chunk-group sizes — strings
+    * collide only when they literally share an aligned chunk. Like the
+    * Jaccard prefix join, adversarial corpora where most strings share
+    * long aligned runs (fixed-prefix serial IDs) need the df-capped
+    * variant of the same idea; for vocabulary-shaped inputs (dedupe to
+    * DISTINCT strings first — q30 composes in front) group sizes are small
+    * by construction.
+    *
+    * @param strs (id, s) — id any orderable type; pass DISTINCT strings
+    * @param k    max edit distance, 1..5 (probe fan-out grows as (k+1)²(2k+1))
+    * @return (id_a, id_b, dist ≤ k), each unordered pair once, canonical
+    *         order: shorter string (ties: smaller id) first */
+  def editDistancePairs(strs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 5, s"editDistancePairs supports k in 1..5, got $k")
+    val kk = k + 1
+    val base = strs.select(col("id"), col("s"), length(col("s")).as("l"))
+      .filter(col("l") > 0)
+    // chunk i of a length-L string: the k+1 near-equal pieces, longer ones
+    // last — start(i) = i·(L div (k+1)) + max(0, i − ((k+1) − L mod (k+1)))
+    val chunks = base.select(col("id"), col("l"),
+      explode(expr(
+        s"""transform(sequence(0, $k), i -> named_struct(
+           |  'i', i,
+           |  'chunk', substring(s,
+           |     (i * (l div $kk) + greatest(0, i - ($kk - l % $kk))) + 1,
+           |     (l div $kk) + if(i >= $kk - l % $kk, 1, 0))))""".stripMargin)).as("c"))
+      .select(col("id").as("id_b"), col("l").as("l_b"),
+        col("c.i").as("ci"), col("c.chunk").as("ck"))
+    val probes = base.select(col("id"), col("l"),
+      explode(expr(
+        s"""filter(
+           |  flatten(transform(sequence(l, l + $k), L ->
+           |    flatten(transform(sequence(0, $k), i ->
+           |      transform(sequence(-$k, $k), d -> named_struct(
+           |        'L', L, 'i', i,
+           |        'st', (i * (L div $kk) + greatest(0, i - ($kk - L % $kk))) + d,
+           |        'ln', (L div $kk) + if(i >= $kk - L % $kk, 1, 0))))))),
+           |  p -> p.st >= 0 AND p.st + p.ln <= l)""".stripMargin)).as("p"),
+      col("s"))
+      .select(col("id").as("id_a"), col("l").as("l_a"),
+        col("p.L").as("L"), col("p.i").as("ci"),
+        expr("substring(s, p.st + 1, p.ln)").as("ck"))
+    val cand = probes
+      .join(chunks, probes("L") === chunks("l_b")
+        && probes("ci") === chunks("ci") && probes("ck") === chunks("ck"))
+      // probe covers partner-longer-or-equal only; equal lengths appear in
+      // both roles, so the id tiebreak keeps exactly one orientation
+      .filter(col("l_a") < col("l_b")
+        || (col("l_a") === col("l_b") && col("id_a") < col("id_b")))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(strs.select(col("id").as("id_a"), col("s").as("sa")), Seq("id_a"))
+      .join(strs.select(col("id").as("id_b"), col("s").as("sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), levenshtein(col("sa"), col("sb")).as("dist"))
+      .filter(col("dist") <= k)
+  }
+
   /** Low-skew alternative: the whole pipeline is codegen'd
     * explode → shuffle-join → hash-aggregate with no verification pass. */
   def countJoinPairs(docs: DataFrame, tau: Double): DataFrame = {

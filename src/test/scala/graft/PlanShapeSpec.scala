@@ -145,6 +145,21 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q87/q89: the only nested loop is a 1-row broadcast scalar (bounds / doc count)") {
+    for (q <- Seq("q87_gapfill_locf", "q89_inverted_index")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+        s"$q: more than the single scalar broadcast:\n$p")
+    }
+  }
+
+  test("q88: edit-distance blocking joins as an equi-join, never all-pairs") {
+    val p = plan("q88_editdist_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PassJoin blocking degenerated to a cross join:\n$p")
+  }
+
   test("q70: benchmark side broadcasts in BOTH joins; no sort-merge join") {
     // the SURVEY contract: probe postings and shingle sets broadcast, the
     // corpus streams once — losing a broadcast() hint would silently turn
@@ -198,10 +213,13 @@ class PlanShapeSpec extends SparkSpec {
     // q61's pairwise-centroid join is |labels|² over a ~10-row aggregated
     // model (bounded by domain count, never corpus size) — the nested loop
     // there is the intended plan, like q34's broadcast query set.
-    // q69 shares q55's 1-row corpus-total broadcast cross join.
+    // q69 shares q55's 1-row corpus-total broadcast cross join; q89's
+    // document-count gate and q87's calendar-bounds spine are the same
+    // 1-row broadcast scalar (each carries its own dedicated spec below).
     val excluded = Set("q34_sim_cosine_topk", "q55_tfidf_keywords",
       "q24_streaming_window", "q25_streaming_sessions", "q48_dedup_clusters",
-      "q61_source_centroids", "q69_commonness", "q71_stream_stream_join")
+      "q61_source_centroids", "q69_commonness", "q71_stream_stream_join",
+      "q87_gapfill_locf", "q89_inverted_index")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")

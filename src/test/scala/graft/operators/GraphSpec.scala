@@ -60,4 +60,71 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == localPageRank(edges, 3))
   }
+
+  // ------------------------------------------------------- triangles
+
+  /** Reference: brute-force triangle membership over the undirected,
+    * deduped, loop-free edge set. */
+  private def localTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct.toSet
+    val nodes = canon.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tris = for {
+      x <- nodes; y <- nodes if x < y && canon((x, y))
+      z <- nodes if y < z && canon((y, z)) && canon((x, z))
+    } yield (x, y, z)
+    tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, o) => n -> o.size.toLong }
+  }
+
+  private def triMap(edges: Seq[(Long, Long)]) =
+    Graph.triangleCounts(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCounts: K4 has four triangles, three per node") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    assert(triMap(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: dangling edges, duplicates, reversals, loops") {
+    // one triangle (1,2,3); edge to 4 closes nothing; noise must collapse
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (2L, 1L), (1L, 2L), (1L, 1L))
+    assert(triMap(edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts matches brute force on a random graph, any partitioning") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val expected = localTriangles(edges)
+    assert(triMap(edges) == expected)
+    val got7 = Graph.triangleCounts(edges.toDF("src", "dst").repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got7 == expected)
+  }
+
+  // ------------------------------------------------------------- BFS
+
+  test("bfsDistances: hand-checkable chain with a shortcut") {
+    // a→b→c→d and a→c: dist(c)=1 via the shortcut, dist(d)=2
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
+    val got = Graph.bfsDistances(edges.toDF("src", "dst"),
+        Seq("a").toDF("node"), maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
+  }
+
+  test("bfsDistances: maxHops truncates; isolated seeds stay at dist 0") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val got = Graph.bfsDistances(edges, Seq("a", "zzz").toDF("node"), maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 0, "zzz" -> 0, "b" -> 1, "c" -> 2)) // d beyond bound
+  }
+
+  test("bfsDistances: multi-source takes the minimum distance") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("z", "c")).toDF("src", "dst")
+    val got = Graph.bfsDistances(edges, Seq("a", "z").toDF("node"), maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got("c") == 1) // via z, not the 2-hop path via a
+  }
 }

@@ -137,4 +137,58 @@ class NearDupSpec extends SparkSpec {
     // and no true near-dup exists here, so the verified result is empty
     assert(NearDup.prefixJoinPairs(skewed, 0.8).isEmpty)
   }
+
+  // --------------------------------------------- editDistancePairs
+
+  /** Reference: textbook Levenshtein DP. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  /** Brute-force pair set in the operator's canonical order. */
+  private def bruteEd(ss: Seq[String], k: Int): Set[(String, String, Int)] =
+    (for {
+      a <- ss; b <- ss
+      if a.length < b.length || (a.length == b.length && a < b)
+      d = lev(a, b) if d <= k
+    } yield (a, b, d)).toSet
+
+  private def gotEd(ss: Seq[String], k: Int): Set[(String, String, Int)] =
+    NearDup.editDistancePairs(
+        ss.toDF("s").withColumn("id", $"s").repartition(5), k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+
+  test("editDistancePairs: hand-checkable vocabulary at k=2") {
+    val ss = Seq("kitten", "mitten", "sitting", "kitchen", "flaw", "lawn", "flan")
+    val got = gotEd(ss, 2)
+    // kitten↔mitten 1 sub; kitten↔kitchen 2 (insert c, sub e→?) — check vs DP
+    assert(got == bruteEd(ss, 2))
+    assert(got.contains(("kitten", "mitten", 1)))
+    assert(!got.exists { case (a, b, _) => a == "kitten" && b == "sitting" })
+  }
+
+  test("editDistancePairs: blocking is lossless on random strings (k=1,2)") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcd" // tiny alphabet forces many near-misses
+    val ss = Seq.fill(120)(
+      (0 until (3 + rnd.nextInt(8))).map(_ => alpha(rnd.nextInt(4))).mkString
+    ).distinct
+    for (k <- Seq(1, 2))
+      assert(gotEd(ss, k) == bruteEd(ss, k), s"mismatch at k=$k")
+  }
+
+  test("editDistancePairs: each unordered pair appears exactly once") {
+    val ss = Seq("aaaa", "aaab", "aaba", "abaa", "baaa")
+    val rows = NearDup.editDistancePairs(
+      ss.toDF("s").withColumn("id", $"s"), 2).collect()
+    val pairs = rows.map(r => Set(r.get(0), r.get(1)))
+    assert(pairs.length == pairs.distinct.length)
+    assert(rows.length == bruteEd(ss, 2).size)
+  }
 }

@@ -53,6 +53,20 @@ def main(sfdir: str, outdir: str) -> int:
             print(f"FAIL {name}: dtype drift (driver hash would differ): {dt_drift}")
             n_fail += 1
             continue
+        # array/struct columns (duckdb -> numpy ndarrays / dicts) are
+        # unhashable, which breaks the multi-key sort — canonicalize them
+        # to their python repr on BOTH sides before sorting/comparing
+        import numpy as np
+        def canon(v):
+            if isinstance(v, np.ndarray):
+                v = v.tolist()
+            if isinstance(v, (list, dict)):
+                return repr(v)
+            return v
+        for c in got.columns:
+            if got[c].dtype == object or exp[c].dtype == object:
+                got[c] = got[c].map(canon)
+                exp[c] = exp[c].map(canon)
         gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
         es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
         if len(gs) != len(es):
