@@ -2361,6 +2361,92 @@ object QueriesExt {
       |      > 900 * (m.n * m.s2 - m.s1 * m.s1)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------- column profiling (q91)
+
+  /** Frequency profile of several columns in ONE table scan through
+    * [[graft.operators.Profile.topValues]] — the dbt-profile/Deequ-summary
+    * DESCRIBE step in front of q83's declarative gates. Stacking is a
+    * generator over each row (no second scan per column); the shuffle
+    * carries distinct values, not rows. */
+  private val q91: Q = (s, dir) =>
+    graft.operators.Profile
+      .topValues(t(s, dir, "customer"), Seq("c_mktsegment", "c_nationkey"), 5)
+      .orderBy("col_name", "rk")
+
+  private val q91Sql =
+    """WITH stacked AS (
+      |  SELECT 'c_mktsegment' AS col_name, CAST(c_mktsegment AS VARCHAR) AS value
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer),
+      |counts AS (SELECT col_name, value, count(*) AS n
+      |           FROM stacked GROUP BY col_name, value)
+      |SELECT col_name, value, n, CAST(rk AS INT) AS rk FROM (
+      |  SELECT col_name, value, n,
+      |         row_number() OVER (PARTITION BY col_name
+      |           ORDER BY n DESC, value ASC NULLS FIRST) AS rk
+      |  FROM counts)
+      |WHERE rk <= 5 ORDER BY col_name, rk""".stripMargin
+
+  // ------------------------------------- exact linear trend (q92)
+
+  /** Is each event type's daily volume rising? Least-squares slope of
+    * count-per-day over epoch day through [[graft.operators.Stats
+    * .trendExact]] — numerator and denominator as exact DECIMAL(38,0)
+    * integers, no floating division anywhere, so sign and magnitude
+    * comparisons are engine-exact. */
+  private val q92: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("d"))
+      .agg(count(lit(1)).as("y"))
+    graft.operators.Stats.trendExact(daily, Seq("event_type"), "d", "y")
+      .orderBy("event_type")
+  }
+
+  private val q92Sql =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+      |         count(*) AS y
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, count(*) AS n,
+      |       CAST(count(*) * sum(CAST(d AS HUGEINT) * y)
+      |            - sum(CAST(d AS HUGEINT)) * sum(CAST(y AS HUGEINT))
+      |            AS DECIMAL(38,0)) AS slope_num,
+      |       CAST(count(*) * sum(CAST(d AS HUGEINT) * d)
+      |            - sum(CAST(d AS HUGEINT)) * sum(CAST(d AS HUGEINT))
+      |            AS DECIMAL(38,0)) AS slope_den
+      |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------ exact χ² contingency cells (q93)
+
+  /** Association between event type and 6-hour time-of-day bucket through
+    * [[graft.operators.Stats.chiSquareCells]] — each cell's χ²
+    * contribution as the exact rational pair (n·o − r·c)² / n·r·c, margins
+    * from |cells|-sized re-aggregations, the grand total a 1-row broadcast
+    * scalar. DuckDB reproduces every cell bit-for-bit in HUGEINT. */
+  private val q93: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), expr("hour(ts) div 6").as("bucket"))
+    graft.operators.Stats.chiSquareCells(ev, "event_type", "bucket")
+      .orderBy("event_type", "bucket")
+  }
+
+  private val q93Sql =
+    """WITH ev AS (SELECT event_type, hour(ts) // 6 AS bucket FROM events),
+      |cells AS (SELECT event_type, bucket, count(*) AS o FROM ev GROUP BY 1, 2),
+      |rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |cm AS (SELECT bucket, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+      |SELECT cells.event_type, cells.bucket, cells.o, rm.r, cm.c, nt.n,
+      |       CAST((CAST(nt.n AS HUGEINT) * cells.o - CAST(rm.r AS HUGEINT) * cm.c)
+      |            * (CAST(nt.n AS HUGEINT) * cells.o - CAST(rm.r AS HUGEINT) * cm.c)
+      |            AS DECIMAL(38,0)) AS chi_num,
+      |       CAST(CAST(nt.n AS HUGEINT) * rm.r * cm.c AS DECIMAL(38,0)) AS chi_den
+      |FROM cells JOIN rm USING (event_type) JOIN cm USING (bucket), nt
+      |ORDER BY event_type, bucket""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -2425,6 +2511,9 @@ object QueriesExt {
     Entry("q87_gapfill_locf", q87, Some(q87Sql)),
     Entry("q88_editdist_pairs", q88, Some(q88Sql)),
     Entry("q89_inverted_index", q89, Some(q89Sql)),
-    Entry("q90_outliers_exact", q90, Some(q90Sql))
+    Entry("q90_outliers_exact", q90, Some(q90Sql)),
+    Entry("q91_column_profile", q91, Some(q91Sql)),
+    Entry("q92_linear_trend", q92, Some(q92Sql)),
+    Entry("q93_chisq_cells", q93, Some(q93Sql))
   )
 }

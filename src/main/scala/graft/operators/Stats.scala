@@ -52,4 +52,64 @@ object Stats {
       }
       .select(df.columns.toIndexedSeq.map(col) :+ col("gf_n").cast("long").as("n"): _*)
   }
+
+  /** Per-group least-squares trend WITHOUT floating division: the slope of
+    * y over x is `slope_num / slope_den` with
+    *
+    *   slope_num = n·Σxy − Σx·Σy      slope_den = n·Σx² − (Σx)²
+    *
+    * both returned as exact DECIMAL(38,0) integers (the caller divides —
+    * or compares trends by cross-multiplying, staying exact). One
+    * map-side-combinable aggregate, |groups| output rows. The sign of
+    * slope_num alone answers "is this series rising?" — no epsilon, no
+    * engine drift. Magnitude budget: n·|x·y|_max < 10³⁸.
+    *
+    * @param df      input; xCol and yCol must be integral
+    * @return keyCols + (n, slope_num, slope_den) */
+  def trendExact(df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val x = col(xCol).cast(d38)
+    val y = col(yCol).cast(d38)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast(d38)).as("sxy"),
+        sum((x * x).cast(d38)).as("sxx"))
+      .select(keyCols.map(col) ++ Seq(
+        col("n").cast("long").as("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast(d38).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast(d38).as("slope_den")): _*)
+  }
+
+  /** χ²-style contingency profiling between two categorical columns with
+    * EXACT integer cell statistics: for each (a, b) cell the observed
+    * count `o`, margins `r`/`c`, grand total `n`, and the χ² contribution
+    * as the exact rational pair
+    *
+    *   chi_num = (n·o − r·c)²        chi_den = n·r·c
+    *
+    * (cell contribution = chi_num / chi_den / n in the usual scaling; the
+    * caller sums ratios — or compares association strength by
+    * cross-multiplying, staying integer-exact).
+    *
+    * Scale shape: one hash aggregate to cells (bounded by the category
+    * product, never rows), margins as two |cells|-sized re-aggregations
+    * joined back, the grand total a 1-row broadcast scalar (the q55
+    * model-broadcast pattern). */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("o")).localCheckpoint()
+    val rm = cells.groupBy(col(aCol)).agg(sum(col("o")).as("r"))
+    val cm = cells.groupBy(col(bCol)).agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val dev = (col("n").cast(d38) * col("o").cast(d38)
+      - col("r").cast(d38) * col("c").cast(d38)).cast(d38)
+    cells.join(rm, aCol).join(cm, bCol).crossJoin(broadcast(n))
+      .select(col(aCol), col(bCol), col("o"), col("r"), col("c"), col("n"),
+        (dev * dev).cast(d38).as("chi_num"),
+        (col("n").cast(d38) * col("r").cast(d38) * col("c").cast(d38))
+          .cast(d38).as("chi_den"))
+  }
 }

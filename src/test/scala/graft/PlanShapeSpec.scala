@@ -154,6 +154,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q93: margins join hash-equi; the only nested loop is the grand-total scalar") {
+    val p = plan("q93_chisq_cells")
+    assert(!p.contains("CartesianProduct"), s"q93 cartesian:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"q93: more than the single scalar broadcast:\n$p")
+  }
+
+  test("q91: profiling stacks in one scan — a single exchange up to the top-k window") {
+    val p = plan("q91_column_profile")
+    // one generator scan → one aggregate exchange → one window exchange
+    // (plus the presentation orderBy); no per-column re-scans
+    assert("FileScan".r.findAllIn(p).size == 1, s"q91 rescans the table:\n$p")
+  }
+
   test("q88: edit-distance blocking joins as an equi-join, never all-pairs") {
     val p = plan("q88_editdist_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -219,7 +233,7 @@ class PlanShapeSpec extends SparkSpec {
     val excluded = Set("q34_sim_cosine_topk", "q55_tfidf_keywords",
       "q24_streaming_window", "q25_streaming_sessions", "q48_dedup_clusters",
       "q61_source_centroids", "q69_commonness", "q71_stream_stream_join",
-      "q87_gapfill_locf", "q89_inverted_index")
+      "q87_gapfill_locf", "q89_inverted_index", "q93_chisq_cells")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")

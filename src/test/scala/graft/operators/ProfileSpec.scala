@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    ("x", 1), ("x", 1), ("x", 2), ("y", 1), ("y", 3), ("z", 3))
+    .toDF("s", "i")
+
+  test("topValues ranks by count desc then value asc, per column") {
+    val got = Profile.topValues(df, Seq("s", "i"), 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got == Set(
+      ("s", "x", 3L, 1), ("s", "y", 2L, 2),
+      ("i", "1", 3L, 1), ("i", "3", 2L, 2)))
+  }
+
+  test("topValues keeps nulls as a countable group") {
+    val withNulls = Seq(Some("a"), None, None, Some("b")).toDF("s")
+    val got = Profile.topValues(withNulls, Seq("s"), 3)
+      .collect().map(r => (Option(r.getString(1)), r.getLong(2), r.getInt(3)))
+    assert(got.contains((None, 2L, 1))) // null is the most frequent value
+  }
+
+  test("topValues ties break on value — deterministic under repartitioning") {
+    val ties = Seq("b", "a", "c", "a", "b", "c").toDF("s")
+    val r1 = Profile.topValues(ties.repartition(7), Seq("s"), 3)
+      .orderBy("rk").collect().map(_.getString(1)).toSeq
+    assert(r1 == Seq("a", "b", "c"))
+  }
+}

@@ -48,6 +48,57 @@ class StatsSpec extends SparkSpec {
       assert(gotFlags(xs, z10) == bruteFlags(xs, z10), s"z10=$z10")
   }
 
+  test("trendExact: rising, falling, and flat series get exact signed slopes") {
+    val df = Seq(
+      // rising: y = 2x → slope_num/slope_den = 2 exactly
+      ("up", 1L, 2L), ("up", 2L, 4L), ("up", 3L, 6L),
+      // falling: y = 10 − x
+      ("dn", 1L, 9L), ("dn", 2L, 8L), ("dn", 3L, 7L),
+      // flat
+      ("fl", 1L, 5L), ("fl", 2L, 5L), ("fl", 3L, 5L))
+      .toDF("k", "x", "y")
+    val got = Stats.trendExact(df, Seq("k"), "x", "y")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).longValueExact(), r.getDecimal(3).longValueExact()))
+      .toMap
+    // n=3, Σx=6, Σx²=14 → den = 3·14 − 36 = 6 for every group
+    assert(got("up") == ((3L, 12L, 6L))) // slope exactly 2
+    assert(got("dn") == ((3L, -6L, 6L))) // slope exactly −1
+    assert(got("fl") == ((3L, 0L, 6L)))
+  }
+
+  test("chiSquareCells: independent columns give chi_num 0 in every cell") {
+    // perfectly balanced 2×2: o = r·c/n everywhere → n·o − r·c = 0
+    val df = Seq(("a", 0), ("a", 1), ("b", 0), ("b", 1)).toDF("u", "v")
+    val got = Stats.chiSquareCells(df, "u", "v").collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      assert(r.getAs[java.math.BigDecimal]("chi_num").longValueExact() == 0L)
+      assert(r.getAs[java.math.BigDecimal]("chi_den").longValueExact() == 16L) // n·r·c = 4·2·2
+    }
+  }
+
+  test("chiSquareCells matches a BigInt reference on a skewed table") {
+    val rnd = new scala.util.Random(9)
+    val rows = Seq.fill(300)((s"t${rnd.nextInt(3)}", rnd.nextInt(4)))
+    val n = BigInt(rows.size)
+    val cells = rows.groupBy(identity).map { case ((a, b), o) => (a, b, BigInt(o.size)) }
+    val rm = rows.groupBy(_._1).map { case (a, o) => a -> BigInt(o.size) }
+    val cm = rows.groupBy(_._2).map { case (b, o) => b -> BigInt(o.size) }
+    val expected = cells.map { case (a, b, o) =>
+      val dev = n * o - rm(a) * cm(b)
+      (a, b) -> (o.toLong, dev * dev, n * rm(a) * cm(b))
+    }.toMap
+    val got = Stats.chiSquareCells(rows.toDF("u", "v"), "u", "v")
+      .collect().map { r =>
+        (r.getString(0), r.getInt(1)) -> (r.getLong(2),
+          BigInt(r.getAs[java.math.BigDecimal]("chi_num").toBigInteger),
+          BigInt(r.getAs[java.math.BigDecimal]("chi_den").toBigInteger))
+      }.toMap
+    assert(got == expected)
+  }
+
   test("sigmaOutliers is per-group: a tail in one group never flags another") {
     // group b is a balanced two-level series: every point sits at exactly
     // 1σ, so nothing in b can be flagged at 3σ no matter what a contains
