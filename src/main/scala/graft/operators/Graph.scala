@@ -66,20 +66,22 @@ object Graph {
   }
 
   /** Per-node triangle counts via degree-ordered edge orientation — the
-    * standard distributed triangle algorithm (node-iterator++ / Cohen's
-    * MapReduce form). Each undirected edge is oriented from its
-    * lower-(degree, id) endpoint to the higher one; every triangle then has
-    * exactly ONE source node with two outgoing oriented edges, so
-    * enumerating wedges (u→v, u→w with v before w in the same order) and
-    * semi-joining the closing edge (v→w) counts each triangle once.
+    * standard distributed triangle algorithm in its EDGE-ITERATOR form.
+    * Each undirected edge is oriented from its lower-(degree, id) endpoint
+    * to the higher one; every triangle {x,y,z} (rank x < y < z) then
+    * appears at exactly one oriented edge — (x,y), whose endpoints'
+    * out-neighborhoods both contain z — so intersecting the two
+    * out-adjacency arrays per edge enumerates each triangle once, WITH the
+    * third vertex's identity (per-node attribution comes free).
     *
-    * Scale shape: orientation bounds every node's out-degree by O(√m) on
-    * any graph (a node of degree d > √m has all its oriented out-neighbors
-    * of degree ≥ d, and there are < 2√m such nodes), so the wedge join —
-    * the only super-linear step — produces O(m^1.5) rows worst-case, the
-    * known optimum for exact triangle enumeration. Both the wedge build
-    * and the closing-edge check are plain equi-joins on edge keys: three
-    * shuffles total, no broadcast assumptions, AQE-safe.
+    * Scale shape: orientation bounds every out-degree by O(√m), so the
+    * total intersection work is Σ(d⁺(u)+d⁺(v)) over edges = O(m^1.5)
+    * worst-case — the exact-enumeration optimum — but, unlike the naive
+    * wedge join, non-closing wedges are rejected INSIDE the per-edge
+    * intersection kernel and never materialize into a shuffle: the only
+    * post-join rows are actual triangles. The adjacency table is
+    * node-sized; Spark broadcasts it when small and shuffle-joins on the
+    * edge keys when not — both plain equi-joins, AQE-safe.
     *
     * @param edges two columns `src`, `dst`, treated as UNDIRECTED (both
     *              orientations and duplicates collapse to one edge;
@@ -96,30 +98,26 @@ object Graph {
     val deg = canon.select(col("a").as("node"))
       .unionByName(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    // orient low-rank → high-rank; carry both endpoints' ranks so the
-    // wedge join can keep (v, w) ordered without another degree join
     val ra = struct(col("dega").as("d"), col("a").as("n"))
     val rb = struct(col("degb").as("d"), col("b").as("n"))
     val oriented = canon
       .join(deg.select(col("node").as("a"), col("deg").as("dega")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("degb")), "b")
       .select(
-        when(ra < rb,
-          struct(col("a").as("u"), col("b").as("v"), rb.as("rv")))
-          .otherwise(
-            struct(col("b").as("u"), col("a").as("v"), ra.as("rv"))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.rv").as("rv"))
-      .localCheckpoint() // wedge join + closing-edge probe both read it
-    // wedges u→v, u→w with rank(v) < rank(w): each unordered out-pair once
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") && col("e1.rv") < col("e2.rv"))
-      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
-    // closing edge: orientation is a total order, so rank(y) < rank(z)
-    // means the edge, if present, is oriented y→z — one equi semi-join
-    val tris = wedges.join(
-      oriented.select(col("u").as("y"), col("v").as("z")),
-      Seq("y", "z"), "left_semi")
+        when(ra < rb, struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint() // read 3×: adjacency build + both probe joins
+    val adj = oriented.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
+    // inner joins are correct: u always has an out-neighbor (v itself),
+    // and an edge whose v has NO out-edges closes no triangle anyway
+    val tris = oriented
+      .join(adj.select(col("u").as("ju"), col("nbrs").as("nu")),
+        col("u") === col("ju"))
+      .join(adj.select(col("u").as("jv"), col("nbrs").as("nv")),
+        col("v") === col("jv"))
+      .select(col("u").as("x"), col("v").as("y"),
+        explode(array_intersect(col("nu"), col("nv"))).as("z"))
     tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
   }
