@@ -2447,6 +2447,75 @@ object QueriesExt {
       |FROM cells JOIN rm USING (event_type) JOIN cm USING (bucket), nt
       |ORDER BY event_type, bucket""".stripMargin
 
+  // ------------------------------------- table summary profile (q94)
+
+  /** Per-column DESCRIBE of the orders table in one scan through
+    * [[graft.operators.Profile.summary]] — row/null/exact-distinct counts
+    * and lexicographic min/max of the rendered values (string rendering is
+    * what lets one profile row describe any column type; doubles are
+    * deliberately excluded — float formatting differs across engines). */
+  private val q94: Q = (s, dir) =>
+    graft.operators.Profile
+      .summary(t(s, dir, "orders"),
+        Seq("o_orderstatus", "o_custkey", "o_orderkey"))
+      .orderBy("col_name")
+
+  private val q94Sql =
+    """WITH stacked AS (
+      |  SELECT 'o_orderstatus' AS col_name, CAST(o_orderstatus AS VARCHAR) AS value
+      |  FROM orders
+      |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM orders)
+      |SELECT col_name, count(*) AS n_rows,
+      |       count(*) - count(value) AS n_null,
+      |       CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+      |       min(value) AS min_value, max(value) AS max_value
+      |FROM stacked GROUP BY col_name ORDER BY col_name""".stripMargin
+
+  // ----------------------------------------- count-min sketch (q95)
+
+  /** Count-min frequency sketch over event user ids through
+    * [[graft.operators.Sketch]] — 4 md5 lanes × 64 counters built in one
+    * additive aggregate, probed for users 0-9 next to their exact counts
+    * (est ≥ exact is the CMS one-sided guarantee; the deliberately tiny
+    * width makes the overcount visible). DuckDB rebuilds the identical
+    * sketch from the same md5 lane hashes. */
+  private val q95: Q = (s, dir) => {
+    import graft.operators.Sketch
+    val ev = t(s, dir, "events")
+    val sketch = Sketch.countMin(ev, "user_id", w = 64, d = 4)
+    val probes = ev.filter(col("user_id") < 10).select("user_id").distinct()
+    val exact = ev.filter(col("user_id") < 10)
+      .groupBy("user_id").agg(count(lit(1)).as("exact"))
+    Sketch.countMinEstimate(sketch, probes, "user_id", w = 64, d = 4)
+      .join(exact, "user_id")
+      .orderBy("user_id")
+  }
+
+  private val q95Sql =
+    """WITH lanes AS (SELECT r FROM (VALUES (0),(1),(2),(3)) t(r)),
+      |cells AS (
+      |  SELECT r AS lane,
+      |         CAST(('0x' || substring(md5(r || ':' || CAST(user_id AS VARCHAR)), 1, 8))
+      |              AS BIGINT) % 64 AS bucket,
+      |         count(*) AS cnt
+      |  FROM events, lanes GROUP BY 1, 2),
+      |probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+      |probed AS (
+      |  SELECT p.user_id, l.r AS lane,
+      |         CAST(('0x' || substring(md5(l.r || ':' || CAST(p.user_id AS VARCHAR)), 1, 8))
+      |              AS BIGINT) % 64 AS bucket
+      |  FROM probes p, lanes l),
+      |est AS (
+      |  SELECT probed.user_id,
+      |         CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+      |  FROM probed LEFT JOIN cells USING (lane, bucket)
+      |  GROUP BY probed.user_id),
+      |exact AS (SELECT user_id, count(*) AS exact FROM events
+      |          WHERE user_id < 10 GROUP BY user_id)
+      |SELECT user_id, est.est, exact.exact
+      |FROM est JOIN exact USING (user_id) ORDER BY user_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -2514,6 +2583,8 @@ object QueriesExt {
     Entry("q90_outliers_exact", q90, Some(q90Sql)),
     Entry("q91_column_profile", q91, Some(q91Sql)),
     Entry("q92_linear_trend", q92, Some(q92Sql)),
-    Entry("q93_chisq_cells", q93, Some(q93Sql))
+    Entry("q93_chisq_cells", q93, Some(q93Sql)),
+    Entry("q94_table_summary", q94, Some(q94Sql)),
+    Entry("q95_countmin_sketch", q95, Some(q95Sql))
   )
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge training (Sennrich et al. 2016) —
+  * the tokenizer-TRAINING step of an LLM data pipeline (token counting and
+  * BPE-ish segmentation live in [[graft.functions.Text]]; this learns the
+  * merge table those tokenizers consume).
+  *
+  * The classic formulation never touches the corpus after one pass: merges
+  * are learned over the WORD-FREQUENCY table (vocabulary-sized, corpus
+  * frequencies as weights). Each round is (a) one map-side-combinable
+  * aggregate over adjacent piece pairs weighted by word frequency, (b) a
+  * 1-row argmax collect (the model-broadcast pattern — the only driver
+  * data is the single winning pair), and (c) a pure-map re-segmentation of
+  * the piece arrays via a left-to-right greedy fold (`aggregate` higher-
+  * order function — codegen-friendly, no UDF). State is lineage-truncated
+  * per round ([[Graph.pageRank]] discipline).
+  *
+  * Determinism: ties on pair frequency break lexicographically, so the
+  * learned merge table is a pure function of the word-frequency table.
+  *
+  * This is the one operator family with no DuckDB oracle mirror: the
+  * greedy re-segmentation fold needs an array-typed accumulator, which
+  * `list_reduce` (element-typed accumulator) cannot express — BpeSpec pins
+  * the training loop against an independent in-memory reference instead.
+  */
+object Bpe {
+
+  /** One learned rule: merge adjacent (left, right) into left+right. */
+  final case class Merge(rank: Int, left: String, right: String, pairFreq: Long)
+
+  /** Learn `nMerges` merge rules from a word-frequency table.
+    *
+    * @param words (word: string, freq: long) — aggregate the corpus to
+    *              this shape first (vocabulary-sized by Zipf's law)
+    * @return rules in learning order; may be shorter than `nMerges` if
+    *         every word collapses to a single piece first */
+  def train(words: DataFrame, nMerges: Int): Seq[Merge] = {
+    require(nMerges >= 1, s"train needs nMerges >= 1, got $nMerges")
+    var pieces = words
+      .select(col("freq"),
+        filter(split(col("word"), ""), x => x =!= lit("")).as("pieces"))
+      .localCheckpoint()
+    val rules = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 1
+    while (rank <= nMerges) {
+      val top = pieces
+        .select(col("freq"), explode(expr(
+          // the size guard matters: sequence(1, 0) counts DOWN in Spark,
+          // so an unguarded single-piece word would probe index 0
+          """IF(size(pieces) < 2,
+            |   CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>),
+            |   transform(sequence(1, size(pieces) - 1),
+            |     i -> struct(element_at(pieces, i) AS l,
+            |                 element_at(pieces, CAST(i + 1 AS INT)) AS r)))""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("pf"))
+        .orderBy(col("pf").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) return rules.toSeq // nothing left to merge
+      val (l, r, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      rules += Merge(rank, l, r, pf)
+      // left-to-right greedy re-segmentation: standard BPE apply ("aaa"
+      // under (a,a) becomes ["aa","a"], never ["a","aa"])
+      pieces = pieces.select(col("freq"),
+        aggregate(col("pieces"), array().cast("array<string>"),
+          (out, x) => when(size(out) > 0
+              && element_at(out, -1) === lit(l) && x === lit(r),
+            concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
+            .otherwise(concat(out, array(x)))).as("pieces"))
+        .localCheckpoint()
+      rank += 1
+    }
+    rules.toSeq
+  }
+}

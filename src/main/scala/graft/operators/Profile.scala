@@ -31,16 +31,37 @@ object Profile {
     * @param k    values to keep per column
     * @return (col_name, value, n, rk) with rk in 1..k */
   def topValues(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
-    require(cols.nonEmpty, "topValues needs at least one column")
     require(k >= 1, s"topValues needs k >= 1, got $k")
-    val stacked = df.select(explode(array(cols.map(c =>
-        struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*))
-        .as("e"))
-      .select(col("e.col_name").as("col_name"), col("e.value").as("value"))
-    val counts = stacked.groupBy("col_name", "value")
+    val counts = stack(df, cols).groupBy("col_name", "value")
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("col_name")
       .orderBy(col("n").desc, col("value").asc_nulls_first)
     counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Per-column summary in ONE scan: row count, null count, exact distinct
+    * count, and min/max of the RENDERED (string) values — lexicographic by
+    * design, since one profile row must describe any column type. Spark
+    * plans the multi-distinct aggregate with an Expand over the stacked
+    * stream: still a single pass over the table, shuffle bounded by
+    * distinct values per column.
+    *
+    * @return (col_name, n_rows, n_null, n_distinct, min_value, max_value) */
+  def summary(df: DataFrame, cols: Seq[String]): DataFrame =
+    stack(df, cols).groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("value"))).as("n_null"),
+        countDistinct(col("value")).as("n_distinct"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** (col_name, value-as-string) stream: every profiled column emitted by
+    * one generator per row — one table scan for any number of columns. */
+  private def stack(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profiling needs at least one column")
+    df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*))
+        .as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.value").as("value"))
   }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent in-memory reference: weighted pair counts over the piece
+    * vectors, lexicographic tie-break, greedy left-to-right re-merge. */
+  private def refBpe(words: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+    def applyMerge(v: Vector[String], l: String, r: String): Vector[String] =
+      v.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    var ps = words.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var continue = true
+    while (continue && out.size < n) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((pieces, f) <- ps; i <- 0 until pieces.size - 1)
+        pairs((pieces(i), pieces(i + 1))) += f
+      if (pairs.isEmpty) continue = false
+      else {
+        val ((l, r), pf) = pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((l, r, pf))
+        ps = ps.map { case (pieces, f) => (applyMerge(pieces, l, r), f) }
+      }
+    }
+    out.toSeq
+  }
+
+  private def got(words: Map[String, Long], n: Int) =
+    Bpe.train(words.toSeq.toDF("word", "freq"), n)
+      .map(m => (m.left, m.right, m.pairFreq))
+
+  test("learns the classic Sennrich example identically to the reference") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    assert(got(words, 8) == refBpe(words, 8))
+  }
+
+  test("greedy re-merge is left-to-right: 'aaa' yields [aa, a], never [a, aa]") {
+    val words = Map("aaa" -> 10L)
+    val merges = Bpe.train(words.toSeq.toDF("word", "freq"), 2)
+    // round 1: (a,a) weighted 20 (two adjacent pairs); after the greedy
+    // re-merge the word is [aa, a], so round 2 learns (aa, a)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "a"), ("aa", "a")))
+    assert(merges.head.pairFreq == 20L)
+  }
+
+  test("stops early when every word is a single piece") {
+    val words = Map("ab" -> 3L)
+    val merges = Bpe.train(words.toSeq.toDF("word", "freq"), 5)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b")))
+  }
+
+  test("merge table is partition-invariant") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L,
+      "lowest" -> 4L, "newer" -> 1L)
+    val a = Bpe.train(words.toSeq.toDF("word", "freq").repartition(7), 6)
+    val b = Bpe.train(words.toSeq.toDF("word", "freq").coalesce(1), 6)
+    assert(a == b)
+    assert(a == refBpe(words, 6).zipWithIndex.map { case ((l, r, pf), i) =>
+      Bpe.Merge(i + 1, l, r, pf) })
+  }
+}

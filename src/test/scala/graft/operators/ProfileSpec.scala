@@ -26,6 +26,19 @@ class ProfileSpec extends SparkSpec {
     assert(got.contains((None, 2L, 1))) // null is the most frequent value
   }
 
+  test("summary profiles every column in one pass: nulls, distincts, bounds") {
+    val withNulls = Seq(
+      (Some("b"), Some(2)), (None, Some(1)), (Some("a"), None), (Some("a"), Some(3)))
+      .toDF("s", "i")
+    val got = Profile.summary(withNulls, Seq("s", "i"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5))))
+      .toMap
+    assert(got("s") == ((4L, 1L, 2L, Some("a"), Some("b"))))
+    assert(got("i") == ((4L, 1L, 3L, Some("1"), Some("3"))))
+  }
+
   test("topValues ties break on value — deterministic under repartitioning") {
     val ties = Seq("b", "a", "c", "a", "b", "c").toDF("s")
     val r1 = Profile.topValues(ties.repartition(7), Seq("s"), 3)

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(13)
+  private val keys = Seq.fill(2000)(s"k${rnd.nextInt(80)}")
+  private def df = keys.toDF("k")
+
+  test("countMin estimates are one-sided: est >= exact for every key") {
+    val sketch = Sketch.countMin(df, "k", w = 32, d = 4)
+    val probes = df.distinct()
+    val est = Sketch.countMinEstimate(sketch, probes, "k", w = 32, d = 4)
+    val exact = df.groupBy("k").agg(count(lit(1)).as("exact"))
+    val bad = est.join(exact, "k").filter(col("est") < col("exact")).count()
+    assert(bad == 0)
+    // and the tiny width forces at least one visible overcount
+    assert(est.join(exact, "k").filter(col("est") > col("exact")).count() > 0)
+  }
+
+  test("every lane's counters sum to the row count (nothing lost or duplicated)") {
+    val sums = Sketch.countMin(df, "k", w = 32, d = 4)
+      .groupBy("lane").agg(sum("cnt").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sums == (0 until 4).map(_ -> keys.size.toLong).toMap)
+  }
+
+  test("sketch is a pure function of the key multiset — partition-invariant") {
+    val a = Sketch.countMin(df.repartition(13), "k", 32, 4)
+      .orderBy("lane", "bucket").collect().toSeq
+    val b = Sketch.countMin(df.coalesce(1), "k", 32, 4)
+      .orderBy("lane", "bucket").collect().toSeq
+    assert(a == b)
+  }
+
+  test("sketches MERGE: sketch(a ++ b) = cellwise sum of the two sketches") {
+    val (ka, kb) = keys.splitAt(900)
+    val merged = Sketch.countMin(ka.toDF("k"), "k", 32, 4)
+      .unionByName(Sketch.countMin(kb.toDF("k"), "k", 32, 4))
+      .groupBy("lane", "bucket").agg(sum("cnt").as("cnt"))
+      .orderBy("lane", "bucket").collect().toSeq
+    val whole = Sketch.countMin(df, "k", 32, 4)
+      .orderBy("lane", "bucket").collect().toSeq
+    assert(merged == whole)
+  }
+}
