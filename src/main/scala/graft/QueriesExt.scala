@@ -2516,6 +2516,113 @@ object QueriesExt {
       |SELECT user_id, est.est, exact.exact
       |FROM est JOIN exact USING (user_id) ORDER BY user_id""".stripMargin
 
+  // --------------------------------- distinct-cardinality sketch (q96)
+
+  /** Flajolet-Martin-style distinct estimate of event ids next to the
+    * exact count through [[graft.operators.Sketch.distinctMin]] — k=256
+    * bucket mins (map-side-combinable, mergeable, ≤256 rows out) vs the
+    * full-shuffle `countDistinct`. Integer-division estimator, so DuckDB
+    * rebuilds the identical sketch and lands on the identical estimate. */
+  private val q96: Q = (s, dir) => {
+    import graft.operators.Sketch
+    val ev = t(s, dir, "events")
+    Sketch.distinctEstimate(Sketch.distinctMin(ev, "event_id", k = 256), k = 256)
+      .crossJoin(ev.agg(countDistinct(col("event_id")).as("exact")))
+  }
+
+  private val q96Sql =
+    """WITH h AS (
+      |  SELECT CAST(('0x' || substring(md5('b:' || CAST(event_id AS VARCHAR)), 1, 8))
+      |              AS BIGINT) % 256 AS bucket,
+      |         CAST(('0x' || substring(md5('v:' || CAST(event_id AS VARCHAR)), 1, 8))
+      |              AS BIGINT) AS h
+      |  FROM events),
+      |mins AS (SELECT bucket, min(h) AS minh FROM h GROUP BY bucket)
+      |SELECT CAST(65536 * 4294967296 //
+      |            (sum(minh + 1) + (256 - count(*)) * 4294967296) - 256
+      |            AS BIGINT) AS est,
+      |       (SELECT count(DISTINCT event_id) FROM events) AS exact
+      |FROM mins""".stripMargin
+
+  // --------------------------------------- binned quantiles (q97)
+
+  /** One-pass histogram quantiles of order value (cents) through
+    * [[graft.operators.Stats.binnedQuantiles]] — p50/p90/p99/p99.9 as
+    * exact value intervals from a 1000-bin histogram (two full-scan
+    * aggregates, shuffle ≤ 1001 rows), the fixed-memory alternative to the
+    * exact-percentile sort at 100 TB. */
+  private val q97: Q = (s, dir) =>
+    graft.operators.Stats.binnedQuantiles(
+      t(s, dir, "orders").select(
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents")),
+      "cents", nBins = 1000, qsPermille = Seq(500, 900, 990, 999))
+      .orderBy("q_permille")
+
+  private val q97Sql =
+    """WITH cents AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM cents),
+      |counts AS (
+      |  SELECT CAST(((cents - lo) * 1000) // (hi - lo + 1) AS INT) AS bin,
+      |         count(*) AS n
+      |  FROM cents, b GROUP BY 1),
+      |cum AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum,
+      |               sum(n) OVER () AS ntot
+      |        FROM counts),
+      |qs AS (SELECT q FROM (VALUES (500), (900), (990), (999)) t(q)),
+      |sel AS (SELECT q, min(bin) AS bin, min_by(cum, bin) AS cum,
+      |               min(ntot) AS ntot
+      |        FROM qs JOIN cum ON cum * 1000 >= q * ntot GROUP BY q)
+      |SELECT q AS q_permille, bin,
+      |       lo + (bin * (hi - lo + 1) + 999) // 1000 AS bin_lo,
+      |       lo + ((bin + 1) * (hi - lo + 1) + 999) // 1000 - 1 AS bin_hi,
+      |       CAST(cum AS BIGINT) AS cum_rows, CAST(ntot AS BIGINT) AS n_total
+      |FROM sel, b ORDER BY q_permille""".stripMargin
+
+  // ----------------------------------------- interval union (q98)
+
+  /** Per-customer activity coverage through
+    * [[graft.operators.TimeSeries.intervalUnion]]: each order opens a
+    * 31-day closed activity window, overlapping windows merge sweep-line
+    * style (one window pass, no self-join), and the merged islands
+    * aggregate to windows-per-customer + total covered days. */
+  private val q98: Q = (s, dir) => {
+    val iv = t(s, dir, "orders").select(col("o_custkey"),
+      to_date(col("o_orderdate")).as("s"),
+      date_add(to_date(col("o_orderdate")), 30).as("e"))
+    graft.operators.TimeSeries.intervalUnion(iv, "o_custkey", "s", "e")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(datediff(col("e"), col("s")) + 1).as("covered_days"))
+      .orderBy("o_custkey")
+  }
+
+  private val q98Sql =
+    """WITH iv AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS s,
+      |         CAST(o_orderdate AS DATE) + 30 AS e
+      |  FROM orders),
+      |w1 AS (
+      |  SELECT o_custkey, s, e,
+      |         max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS pmax
+      |  FROM iv),
+      |w2 AS (
+      |  SELECT o_custkey, s, e,
+      |         sum(CASE WHEN pmax IS NOT NULL AND s > pmax THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY o_custkey ORDER BY s, e
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS island
+      |  FROM w1),
+      |m AS (SELECT o_custkey, island, min(s) AS s, max(e) AS e
+      |      FROM w2 GROUP BY 1, 2)
+      |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_windows,
+      |       CAST(sum(e - s + 1) AS BIGINT) AS covered_days
+      |FROM m GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -2585,6 +2692,9 @@ object QueriesExt {
     Entry("q92_linear_trend", q92, Some(q92Sql)),
     Entry("q93_chisq_cells", q93, Some(q93Sql)),
     Entry("q94_table_summary", q94, Some(q94Sql)),
-    Entry("q95_countmin_sketch", q95, Some(q95Sql))
+    Entry("q95_countmin_sketch", q95, Some(q95Sql)),
+    Entry("q96_distinct_sketch", q96, Some(q96Sql)),
+    Entry("q97_binned_quantiles", q97, Some(q97Sql)),
+    Entry("q98_interval_union", q98, Some(q98Sql))
   )
 }

@@ -50,4 +50,46 @@ object Sketch {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** Distinct-cardinality min-sketch (Flajolet-Martin stochastic averaging
+    * over the min-value estimator): k buckets keyed by one md5 lane, each
+    * keeping the MIN of an INDEPENDENT md5 value lane. `min` is
+    * idempotent-combinable, so the sketch is map-side combinable, mergeable
+    * across shards by cellwise min, and at most k rows regardless of input
+    * size — the scale path next to q94's exact `countDistinct` (whose
+    * shuffle carries the full distinct-value set). Higher variance than
+    * KMV/HLL per cell, but every number here is exact integer arithmetic,
+    * which is what lets DuckDB rebuild the identical sketch.
+    *
+    * @return (bucket, minh) — only nonempty buckets */
+  def distinctMin(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"distinctMin needs k >= 2, got $k")
+    df.select(
+        bucket(lit("b"), col(keyCol), k).as("bucket"),
+        conv(substring(md5(concat(lit("v:"), col(keyCol).cast("string"))), 1, 8),
+          16, 10).cast("long").as("h"))
+      .groupBy("bucket").agg(min(col("h")).as("minh"))
+  }
+
+  /** Cardinality estimate from a [[distinctMin]] sketch. The min of n_i
+    * uniform hashes over [0, 2^32) sits near 2^32/(n_i+1), but 1/min is
+    * heavy-tailed (one unluckily small min wrecks a per-bucket estimate) —
+    * so, as HyperLogLog does, combine buckets through the SUM of mins and
+    * invert once:
+    *
+    *   est = k²·2^32 DIV (Σ(minh+1) + empties·2^32) − k   ≈ n
+    *
+    * (an empty bucket means "no hash below 2^32": it contributes the full
+    * range). Integer division end-to-end — no float, engine-portable —
+    * with k²·2^32 needing k ≤ 40000 to stay inside int64.
+    *
+    * @param k the bucket count the sketch was built with
+    * @return one row (est: long) */
+  def distinctEstimate(sketch: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= 40000, s"distinctEstimate needs 2 <= k <= 40000, got $k")
+    sketch.agg(
+      expr(s"CAST(${k.toLong * k} * 4294967296 DIV " +
+        s"(coalesce(sum(minh + 1), 0) + ($k - count(1)) * 4294967296) - $k " +
+        "AS BIGINT)").as("est"))
+  }
 }

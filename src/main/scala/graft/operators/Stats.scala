@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution profiling with EXACT integer arithmetic — the q55/q69/q81
@@ -111,5 +112,60 @@ object Stats {
         (dev * dev).cast(d38).as("chi_num"),
         (col("n").cast(d38) * col("r").cast(d38) * col("c").cast(d38))
           .cast(d38).as("chi_den"))
+  }
+
+  /** One-pass binned quantile estimation — the 100 TB scale path next to
+    * exact percentiles: an exact quantile needs a global sort (or a full
+    * `percentile` state), while a fixed histogram is ONE map-side-combined
+    * aggregate into at most `nBins` cells plus bounded driver-free
+    * arithmetic on the cell table. The answer is an interval [bin_lo,
+    * bin_hi] guaranteed to contain the true quantile (width = value range /
+    * nBins), which is what a training-data filter actually consumes
+    * ("p99 doc length" as a threshold).
+    *
+    * All arithmetic is integer (DIV), so an independent engine reproduces
+    * every row bit-for-bit. Bounds come from a 1-row min/max broadcast (the
+    * q55 scalar pattern) — two passes total over the input, both full-scan
+    * aggregates with no shuffle beyond nBins+1 rows.
+    *
+    * @param df         input; `valCol` must be integral (cents-style)
+    * @param valCol     long-typed measure
+    * @param nBins      histogram resolution
+    * @param qsPermille quantiles in permille (500 = median, 999 = p99.9)
+    * @return (q_permille, bin, bin_lo, bin_hi, cum_rows, n_total), one row
+    *         per requested quantile: the first bin whose cumulative count
+    *         reaches q‰ of the total, with its exact value interval */
+  def binnedQuantiles(df: DataFrame, valCol: String, nBins: Int,
+      qsPermille: Seq[Int]): DataFrame = {
+    require(nBins >= 2, s"binnedQuantiles needs nBins >= 2, got $nBins")
+    require(qsPermille.nonEmpty && qsPermille.forall(q => q >= 1 && q <= 1000),
+      s"quantiles must be in 1..1000 permille, got $qsPermille")
+    val bounds = df.agg(min(col(valCol)).cast("long").as("lo"),
+      max(col(valCol)).cast("long").as("hi"))
+    // bin = (v - lo)·nBins DIV (hi - lo + 1) — always in [0, nBins)
+    val counts = df.crossJoin(broadcast(bounds))
+      .select(expr(s"CAST((($valCol - lo) * $nBins) DIV (hi - lo + 1) AS INT)")
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    // ≤ nBins rows from here on: the single-partition window is bounded
+    val cum = counts
+      .withColumn("cum", sum(col("n")).over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ntot", sum(col("n")).over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val qs = df.sparkSession.range(1)
+      .select(explode(array(qsPermille.map(lit(_)): _*)).as("q_permille"))
+    qs.join(broadcast(cum),
+        col("cum") * 1000 >= col("q_permille").cast("long") * col("ntot"))
+      .groupBy("q_permille")
+      .agg(min(col("bin")).as("bin"),
+        min_by(col("cum"), col("bin")).as("cum_rows"),
+        min(col("ntot")).as("n_total"))
+      .crossJoin(broadcast(bounds))
+      .select(col("q_permille"), col("bin"),
+        expr(s"lo + (bin * (hi - lo + 1) + $nBins - 1) DIV $nBins").as("bin_lo"),
+        expr(s"lo + ((bin + 1) * (hi - lo + 1) + $nBins - 1) DIV $nBins - 1")
+          .as("bin_hi"),
+        col("cum_rows"), col("n_total"))
   }
 }

@@ -50,4 +50,35 @@ object TimeSeries {
     keys.crossJoin(broadcast(bounds))
       .select(col(keyCol),
         explode(sequence(col(loCol), col(hiCol))).as(dayCol))
+
+  /** Per-key union of CLOSED intervals [start, end] — the sweep-line
+    * gaps-and-islands move: within each key, ordered by (start, end), a
+    * new island begins exactly where `start` exceeds the running max `end`
+    * of every earlier interval; islands then collapse to (min start,
+    * max end). Coverage ("how many days was this customer active",
+    * "what wall-clock did these sessions span") reads off the merged rows.
+    *
+    * Scale shape: ONE window pass partitioned by key (running max + running
+    * island counter share the same sort) and one aggregate on (key,
+    * island) — no self-join, no interval×interval blowup, distributes by
+    * key. Deterministic under duplicate (start, end) rows: tied intervals
+    * can never start an island relative to each other (end ≥ start), so
+    * island labels are a pure function of the interval multiset.
+    *
+    * @param df       intervals (keyCol, startCol, endCol), end ≥ start,
+    *                 any orderable type
+    * @return (keyCol, startCol, endCol) — disjoint merged intervals */
+  def intervalUnion(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    // first row of a key: prevMax is null → condition null → 0 (same island)
+    val island = sum(when(col(startCol) > prevMax, 1).otherwise(0))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("__island", island)
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol))
+      .drop("__island")
+  }
 }

@@ -191,6 +191,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "the vocab ctf join must broadcast")
   }
 
+  test("q96/q97: nested loops touch only sketch-sized frames, never the input") {
+    // q96: est × exact is a 1×1 cross join; the data-sized stages are the
+    // two map-side-combined aggregates. q97: the quantile probe joins a
+    // 4-row literal generate against the broadcast histogram (≤ nBins+1
+    // rows) and the bounds scalar is 1 row — every BroadcastNestedLoopJoin
+    // must sit ABOVE an aggregate, i.e. consume aggregated frames only.
+    Seq("q96_distinct_sketch", "q97_binned_quantiles").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+      // the scan side of the plan reaches its first aggregate before any
+      // join: no join keyword may appear BELOW the lowest HashAggregate
+      val lines = p.linesIterator.toSeq
+      val lastAgg = lines.lastIndexWhere(_.contains("HashAggregate"))
+      val joinsBelowAgg = lines.drop(lastAgg + 1)
+        .count(l => l.contains("Join") && !l.contains("BroadcastExchange"))
+      assert(joinsBelowAgg == 0,
+        s"$q: a join consumes unaggregated input:\n$p")
+    }
+  }
+
   test("q68: snapshot diff full-outer joins as a shuffled merge join, never broadcast") {
     // both sides are fact-sized at scale; Spark cannot broadcast a full
     // outer join, so the plan must be the shuffled SMJ shape
@@ -230,10 +250,14 @@ class PlanShapeSpec extends SparkSpec {
     // q69 shares q55's 1-row corpus-total broadcast cross join; q89's
     // document-count gate and q87's calendar-bounds spine are the same
     // 1-row broadcast scalar (each carries its own dedicated spec below).
+    // q96 cross-joins two 1-row aggregates (est × exact); q97's theta join
+    // probes the ≤nBins+1-row broadcast histogram with a literal quantile
+    // list and cross-joins the 1-row bounds scalar (dedicated spec below).
     val excluded = Set("q34_sim_cosine_topk", "q55_tfidf_keywords",
       "q24_streaming_window", "q25_streaming_sessions", "q48_dedup_clusters",
       "q61_source_centroids", "q69_commonness", "q71_stream_stream_join",
-      "q87_gapfill_locf", "q89_inverted_index", "q93_chisq_cells")
+      "q87_gapfill_locf", "q89_inverted_index", "q93_chisq_cells",
+      "q96_distinct_sketch", "q97_binned_quantiles")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")

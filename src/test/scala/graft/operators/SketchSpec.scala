@@ -46,4 +46,42 @@ class SketchSpec extends SparkSpec {
       .orderBy("lane", "bucket").collect().toSeq
     assert(merged == whole)
   }
+
+  private val manyKeys = (0 until 5000).map(i => s"u$i")
+
+  test("distinctMin estimate lands near the true cardinality") {
+    val est = Sketch.distinctEstimate(
+        Sketch.distinctMin(manyKeys.toDF("k"), "k", k = 128), k = 128)
+      .collect()(0).getLong(0)
+    // harmonic combiner over 128 buckets: ~1/sqrt(128) relative error
+    assert(est > 3500 && est < 6500, s"est=$est for true 5000")
+  }
+
+  test("distinctEstimate of an EMPTY key set is zero") {
+    val est = Sketch.distinctEstimate(
+        Sketch.distinctMin(manyKeys.toDF("k").filter(col("k") === "nope"),
+          "k", k = 64), k = 64)
+      .collect()(0).getLong(0)
+    assert(est == 0L)
+  }
+
+  test("distinctMin ignores multiplicity: duplicates don't move the sketch") {
+    val once = Sketch.distinctMin(manyKeys.toDF("k"), "k", 64)
+      .orderBy("bucket").collect().toSeq
+    val thrice = Sketch.distinctMin(
+        (manyKeys ++ manyKeys ++ manyKeys).toDF("k"), "k", 64)
+      .orderBy("bucket").collect().toSeq
+    assert(once == thrice)
+  }
+
+  test("distinctMin sketches MERGE by cellwise min") {
+    val (ka, kb) = manyKeys.splitAt(2000)
+    val merged = Sketch.distinctMin(ka.toDF("k"), "k", 64)
+      .unionByName(Sketch.distinctMin(kb.toDF("k"), "k", 64))
+      .groupBy("bucket").agg(min("minh").as("minh"))
+      .orderBy("bucket").collect().toSeq
+    val whole = Sketch.distinctMin(manyKeys.toDF("k"), "k", 64)
+      .orderBy("bucket").collect().toSeq
+    assert(merged == whole)
+  }
 }

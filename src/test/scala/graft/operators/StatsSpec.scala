@@ -109,4 +109,46 @@ class StatsSpec extends SparkSpec {
       .select("grp", "v").collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSet == Set(("a", 100000L)))
   }
+
+  test("binnedQuantiles brackets the exact quantile for every q") {
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(4000)(rnd.nextInt(100000).toLong)
+    val qs = Seq(100, 500, 900, 990)
+    val got = Stats.binnedQuantiles(xs.toDF("v"), "v", nBins = 64, qs)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val sorted = xs.sorted
+    for (q <- qs) {
+      // exact q-quantile under the cum*1000 >= q*n rule: the ceil(q*n/1000)-th value
+      val exact = sorted((q * xs.size + 999) / 1000 - 1)
+      val (lo, hi, cum) = got(q)
+      assert(lo <= exact && exact <= hi, s"q=$q exact=$exact not in [$lo,$hi]")
+      // cum_rows really is the count ≤ bin_hi
+      assert(cum == sorted.count(_ <= hi).toLong)
+    }
+  }
+
+  test("binnedQuantiles bin edges partition the value range exactly") {
+    // every input value must fall in exactly one [bin_lo, bin_hi], and the
+    // selected bins' edges must be consistent with the binning formula
+    val xs = (0L to 1000L).toSeq
+    val got = Stats.binnedQuantiles(xs.toDF("v"), "v", nBins = 7, Seq(1, 1000))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byQ = got.map(r => r._1 -> r).toMap
+    assert(byQ(1)._2 == 0 && byQ(1)._3 == 0L) // p0.1 sits in the first bin
+    assert(byQ(1000)._2 == 6 && byQ(1000)._4 == 1000L) // p100 ends the range
+    // widths differ by at most 1 (integer split of 1001 into 7 bins)
+    val widths = got.map(r => r._4 - r._3 + 1)
+    assert(widths.forall(w => w == 143 || w == 144))
+  }
+
+  test("binnedQuantiles is partition-invariant") {
+    val xs = Seq.fill(500)(scala.util.Random.nextInt(1000).toLong)
+    val a = Stats.binnedQuantiles(xs.toDF("v").repartition(11), "v", 16,
+      Seq(500)).collect().toSeq
+    val b = Stats.binnedQuantiles(xs.toDF("v").coalesce(1), "v", 16,
+      Seq(500)).collect().toSeq
+    assert(a == b)
+  }
 }

@@ -58,4 +58,44 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy("k", "day").collect().toSeq
     assert(a == b)
   }
+
+  private def unionOf(iv: Seq[(String, Long, Long)]) =
+    TimeSeries.intervalUnion(iv.toDF("k", "s", "e"), "k", "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("intervalUnion merges overlaps and touching endpoints, keeps gaps") {
+    val got = unionOf(Seq(
+      ("a", 1L, 5L), ("a", 3L, 8L), // overlap -> [1,8]
+      ("a", 8L, 10L), // closed-interval touch -> extends to [1,10]
+      ("a", 12L, 13L), // gap -> own island
+      ("b", 2L, 4L))) // other key untouched
+    assert(got == Set(("a", 1L, 10L), ("a", 12L, 13L), ("b", 2L, 4L)))
+  }
+
+  test("intervalUnion handles containment and duplicate intervals") {
+    val got = unionOf(Seq(
+      ("a", 1L, 10L), ("a", 3L, 4L), ("a", 3L, 4L), // contained + dup
+      ("a", 20L, 20L), ("a", 20L, 20L))) // duplicate points
+    assert(got == Set(("a", 1L, 10L), ("a", 20L, 20L)))
+  }
+
+  test("intervalUnion is partition-invariant") {
+    val rnd = new scala.util.Random(5)
+    val iv = Seq.fill(300)(("k" + rnd.nextInt(5),
+      rnd.nextInt(100).toLong, 0L)).map { case (k, s, _) =>
+      (k, s, s + rnd.nextInt(10)) }
+    val a = unionOf(iv)
+    val b = TimeSeries.intervalUnion(iv.toDF("k", "s", "e").repartition(13),
+        "k", "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+    // merged islands are pairwise disjoint with real gaps between them
+    for ((k, ivs) <- a.groupBy(_._1)) {
+      val sorted = ivs.toSeq.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, e1), (_, s2, _)) => assert(s2 > e1 + 0, s"key $k")
+        case _ =>
+      }
+    }
+  }
 }
