@@ -2623,6 +2623,77 @@ object QueriesExt {
       |       CAST(sum(e - s + 1) AS BIGINT) AS covered_days
       |FROM m GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------- weighted sampling (q99)
+
+  /** Deterministic weighted document sample through
+    * [[graft.operators.Sampling.weightedTopK]] — inclusion odds ∝ text
+    * length via integer rational priorities (h·10⁶ DIV w), k smallest win,
+    * planned as TakeOrdered (per-partition heaps, no global sort). The
+    * oracle draws the identical sample because every priority is exact
+    * integer arithmetic over the same md5 hash. */
+  private val q99: Q = (s, dir) =>
+    graft.operators.Sampling.weightedTopK(
+      t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("w")),
+      "doc_id", "w", k = 25)
+      .orderBy("priority", "doc_id")
+
+  private val q99Sql =
+    """SELECT doc_id, length(text) AS w,
+      |       1000000 * CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |                      AS BIGINT) // length(text) AS priority
+      |FROM documents WHERE length(text) > 0
+      |ORDER BY priority, doc_id LIMIT 25""".stripMargin
+
+  // ------------------------------------- text normalization (q100)
+
+  /** Canonical cleanup pass via [[Text.normalize]]: control chars →
+    * spaces, space runs collapsed, edges trimmed — every regex a literal
+    * byte class shared by Java and RE2, so DuckDB normalizes to the
+    * identical string and the md5 content keys match bit-for-bit (the
+    * property that makes normalize-then-exact-dedup engine-portable). */
+  private val q100: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("raw_len"),
+        Text.normalize(col("text")).as("t"))
+      .select(col("doc_id"), col("raw_len"),
+        length(col("t")).as("norm_len"), md5(col("t")).as("norm_md5"))
+      .orderBy("doc_id")
+
+  private val q100Sql =
+    """WITH n AS (
+      |  SELECT doc_id, length(text) AS raw_len,
+      |         trim(regexp_replace(regexp_replace(text,
+      |           '[\x00-\x1F\x7F]', ' ', 'g'), '  +', ' ', 'g')) AS t
+      |  FROM documents)
+      |SELECT doc_id, raw_len, length(t) AS norm_len, md5(t) AS norm_md5
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------ hopping-window counts (q101)
+
+  /** Batch hopping-window aggregation: 1-hour windows sliding every 15
+    * minutes over the event stream — each event lands in exactly 4
+    * windows via a bounded 0..3 offset generator (no self-join, no
+    * window-spine build), then one map-side-combined count per window
+    * start. Pure integer epoch-microsecond arithmetic (the q44/q46
+    * epoch_us discipline), so window boundaries agree across engines. */
+  private val q101: Q = (s, dir) => {
+    val hopUs = 900000000L // 15 min
+    t(s, dir, "events")
+      .select(unix_micros(col("ts")).as("us"))
+      .select(explode(sequence(lit(0L), lit(3L))).as("i"), col("us"))
+      .select(expr(s"(us DIV $hopUs - i) * $hopUs").as("w_start_us"))
+      .groupBy("w_start_us").agg(count(lit(1)).as("n"))
+      .orderBy("w_start_us")
+  }
+
+  private val q101Sql =
+    """WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+      |x AS (SELECT (us // 900000000 - i) * 900000000 AS w_start_us
+      |      FROM e, (VALUES (0), (1), (2), (3)) t(i))
+      |SELECT w_start_us, count(*) AS n
+      |FROM x GROUP BY w_start_us ORDER BY w_start_us""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -2695,6 +2766,9 @@ object QueriesExt {
     Entry("q95_countmin_sketch", q95, Some(q95Sql)),
     Entry("q96_distinct_sketch", q96, Some(q96Sql)),
     Entry("q97_binned_quantiles", q97, Some(q97Sql)),
-    Entry("q98_interval_union", q98, Some(q98Sql))
+    Entry("q98_interval_union", q98, Some(q98Sql)),
+    Entry("q99_weighted_sample", q99, Some(q99Sql)),
+    Entry("q100_text_normalize", q100, Some(q100Sql)),
+    Entry("q101_hopping_window", q101, Some(q101Sql))
   )
 }

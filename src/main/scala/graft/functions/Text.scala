@@ -335,4 +335,17 @@ object Text {
     PiiPatterns.map { case (pat, _) =>
       size(regexp_extract_all(text, lit(pat), lit(0)))
     }.reduce(_ + _)
+
+  /** Canonical text normalization — the cleanup pass every corpus gets
+    * before dedup/quality gates: C0/DEL control characters (tab, CR, LF,
+    * vertical tab included) become spaces, space runs collapse, edges
+    * trim. Every regex here is a literal byte class shared verbatim by
+    * Java and RE2 regex engines (no `\s`, whose class differs between
+    * them), so an independent engine normalizes to the identical string —
+    * which is what makes md5-keyed exact dedup over normalized text
+    * engine-portable. Case is deliberately untouched: lowercasing is
+    * locale-dependent and belongs to the caller's tokenizer. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "), "  +", " "))
 }

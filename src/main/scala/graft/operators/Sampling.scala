@@ -106,4 +106,31 @@ object Sampling {
     }
     df.filter(hashGateBp(col(idCol), rateBp))
   }
+
+  /** Deterministic weighted sample of k rows, inclusion odds ∝ weight —
+    * the priority-sampling scheme (Efraimidis-Spirakis shape) made
+    * engine-portable: each row gets the rational priority h/w with h its
+    * stable md5 hash, and the k SMALLEST priorities win. Heavier rows get
+    * proportionally smaller priorities, a row's fate is a pure function of
+    * (id, weight), and the whole thing is integer arithmetic
+    * (`h·10⁶ DIV w`, ties on id), so any engine draws the identical
+    * sample. Spark plans the k-smallest as TakeOrdered — per-partition
+    * heaps of k, no global sort.
+    *
+    * @param df        input
+    * @param idCol     identity column (hash source + tiebreak)
+    * @param weightCol positive integral weights ≤ ~9·10¹² (h·10⁶ must fit)
+    * @param k         sample size
+    * @return sampled rows + `priority` */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"weightedTopK needs k >= 1, got $k")
+    // non-positive weights yield a null priority (non-ANSI division) —
+    // sorted LAST, so they can never displace a legitimate row
+    df.withColumn("priority", expr("1000000 * " +
+        s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10) AS BIGINT)" +
+        s" DIV (CASE WHEN $weightCol > 0 THEN $weightCol END)"))
+      .orderBy(col("priority").asc_nulls_last, col(idCol))
+      .limit(k)
+  }
 }

@@ -202,6 +202,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("weightedTopK: deterministic, partition-invariant, weight-sensitive") {
+    val rnd = new scala.util.Random(21)
+    val rows = (0 until 2000).map(i => (s"d$i", 1L + rnd.nextInt(1000)))
+    val df = rows.toDF("id", "w")
+    val a = graft.operators.Sampling.weightedTopK(df.repartition(9), "id", "w", 50)
+      .select("id").collect().map(_.getString(0)).toSet
+    val b = graft.operators.Sampling.weightedTopK(df.coalesce(1), "id", "w", 50)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(a == b && a.size == 50)
+    // heavier rows win more often: mean weight of the sample must exceed
+    // the population mean (proportional-odds sanity, not exactness)
+    val wById = rows.toMap
+    val sampleMean = a.map(wById).sum.toDouble / a.size
+    val popMean = rows.map(_._2).sum.toDouble / rows.size
+    assert(sampleMean > popMean,
+      s"sample mean $sampleMean <= population mean $popMean")
+  }
+
+  test("weightedTopK: non-positive weights never displace legitimate rows") {
+    val df = ((0 until 30).map(i => (s"p$i", 5L))
+      ++ Seq(("zero", 0L), ("neg", -3L))).toDF("id", "w")
+    val got = graft.operators.Sampling.weightedTopK(df, "id", "w", 30)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(!got.contains("zero") && !got.contains("neg") && got.size == 30)
+  }
+
   test("percentage: in [0, ∞) with 0 exactly when guard trips") {
     forAll(Gen.listOfN(30,
       Gen.zip(Gen.choose(0.0, 100.0), Gen.option(Gen.choose(-10.0, 100.0))))) { rows =>

@@ -357,4 +357,22 @@ class TextSpec extends SparkSpec {
     // "abc","de","12","x","!" = 5 ; "a","1","b","2" = 4 ; "" = 0
     assert(col0(df.select(Text.bpeTokenCount($"text"))) == List(5, 4, 0))
   }
+
+  test("normalize strips controls, collapses space runs, trims, keeps case") {
+    val df = Seq(
+      "  Hello\t\tWorld \r\n",
+      "a\u0000b\u000bc", // NUL and vertical tab are C0 controls
+      "already clean",
+      "\u007f", // DEL alone -> empty after trim
+      "").toDF("text")
+    assert(col0(df.select(Text.normalize($"text"))) ==
+      List("Hello World", "a b c", "already clean", "", ""))
+  }
+
+  test("normalize is idempotent") {
+    val texts = Seq("x  y\tz", " mixed  Case ", "ok")
+    val once = col0(texts.toDF("text").select(Text.normalize($"text")))
+    val twice = once.map(_.toString).toDF("text")
+    assert(col0(twice.select(Text.normalize($"text"))) == once)
+  }
 }
