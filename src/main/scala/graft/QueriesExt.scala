@@ -2694,6 +2694,94 @@ object QueriesExt {
       |SELECT w_start_us, count(*) AS n
       |FROM x GROUP BY w_start_us ORDER BY w_start_us""".stripMargin
 
+  // --------------------------------------- bigram collocations (q102)
+
+  /** Positive-PMI collocation extraction: adjacent word pairs whose
+    * observed frequency beats independence (n·c_ab ≥ c_a·c_b — PMI > 0 as
+    * an exact integer cross-multiplication, no log) with support ≥ 5.
+    * Scale shape: one tokenized pass feeds bigram counts, unigram counts,
+    * and the total (a broadcast scalar); the lift joins are vocabulary-
+    * sized, never corpus-sized. The corpus-analysis primitive behind
+    * phrase mining and tokenizer-merge candidates. */
+  private val q102: Q = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .select(filter(Text.tokens(col("text")), t => t =!= lit("")).as("w"))
+      .cache()
+    val bg = toks.select(explode(expr(
+        """IF(size(w) < 2, CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>),
+          |   transform(sequence(1, size(w) - 1),
+          |     i -> struct(element_at(w, i) AS a,
+          |                 element_at(w, CAST(i + 1 AS INT)) AS b)))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cb = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val cu = toks.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = bg.agg(count(lit(1)).as("n"))
+    cb.join(cu.select(col("tok").as("a"), col("c").as("c_a")), "a")
+      .join(cu.select(col("tok").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(n))
+      .filter(col("c_ab") >= 5
+        && col("n") * col("c_ab") >= col("c_a") * col("c_b"))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        (col("n").cast("decimal(38,0)") * col("c_ab")).cast("decimal(38,0)")
+          .as("lift_num"),
+        (col("c_a").cast("decimal(38,0)") * col("c_b")).cast("decimal(38,0)")
+          .as("lift_den"))
+      .orderBy("a", "b")
+  }
+
+  private val q102Sql =
+    """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |           FROM documents),
+      |bg AS (SELECT unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b FROM t),
+      |cb AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+      |cu AS (SELECT tok, count(*) AS c
+      |       FROM (SELECT unnest(w) AS tok FROM t) GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM bg)
+      |SELECT cb.a, cb.b, c_ab, ca.c AS c_a, cb2.c AS c_b,
+      |       CAST(CAST(n.n AS HUGEINT) * c_ab AS DECIMAL(38,0)) AS lift_num,
+      |       CAST(CAST(ca.c AS HUGEINT) * cb2.c AS DECIMAL(38,0)) AS lift_den
+      |FROM cb JOIN cu ca ON cb.a = ca.tok JOIN cu cb2 ON cb.b = cb2.tok, n
+      |WHERE c_ab >= 5 AND n.n * c_ab >= ca.c * cb2.c
+      |ORDER BY cb.a, cb.b""".stripMargin
+
+  // ------------------------------------- exact correlation (q103)
+
+  /** Exact Pearson correlation rationals between order value (cents) and
+    * order width (lineitem count), per order priority, through
+    * [[graft.operators.Stats.correlationExact]] — corr² compares via
+    * cross-multiplication with no float ever materialized, so DuckDB's
+    * HUGEINT mirror reproduces every row bit-for-bit. */
+  private val q103: Q = (s, dir) => {
+    val lc = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("y"))
+    val j = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("x"))
+      .join(lc, col("o_orderkey") === col("l_orderkey"))
+    graft.operators.Stats.correlationExact(j, Seq("pri"), "x", "y")
+      .orderBy("pri")
+  }
+
+  private val q103Sql =
+    """WITH lc AS (SELECT l_orderkey, count(*) AS y FROM lineitem GROUP BY 1),
+      |j AS (SELECT o_orderpriority AS pri,
+      |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+      |             lc.y
+      |      FROM orders JOIN lc ON o_orderkey = l_orderkey),
+      |a AS (SELECT pri, CAST(count(*) AS HUGEINT) AS n,
+      |             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |             sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |             sum(CAST(y AS HUGEINT) * y) AS syy
+      |      FROM j GROUP BY pri)
+      |SELECT pri, CAST(n AS BIGINT) AS n,
+      |       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS corr_num,
+      |       CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS corr_den_x,
+      |       CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS corr_den_y
+      |FROM a ORDER BY pri""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -2769,6 +2857,8 @@ object QueriesExt {
     Entry("q98_interval_union", q98, Some(q98Sql)),
     Entry("q99_weighted_sample", q99, Some(q99Sql)),
     Entry("q100_text_normalize", q100, Some(q100Sql)),
-    Entry("q101_hopping_window", q101, Some(q101Sql))
+    Entry("q101_hopping_window", q101, Some(q101Sql)),
+    Entry("q102_collocations", q102, Some(q102Sql)),
+    Entry("q103_correlation", q103, Some(q103Sql))
   )
 }

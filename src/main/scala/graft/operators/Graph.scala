@@ -107,13 +107,14 @@ object Graph {
         when(ra < rb, struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .localCheckpoint() // read 3×: adjacency build + both probe joins
     val adj = oriented.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
-    // inner joins are correct: u always has an out-neighbor (v itself),
-    // and an edge whose v has NO out-edges closes no triangle anyway
-    val tris = oriented
-      .join(adj.select(col("u").as("ju"), col("nbrs").as("nu")),
-        col("u") === col("ju"))
+      .localCheckpoint() // read twice: edge re-derivation + v-side probe
+    // re-derive each oriented edge by exploding the adjacency list: the
+    // u-side neighborhood arrives for free (no first probe join), leaving
+    // ONE shuffle join — the v-side adjacency lookup. An edge whose v has
+    // no out-edges closes no triangle, so the inner join is correct.
+    val tris = adj
+      .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
       .join(adj.select(col("u").as("jv"), col("nbrs").as("nv")),
         col("v") === col("jv"))
       .select(col("u").as("x"), col("v").as("y"),

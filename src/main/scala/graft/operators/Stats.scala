@@ -114,6 +114,38 @@ object Stats {
           .cast(d38).as("chi_den"))
   }
 
+  /** Exact Pearson correlation as integer rationals — [[trendExact]]'s
+    * discipline extended with the y second moment:
+    *
+    *   corr = corr_num / √(corr_den_x · corr_den_y)
+    *
+    * with corr_num = n·Σxy − Σx·Σy, corr_den_x = n·Σx² − (Σx)²,
+    * corr_den_y = n·Σy² − (Σy)². The three DECIMAL(38,0) integers carry
+    * the full information (consumers compare corr² via cross-
+    * multiplication or take one sqrt at the very end), so an independent
+    * engine reproduces every row bit-for-bit. ONE map-side-combinable
+    * aggregate; keep n·max(Σx², Σy²) under 10³⁸.
+    *
+    * @param df      input; xCol/yCol must be integral (cents-style)
+    * @return keyCols + (n, corr_num, corr_den_x, corr_den_y) */
+  def correlationExact(df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val x = col(xCol).cast(d38)
+    val y = col(yCol).cast(d38)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast(d38).as("nn"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast(d38)).as("sxy"),
+        sum((x * x).cast(d38)).as("sxx"),
+        sum((y * y).cast(d38)).as("syy"))
+      .select(keyCols.map(col) ++ Seq(
+        col("nn").cast("long").as("n"),
+        (col("nn") * col("sxy") - col("sx") * col("sy")).cast(d38).as("corr_num"),
+        (col("nn") * col("sxx") - col("sx") * col("sx")).cast(d38).as("corr_den_x"),
+        (col("nn") * col("syy") - col("sy") * col("sy")).cast(d38).as("corr_den_y")): _*)
+  }
+
   /** One-pass binned quantile estimation — the 100 TB scale path next to
     * exact percentiles: an exact quantile needs a global sort (or a full
     * `percentile` state), while a fixed histogram is ONE map-side-combined

@@ -257,7 +257,9 @@ class PlanShapeSpec extends SparkSpec {
       "q24_streaming_window", "q25_streaming_sessions", "q48_dedup_clusters",
       "q61_source_centroids", "q69_commonness", "q71_stream_stream_join",
       "q87_gapfill_locf", "q89_inverted_index", "q93_chisq_cells",
-      "q96_distinct_sketch", "q97_binned_quantiles")
+      "q96_distinct_sketch", "q97_binned_quantiles",
+      // q102's total-bigram count is the same 1-row broadcast scalar
+      "q102_collocations")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")

@@ -110,6 +110,40 @@ class StatsSpec extends SparkSpec {
     assert(got.toSet == Set(("a", 100000L)))
   }
 
+  test("correlationExact: perfect linear y=3x+7 gives corr_num² = den_x·den_y") {
+    val rows = (0 until 40).map(i => ("g", i.toLong, 3L * i + 7))
+    val r = Stats.correlationExact(rows.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .collect()(0)
+    val (num, dx, dy) = (BigInt(r.getAs[java.math.BigDecimal]("corr_num").toBigInteger),
+      BigInt(r.getAs[java.math.BigDecimal]("corr_den_x").toBigInteger),
+      BigInt(r.getAs[java.math.BigDecimal]("corr_den_y").toBigInteger))
+    assert(num > 0 && num * num == dx * dy) // corr² == 1 exactly
+  }
+
+  test("correlationExact matches an independent BigInt reference per group") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 200).map(i =>
+      (s"g${i % 3}", rnd.nextInt(1000).toLong, rnd.nextInt(50).toLong))
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      val n = BigInt(rs.size)
+      val sx = rs.map(r => BigInt(r._2)).sum
+      val sy = rs.map(r => BigInt(r._3)).sum
+      val sxy = rs.map(r => BigInt(r._2) * r._3).sum
+      val sxx = rs.map(r => BigInt(r._2) * r._2).sum
+      val syy = rs.map(r => BigInt(r._3) * r._3).sum
+      g -> (rs.size.toLong, n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+    }
+    val got = Stats.correlationExact(rows.toDF("g", "x", "y").repartition(7),
+        Seq("g"), "x", "y")
+      .collect().map { r =>
+        r.getString(0) -> (r.getLong(1),
+          BigInt(r.getAs[java.math.BigDecimal]("corr_num").toBigInteger),
+          BigInt(r.getAs[java.math.BigDecimal]("corr_den_x").toBigInteger),
+          BigInt(r.getAs[java.math.BigDecimal]("corr_den_y").toBigInteger))
+      }.toMap
+    assert(got == expected)
+  }
+
   test("binnedQuantiles brackets the exact quantile for every q") {
     val rnd = new scala.util.Random(7)
     val xs = Seq.fill(4000)(rnd.nextInt(100000).toLong)
