@@ -2782,6 +2782,32 @@ object QueriesExt {
       |       CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS corr_den_y
       |FROM a ORDER BY pri""".stripMargin
 
+  // --------------------------------- per-stratum weighted sample (q104)
+
+  /** Per-source weighted document sample (3 per source, odds ∝ length)
+    * through [[graft.operators.Sampling.weightedTopKPerKey]] — q99's
+    * rational priorities under one key-partitioned window whose per-key
+    * filter is a bounded heap. The balanced-but-weighted per-domain draw
+    * of corpus curation. */
+  private val q104: Q = (s, dir) =>
+    graft.operators.Sampling.weightedTopKPerKey(
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), length(col("text")).as("w")),
+      "source", "doc_id", "w", k = 3)
+      .orderBy("source", "priority", "doc_id")
+
+  private val q104Sql =
+    """WITH p AS (
+      |  SELECT source, doc_id, length(text) AS w,
+      |         1000000 * CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |                        AS BIGINT) // length(text) AS priority
+      |  FROM documents WHERE length(text) > 0),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY source
+      |                                   ORDER BY priority, doc_id) AS rn
+      |      FROM p)
+      |SELECT source, doc_id, w, priority FROM r WHERE rn <= 3
+      |ORDER BY source, priority, doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -2859,6 +2885,7 @@ object QueriesExt {
     Entry("q100_text_normalize", q100, Some(q100Sql)),
     Entry("q101_hopping_window", q101, Some(q101Sql)),
     Entry("q102_collocations", q102, Some(q102Sql)),
-    Entry("q103_correlation", q103, Some(q103Sql))
+    Entry("q103_correlation", q103, Some(q103Sql)),
+    Entry("q104_weighted_per_key", q104, Some(q104Sql))
   )
 }

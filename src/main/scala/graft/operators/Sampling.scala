@@ -127,10 +127,32 @@ object Sampling {
     require(k >= 1, s"weightedTopK needs k >= 1, got $k")
     // non-positive weights yield a null priority (non-ANSI division) —
     // sorted LAST, so they can never displace a legitimate row
-    df.withColumn("priority", expr("1000000 * " +
-        s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10) AS BIGINT)" +
-        s" DIV (CASE WHEN $weightCol > 0 THEN $weightCol END)"))
+    df.withColumn("priority", priority(idCol, weightCol))
       .orderBy(col("priority").asc_nulls_last, col(idCol))
       .limit(k)
   }
+
+  /** [[weightedTopK]] within each stratum: k winners per `keyCol`, same
+    * integer rational priorities, one window shuffle partitioned by key —
+    * the per-key filter is a bounded heap (WindowGroupLimit pushes it
+    * below the exchange, the [[capPerKey]] shape), so work per stratum
+    * never exceeds k at any corpus size. Rows with non-positive weight are
+    * dropped: a per-stratum sample that padded with unweightable rows
+    * would misrepresent sparse strata. */
+  def weightedTopKPerKey(df: DataFrame, keyCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"weightedTopKPerKey needs k >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(col("priority"), col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("priority", priority(idCol, weightCol))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Rational sampling priority h·10⁶ DIV w (smaller wins, odds ∝ w). */
+  private def priority(idCol: String, weightCol: String): Column =
+    expr("1000000 * " +
+      s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10) AS BIGINT)" +
+      s" DIV (CASE WHEN $weightCol > 0 THEN $weightCol END)")
 }

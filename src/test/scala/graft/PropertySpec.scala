@@ -228,6 +228,23 @@ class PropertySpec extends SparkSpec {
     assert(!got.contains("zero") && !got.contains("neg") && got.size == 30)
   }
 
+  test("weightedTopKPerKey: k per stratum, consistent with the global sampler") {
+    val rnd = new scala.util.Random(33)
+    val rows = (0 until 600).map(i => (s"s${i % 4}", s"d$i", 1L + rnd.nextInt(99)))
+    val df = rows.toDF("src", "id", "w")
+    val got = graft.operators.Sampling.weightedTopKPerKey(df.repartition(7),
+        "src", "id", "w", 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got.size == 20 && got.groupBy(_._1).forall(_._2.size == 5))
+    // per-stratum winners == global sampler run on that stratum alone
+    for (s <- Seq("s0", "s1", "s2", "s3")) {
+      val solo = graft.operators.Sampling.weightedTopK(
+          df.filter(col("src") === s), "id", "w", 5)
+        .collect().map(_.getString(1)).toSet
+      assert(got.filter(_._1 == s).map(_._2).toSet == solo, s"stratum $s")
+    }
+  }
+
   test("percentage: in [0, ∞) with 0 exactly when guard trips") {
     forAll(Gen.listOfN(30,
       Gen.zip(Gen.choose(0.0, 100.0), Gen.option(Gen.choose(-10.0, 100.0))))) { rows =>
