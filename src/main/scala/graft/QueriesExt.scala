@@ -2539,8 +2539,8 @@ object QueriesExt {
       |  FROM events),
       |mins AS (SELECT bucket, min(h) AS minh FROM h GROUP BY bucket)
       |SELECT CAST(65536 * 4294967296 //
-      |            (sum(minh + 1) + (256 - count(*)) * 4294967296) - 256
-      |            AS BIGINT) AS est,
+      |            (coalesce(sum(minh + 1), 0) + (256 - count(*)) * 4294967296)
+      |            - 256 AS BIGINT) AS est,
       |       (SELECT count(DISTINCT event_id) FROM events) AS exact
       |FROM mins""".stripMargin
 
@@ -2721,8 +2721,12 @@ object QueriesExt {
     cb.join(cu.select(col("tok").as("a"), col("c").as("c_a")), "a")
       .join(cu.select(col("tok").as("b"), col("c").as("c_b")), "b")
       .crossJoin(broadcast(n))
+      // compare in DECIMAL(38,0): raw int64 products wrap silently under
+      // non-ANSI semantics once n·c_ab passes 2^63 (stop-word pairs at
+      // corpus scale), flipping the PMI gate
       .filter(col("c_ab") >= 5
-        && col("n") * col("c_ab") >= col("c_a") * col("c_b"))
+        && col("n").cast("decimal(38,0)") * col("c_ab")
+          >= col("c_a").cast("decimal(38,0)") * col("c_b"))
       .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
         (col("n").cast("decimal(38,0)") * col("c_ab")).cast("decimal(38,0)")
           .as("lift_num"),
@@ -2743,7 +2747,8 @@ object QueriesExt {
       |       CAST(CAST(n.n AS HUGEINT) * c_ab AS DECIMAL(38,0)) AS lift_num,
       |       CAST(CAST(ca.c AS HUGEINT) * cb2.c AS DECIMAL(38,0)) AS lift_den
       |FROM cb JOIN cu ca ON cb.a = ca.tok JOIN cu cb2 ON cb.b = cb2.tok, n
-      |WHERE c_ab >= 5 AND n.n * c_ab >= ca.c * cb2.c
+      |WHERE c_ab >= 5
+      |  AND CAST(n.n AS HUGEINT) * c_ab >= CAST(ca.c AS HUGEINT) * cb2.c
       |ORDER BY cb.a, cb.b""".stripMargin
 
   // ------------------------------------- exact correlation (q103)

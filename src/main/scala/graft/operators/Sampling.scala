@@ -117,6 +117,11 @@ object Sampling {
     * sample. Spark plans the k-smallest as TakeOrdered — per-partition
     * heaps of k, no global sort.
     *
+    * Rows with non-positive or null weight are DROPPED (same contract as
+    * [[weightedTopKPerKey]]): a sample padded with unweightable rows would
+    * violate the odds-∝-weight contract the moment k exceeds the weighted
+    * population.
+    *
     * @param df        input
     * @param idCol     identity column (hash source + tiebreak)
     * @param weightCol positive integral weights ≤ ~9·10¹² (h·10⁶ must fit)
@@ -125,10 +130,9 @@ object Sampling {
   def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"weightedTopK needs k >= 1, got $k")
-    // non-positive weights yield a null priority (non-ANSI division) —
-    // sorted LAST, so they can never displace a legitimate row
-    df.withColumn("priority", priority(idCol, weightCol))
-      .orderBy(col("priority").asc_nulls_last, col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("priority", priority(idCol, weightCol))
+      .orderBy(col("priority"), col(idCol))
       .limit(k)
   }
 

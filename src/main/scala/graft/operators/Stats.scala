@@ -172,12 +172,18 @@ object Stats {
     require(nBins >= 2, s"binnedQuantiles needs nBins >= 2, got $nBins")
     require(qsPermille.nonEmpty && qsPermille.forall(q => q >= 1 && q <= 1000),
       s"quantiles must be in 1..1000 permille, got $qsPermille")
-    val bounds = df.agg(min(col(valCol)).cast("long").as("lo"),
+    // percentile semantics ignore nulls — keeping them would inflate every
+    // cumulative count (and diverge from any SQL mirror's null ordering)
+    val vals = df.filter(col(valCol).isNotNull)
+    val bounds = vals.agg(min(col(valCol)).cast("long").as("lo"),
       max(col(valCol)).cast("long").as("hi"))
-    // bin = (v - lo)·nBins DIV (hi - lo + 1) — always in [0, nBins)
-    val counts = df.crossJoin(broadcast(bounds))
-      .select(expr(s"CAST((($valCol - lo) * $nBins) DIV (hi - lo + 1) AS INT)")
-        .as("bin"))
+    // bin = (v - lo)·nBins DIV (hi - lo + 1) — always in [0, nBins); the
+    // product runs in DECIMAL(38,0) because (v-lo)·nBins exceeds int64
+    // once the value range passes 2^63/nBins, and non-ANSI int64 wraps
+    // silently into negative bins
+    val counts = vals.crossJoin(broadcast(bounds))
+      .select(expr(s"CAST((CAST($valCol - lo AS DECIMAL(38,0)) * $nBins)" +
+        " DIV (hi - lo + 1) AS INT)").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
     // ≤ nBins rows from here on: the single-partition window is bounded
     val cum = counts
@@ -194,10 +200,13 @@ object Stats {
         min_by(col("cum"), col("bin")).as("cum_rows"),
         min(col("ntot")).as("n_total"))
       .crossJoin(broadcast(bounds))
+      // edge math shares the DECIMAL(38,0) discipline: bin·(hi−lo+1) hits
+      // the same int64 ceiling as the binning product
       .select(col("q_permille"), col("bin"),
-        expr(s"lo + (bin * (hi - lo + 1) + $nBins - 1) DIV $nBins").as("bin_lo"),
-        expr(s"lo + ((bin + 1) * (hi - lo + 1) + $nBins - 1) DIV $nBins - 1")
-          .as("bin_hi"),
+        expr("CAST(lo + (CAST(bin AS DECIMAL(38,0)) * (hi - lo + 1)" +
+          s" + $nBins - 1) DIV $nBins AS BIGINT)").as("bin_lo"),
+        expr("CAST(lo + (CAST(bin + 1 AS DECIMAL(38,0)) * (hi - lo + 1)" +
+          s" + $nBins - 1) DIV $nBins - 1 AS BIGINT)").as("bin_hi"),
         col("cum_rows"), col("n_total"))
   }
 }

@@ -220,10 +220,12 @@ class PropertySpec extends SparkSpec {
       s"sample mean $sampleMean <= population mean $popMean")
   }
 
-  test("weightedTopK: non-positive weights never displace legitimate rows") {
+  test("weightedTopK: non-positive weights are dropped, never padded in") {
     val df = ((0 until 30).map(i => (s"p$i", 5L))
       ++ Seq(("zero", 0L), ("neg", -3L))).toDF("id", "w")
-    val got = graft.operators.Sampling.weightedTopK(df, "id", "w", 30)
+    // k exceeds the weighted population: the sample must NOT pad with
+    // unweightable rows
+    val got = graft.operators.Sampling.weightedTopK(df, "id", "w", 32)
       .select("id").collect().map(_.getString(0)).toSet
     assert(!got.contains("zero") && !got.contains("neg") && got.size == 30)
   }
