@@ -2813,6 +2813,81 @@ object QueriesExt {
       |SELECT source, doc_id, w, priority FROM r WHERE rn <= 3
       |ORDER BY source, priority, doc_id""".stripMargin
 
+  // --------------------------------- CMS join-size estimation (q105)
+
+  /** Equi-join cardinality estimation WITHOUT running the join: the q95
+    * count-min sketch probed against itself via
+    * [[graft.operators.Sketch.countMinInnerProduct]] — min over lanes of
+    * the bucketwise product sums, the CMS inner-product bound, next to
+    * the exact Σc² self-join size. The optimizer-statistics primitive for
+    * join planning over 100 TB inputs: the estimate costs d·w rows once
+    * the sketch exists. */
+  private val q105: Q = (s, dir) => {
+    import graft.operators.Sketch
+    val d38 = "decimal(38,0)"
+    val ev = t(s, dir, "events")
+    val sk = Sketch.countMin(ev, "user_id", w = 64, d = 4)
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .agg(sum((col("c").cast(d38) * col("c")).cast(d38)).cast(d38).as("exact"))
+    Sketch.countMinInnerProduct(sk, sk).crossJoin(exact)
+  }
+
+  private val q105Sql =
+    """WITH lanes AS (SELECT r FROM (VALUES (0), (1), (2), (3)) t(r)),
+      |cells AS (
+      |  SELECT r AS lane,
+      |         CAST(('0x' || substring(md5(r || ':' || CAST(user_id AS VARCHAR)), 1, 8))
+      |              AS BIGINT) % 64 AS bucket,
+      |         count(*) AS cnt
+      |  FROM events, lanes GROUP BY 1, 2),
+      |p AS (SELECT lane, sum(CAST(cnt AS HUGEINT) * cnt) AS p FROM cells GROUP BY lane),
+      |est AS (SELECT CAST(min(p) AS DECIMAL(38,0)) AS est FROM p),
+      |exact AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS DECIMAL(38,0)) AS exact
+      |          FROM (SELECT count(*) AS c FROM events GROUP BY user_id) t)
+      |SELECT est.est, exact.exact FROM est, exact""".stripMargin
+
+  // ----------------------------------------- k-core peeling (q106)
+
+  /** 70-core of the part co-purchase graph (q85's edge set) through
+    * [[graft.operators.Graph.kCore]] — iterative peel to fixpoint, per
+    * round one degree aggregate + two semi-joins over a shrinking edge
+    * set. The oracle unrolls 10 peel rounds as chained CTEs; rounds past
+    * the fixpoint are no-ops, so a fixed unroll reproduces the converged
+    * core exactly. */
+  private val q106: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey")
+          && col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    graft.operators.Graph.kCore(e, k = 70, maxRounds = 12).orderBy("node")
+  }
+
+  private val q106Sql: String = {
+    // MATERIALIZED is load-bearing: inlined CTEs re-expand e_{i-1} into
+    // every later round (exponential plan + one parquet open per scan —
+    // "too many open files" at 10 unrolled rounds)
+    val base = """WITH e0 AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""".stripMargin
+    val rounds = (1 to 10).map { i =>
+      s""",
+         |k$i AS MATERIALIZED (SELECT n FROM (
+         |  SELECT n, count(*) AS d FROM (
+         |    SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) u
+         |  GROUP BY n) t WHERE d >= 70),
+         |e$i AS MATERIALIZED (SELECT e${i - 1}.a, e${i - 1}.b FROM e${i - 1}
+         |        JOIN k$i ka ON e${i - 1}.a = ka.n
+         |        JOIN k$i kb ON e${i - 1}.b = kb.n)""".stripMargin
+    }.mkString
+    base + rounds +
+      """
+        |SELECT n AS node, CAST(count(*) AS BIGINT) AS core_deg
+        |FROM (SELECT a AS n FROM e10 UNION ALL SELECT b FROM e10) u
+        |GROUP BY n ORDER BY node""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -2891,6 +2966,8 @@ object QueriesExt {
     Entry("q101_hopping_window", q101, Some(q101Sql)),
     Entry("q102_collocations", q102, Some(q102Sql)),
     Entry("q103_correlation", q103, Some(q103Sql)),
-    Entry("q104_weighted_per_key", q104, Some(q104Sql))
+    Entry("q104_weighted_per_key", q104, Some(q104Sql)),
+    Entry("q105_join_size_sketch", q105, Some(q105Sql)),
+    Entry("q106_kcore", q106, Some(q106Sql))
   )
 }

@@ -154,4 +154,52 @@ object Graph {
     }
     reached
   }
+
+  /** k-core decomposition by iterative peeling: drop every node with
+    * degree < k, recompute degrees over the surviving subgraph, repeat to
+    * fixpoint — the density filter behind community mining and graph
+    * cleanup. Each round is one degree aggregate plus two node-keyed
+    * semi-joins over the CURRENT edge set (which only shrinks), state is
+    * lineage-truncated per round, and convergence is detected by edge
+    * count (edges unchanged ⟺ degrees unchanged ⟺ keep-set unchanged).
+    * Peeling removes at least one node per non-converged round, so rounds
+    * are bounded by the peel depth, not the node count; `maxRounds`
+    * guards pathological chains and FAILS LOUDLY on non-convergence (the
+    * NearDup.clusters discipline) — a silently-partial core is wrong, not
+    * approximate.
+    *
+    * @param edges two columns `src`, `dst`, treated as UNDIRECTED
+    *              (duplicates/self-loops collapse like [[triangleCounts]])
+    * @return (node, core_deg) — every k-core member with its degree
+    *         inside the core (≥ k by construction) */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    require(maxRounds >= 1, s"kCore needs maxRounds >= 1, got $maxRounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("core_deg"))
+    var ce = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var nEdges = ce.count()
+    var round = 0
+    while (round < maxRounds) {
+      round += 1
+      val keep = degrees(ce).filter(col("core_deg") >= k).select(col("node"))
+      val next = ce
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val n = next.count()
+      if (n == nEdges) return degrees(ce)
+      ce = next
+      nEdges = n
+    }
+    throw new IllegalStateException(
+      s"kCore did not converge within $maxRounds rounds (edges left: $nEdges)")
+  }
 }

@@ -51,6 +51,26 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Equi-join cardinality estimate from two [[countMin]] sketches built
+    * with the SAME (w, d): |A ⋈ B on key| = Σ_key cntA·cntB, over-
+    * approximated (one-sided, like the point estimate) by the min over
+    * lanes of the bucketwise product sum — the classic CMS inner product,
+    * and the query-optimizer primitive for sizing a join without running
+    * it. Cost: d·w-row frames only; the data was touched once when the
+    * sketches were built. Products run in DECIMAL(38,0): two 10¹²-row
+    * inputs through a narrow sketch overflow int64.
+    *
+    * @return one row (est: decimal(38,0)) */
+  def countMinInnerProduct(a: DataFrame, b: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    a.select(col("lane"), col("bucket"), col("cnt").as("cnt_a"))
+      .join(b.select(col("lane"), col("bucket"), col("cnt").as("cnt_b")),
+        Seq("lane", "bucket")) // inner: a cell missing on either side is 0
+      .groupBy(col("lane"))
+      .agg(sum((col("cnt_a").cast(d38) * col("cnt_b")).cast(d38)).as("p"))
+      .agg(min(col("p")).cast(d38).as("est"))
+  }
+
   /** Distinct-cardinality min-sketch (Flajolet-Martin stochastic averaging
     * over the min-value estimator): k buckets keyed by one md5 lane, each
     * keeping the MIN of an INDEPENDENT md5 value lane. `min` is

@@ -258,8 +258,11 @@ class PlanShapeSpec extends SparkSpec {
       "q61_source_centroids", "q69_commonness", "q71_stream_stream_join",
       "q87_gapfill_locf", "q89_inverted_index", "q93_chisq_cells",
       "q96_distinct_sketch", "q97_binned_quantiles",
-      // q102's total-bigram count is the same 1-row broadcast scalar
-      "q102_collocations")
+      // q102's total-bigram count is the same 1-row broadcast scalar;
+      // q105 cross-joins two 1-row aggregates (est × exact) like q96;
+      // q106 runs its peel fixpoint eagerly (the q48 class) — its plan
+      // here would be the post-fixpoint projection
+      "q102_collocations", "q105_join_size_sketch", "q106_kcore")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")

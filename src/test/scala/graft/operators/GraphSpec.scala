@@ -127,4 +127,46 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(got("c") == 1) // via z, not the 2-hop path via a
   }
+
+  // ---------------------------------------------------------- k-core
+
+  /** K4 plus a tail: the classic peel-cascade fixture. */
+  private val k4WithTail = Seq(
+    ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+    ("d", "e"), ("e", "f")) // e,f hang off the clique
+
+  test("kCore peels the tail cascade and keeps the clique, degrees included") {
+    val got = Graph.kCore(k4WithTail.toDF("src", "dst"), k = 3, maxRounds = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // f drops (deg 1), then e (deg 1 after f leaves... deg 2 initially,
+    // 1 after f): the cascade needs TWO rounds — exactly what a
+    // single-pass degree filter would get wrong
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("kCore above the max degree is empty; k=1 keeps every non-isolated node") {
+    val df = k4WithTail.toDF("src", "dst")
+    assert(Graph.kCore(df, k = 10, maxRounds = 8).isEmpty)
+    assert(Graph.kCore(df, k = 1, maxRounds = 3).count() == 6)
+  }
+
+  test("kCore fails loudly when maxRounds is too small to converge") {
+    // a 6-chain peels one endpoint pair per round at k=2: needs 3 rounds
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"))
+    intercept[IllegalStateException] {
+      Graph.kCore(chain.toDF("src", "dst"), k = 2, maxRounds = 1)
+    }
+    // with room it converges to the (empty) 2-core of a chain
+    assert(Graph.kCore(chain.toDF("src", "dst"), k = 2, maxRounds = 6).isEmpty)
+  }
+
+  test("kCore is partition-invariant") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(400)((s"n${rnd.nextInt(60)}", s"n${rnd.nextInt(60)}"))
+    val a = Graph.kCore(edges.toDF("src", "dst").repartition(13), 8, 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Graph.kCore(edges.toDF("src", "dst").coalesce(1), 8, 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
 }

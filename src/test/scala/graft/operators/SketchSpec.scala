@@ -47,6 +47,18 @@ class SketchSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("countMinInnerProduct over-estimates the exact self-join size") {
+    val sk = Sketch.countMin(df, "k", w = 32, d = 4)
+    val est = Sketch.countMinInnerProduct(sk, sk)
+      .collect()(0).getDecimal(0).longValueExact()
+    val exact = df.groupBy("k").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c"))).collect()(0).getLong(0)
+    assert(est >= exact, s"inner product $est under exact $exact")
+    // and it is not wildly off: within the CMS w-width error bound
+    // est <= exact + n²/w (n = 2000 rows, w = 32)
+    assert(est <= exact + keys.size.toLong * keys.size / 32)
+  }
+
   private val manyKeys = (0 until 5000).map(i => s"u$i")
 
   test("distinctMin estimate lands near the true cardinality") {
