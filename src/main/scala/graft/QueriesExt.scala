@@ -2888,6 +2888,55 @@ object QueriesExt {
         |GROUP BY n ORDER BY node""".stripMargin
   }
 
+  // ------------------------------- streaming hopping window (q107)
+
+  /** The streaming twin of q101 through [[graft.streaming.Streaming
+    * .hoppingEventCounts]]: a real Structured Streaming run
+    * (AvailableNow, watermarked, 4-way overlapping window state) whose
+    * complete-mode output must equal the batch integer-arithmetic
+    * derivation — both align hop windows to the epoch. */
+  private val q107: Q = (s, dir) =>
+    graft.streaming.Streaming.hoppingEventCounts(s, dir)
+
+  private val q107Sql = q101Sql
+
+  // ----------------------------------------- grouping sets (q108)
+
+  /** Explicit GROUPING SETS beyond rollup/cube (q26/q64): the by-status,
+    * by-priority, by-both, and grand-total aggregates in ONE pass —
+    * Spark's Expand operator streams each row into its 4 grouping
+    * lanes with map-side partial aggregation, no union of 4 scans.
+    * grouping() flags disambiguate subtotal rows from real NULL keys. */
+  private val q108: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q108_orders")
+    s.sql("""
+      |SELECT o_orderstatus, o_orderpriority,
+      |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+      |       count(1) AS n,
+      |       sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |         AS sum_cents
+      |FROM graft_q108_orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |                        (o_orderstatus, o_orderpriority), ())
+      |ORDER BY g_status, g_priority,
+      |         coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')
+      |""".stripMargin)
+  }
+
+  private val q108Sql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |            AS BIGINT) AS sum_cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |                        (o_orderstatus, o_orderpriority), ())
+      |ORDER BY g_status, g_priority,
+      |         coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -2968,6 +3017,8 @@ object QueriesExt {
     Entry("q103_correlation", q103, Some(q103Sql)),
     Entry("q104_weighted_per_key", q104, Some(q104Sql)),
     Entry("q105_join_size_sketch", q105, Some(q105Sql)),
-    Entry("q106_kcore", q106, Some(q106Sql))
+    Entry("q106_kcore", q106, Some(q106Sql)),
+    Entry("q107_streaming_hopping", q107, Some(q107Sql)),
+    Entry("q108_grouping_sets", q108, Some(q108Sql))
   )
 }

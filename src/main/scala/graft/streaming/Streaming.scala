@@ -201,6 +201,30 @@ object Streaming {
     out
   }
 
+  /** Hopping (sliding) window counts: 1-hour windows every 15 minutes —
+    * each event belongs to 4 overlapping windows, state is windows ×
+    * nothing (global count per window), bounded by the watermark horizon.
+    * The streaming twin of the batch q101; both align windows to the
+    * epoch, so their outputs are comparable row-for-row. */
+  def hoppingEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = uniqueName("graft_stream_hopping")
+    val q = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("w_start_us"), col("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, 300000)
+    val out = spark.table(name).orderBy(col("w_start_us")).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** PRODUCTION sessionization: append-mode parquet sink with
     * watermark-bounded state — nothing ever materializes on the driver,
     * output lands as files partitioned work-stealing style by the sink.
