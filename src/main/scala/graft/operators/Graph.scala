@@ -185,21 +185,24 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
-    var nEdges = ce.count()
     var round = 0
     while (round < maxRounds) {
       round += 1
-      val keep = degrees(ce).filter(col("core_deg") >= k).select(col("node"))
-      val next = ce
-        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+      // peel against the DROP set, not the keep set: after the first round
+      // the overwhelming majority of nodes survive, so the anti-join's
+      // build side is the small complement (broadcast hash anti) instead
+      // of a node-sized semi-join build — and an empty drop set IS the
+      // convergence signal, with the degree table already in hand as the
+      // result
+      val deg = degrees(ce).localCheckpoint()
+      val drop = deg.filter(col("core_deg") < k).select(col("node"))
+      if (drop.isEmpty) return deg
+      ce = ce
+        .join(drop.select(col("node").as("a")), Seq("a"), "left_anti")
+        .join(drop.select(col("node").as("b")), Seq("b"), "left_anti")
         .localCheckpoint()
-      val n = next.count()
-      if (n == nEdges) return degrees(ce)
-      ce = next
-      nEdges = n
     }
     throw new IllegalStateException(
-      s"kCore did not converge within $maxRounds rounds (edges left: $nEdges)")
+      s"kCore did not converge within $maxRounds rounds")
   }
 }

@@ -58,4 +58,43 @@ object Runner {
     }
     n
   }
+
+  /** Idempotent logical-date backfill — Airflow's `backfill`/`catchup`
+    * semantic without the scheduler. Re-materializes exactly the requested
+    * partitions in ONE pass (a per-date loop would pay N source scans at
+    * 100 TB) using dynamic partition overwrite: partitions present in this
+    * run's output are REPLACED, every other partition is untouched —
+    * rerunning a backfill is a no-op-equivalent, never an append-duplicate
+    * (the failure mode of replayed Airflow runs into an append sink) and
+    * never a whole-table truncate (static overwrite's failure mode).
+    *
+    * The output is filtered to the requested dates before writing: a
+    * transform that accidentally emits other dates must not clobber them —
+    * the partition set touched is part of the CONTRACT, not of whatever
+    * the transform happened to produce.
+    *
+    * @param transform dates => output rows carrying `dateCol`
+    * @return rows written across the backfilled partitions */
+  def backfill(dates: Seq[java.sql.Date], dateCol: String, outPath: String,
+      sortCols: Seq[String] = Nil)(
+      transform: Seq[java.sql.Date] => DataFrame): Long = {
+    require(dates.nonEmpty, "backfill needs at least one logical date")
+    val out = transform(dates)
+      .filter(col(dateCol).isin(dates.map(lit(_)): _*))
+    val spark = out.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      val obs = org.apache.spark.sql.Observation()
+      Sinks.writePartitioned(
+        out.observe(obs, count(lit(1)).as("n")),
+        outPath, Seq(dateCol), sortCols, SaveMode.Overwrite,
+        guardEmpty = false)
+      obs.get("n").asInstanceOf[Long]
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }

@@ -248,5 +248,38 @@ class PipelinesSpec extends SparkSpec {
     assert(store.get("students_once") == "2024-01-20T00:00:00")
   }
 
+  test("Runner.backfill replaces exactly the requested partitions, idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("backfill").toString
+    val out = s"$dir/out"
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03").map(d)
+    // initial load: one row per day, v=1
+    Runner.backfill(days, "day", out) { ds =>
+      ds.map(x => (x, 1)).toDF("day", "v")
+    }
+    // backfill day 2 only, with changed data AND a stray day-3 row the
+    // contract must refuse to write
+    val n = Runner.backfill(Seq(d("2024-01-02")), "day", out) { _ =>
+      Seq((d("2024-01-02"), 99), (d("2024-01-02"), 98), (d("2024-01-03"), 666))
+        .toDF("day", "v")
+    }
+    assert(n == 2) // the stray day-3 row was filtered, not written
+    def state() = spark.read.parquet(out)
+      .select(col("day").cast("string"), col("v"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val afterOnce = state()
+    assert(afterOnce == Set(("2024-01-01", 1), ("2024-01-02", 99),
+      ("2024-01-02", 98), ("2024-01-03", 1)))
+    // rerun the same backfill: byte-identical state (idempotent, no dupes)
+    Runner.backfill(Seq(d("2024-01-02")), "day", out) { _ =>
+      Seq((d("2024-01-02"), 99), (d("2024-01-02"), 98)).toDF("day", "v")
+    }
+    assert(state() == afterOnce)
+    // the conf mutation is restored (default is static)
+    assert(!spark.conf
+      .get("spark.sql.sources.partitionOverwriteMode", "static")
+      .equalsIgnoreCase("dynamic"))
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
