@@ -2860,7 +2860,10 @@ object QueriesExt {
         col("x.l_orderkey") === col("y.l_orderkey")
           && col("x.l_partkey") < col("y.l_partkey"))
       .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-    graft.operators.Graph.kCore(e, k = 70, maxRounds = 12).orderBy("node")
+    // 11 = the oracle's 10 unrolled peel rounds + the convergence round:
+    // data needing MORE than 10 peels must fail loudly here, not silently
+    // diverge from an unconverged oracle
+    graft.operators.Graph.kCore(e, k = 70, maxRounds = 11).orderBy("node")
   }
 
   private val q106Sql: String = {
@@ -2908,20 +2911,19 @@ object QueriesExt {
     * lanes with map-side partial aggregation, no union of 4 scans.
     * grouping() flags disambiguate subtotal rows from real NULL keys. */
   private val q108: Q = (s, dir) => {
-    t(s, dir, "orders").createOrReplaceTempView("graft_q108_orders")
-    s.sql("""
-      |SELECT o_orderstatus, o_orderpriority,
-      |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
-      |       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
-      |       count(1) AS n,
-      |       sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-      |         AS sum_cents
-      |FROM graft_q108_orders
-      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
-      |                        (o_orderstatus, o_orderpriority), ())
-      |ORDER BY g_status, g_priority,
-      |         coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')
-      |""".stripMargin)
+    val status = col("o_orderstatus")
+    val priority = col("o_orderpriority")
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(status), Seq(priority), Seq(status, priority), Seq.empty),
+        status, priority)
+      .agg(grouping(status).cast("int").as("g_status"),
+        grouping(priority).cast("int").as("g_priority"),
+        count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("sum_cents"))
+      .orderBy(col("g_status"), col("g_priority"),
+        coalesce(status, lit("")), coalesce(priority, lit("")))
   }
 
   private val q108Sql =

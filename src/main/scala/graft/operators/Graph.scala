@@ -87,13 +87,18 @@ object Graph {
     *              orientations and duplicates collapse to one edge;
     *              self-loops are dropped — a triangle has 3 distinct nodes)
     * @return (node, tri_cnt) for every node in ≥1 triangle */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    // canonical undirected edge set: (a, b) with a < b, deduped
-    val canon = edges.select(
+  /** Canonical undirected edge set: (a, b) with a < b, self-loops
+    * dropped, multi-edges collapsed — shared by every undirected
+    * algorithm here. */
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = canonicalUndirected(edges)
     // degree over the undirected graph; rank = (deg, node) total order
     val deg = canon.select(col("a").as("node"))
       .unionByName(canon.select(col("b").as("node")))
@@ -158,15 +163,17 @@ object Graph {
   /** k-core decomposition by iterative peeling: drop every node with
     * degree < k, recompute degrees over the surviving subgraph, repeat to
     * fixpoint — the density filter behind community mining and graph
-    * cleanup. Each round is one degree aggregate plus two node-keyed
-    * semi-joins over the CURRENT edge set (which only shrinks), state is
-    * lineage-truncated per round, and convergence is detected by edge
-    * count (edges unchanged ⟺ degrees unchanged ⟺ keep-set unchanged).
-    * Peeling removes at least one node per non-converged round, so rounds
-    * are bounded by the peel depth, not the node count; `maxRounds`
-    * guards pathological chains and FAILS LOUDLY on non-convergence (the
-    * NearDup.clusters discipline) — a silently-partial core is wrong, not
-    * approximate.
+    * cleanup. Each round is one degree aggregate, then two anti-joins
+    * against the SMALL drop complement (after round one almost every node
+    * survives, so the broadcast-hash-anti build side is the peeled few,
+    * not the node set) over an edge set that only shrinks; state is
+    * lineage-truncated per round and an empty drop set IS convergence,
+    * with the degree table already in hand as the result.
+    *
+    * `maxRounds` must be ≥ peel depth + 1: every round before the last
+    * removes at least one node, and the final round observes the empty
+    * drop set. On non-convergence this FAILS LOUDLY (the NearDup.clusters
+    * discipline) — a silently-partial core is wrong, not approximate.
     *
     * @param edges two columns `src`, `dst`, treated as UNDIRECTED
     *              (duplicates/self-loops collapse like [[triangleCounts]])
@@ -179,12 +186,7 @@ object Graph {
       e.select(col("a").as("node"))
         .unionByName(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("core_deg"))
-    var ce = edges.select(
-        least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
+    var ce = canonicalUndirected(edges).localCheckpoint()
     var round = 0
     while (round < maxRounds) {
       round += 1

@@ -63,12 +63,19 @@ object Sketch {
     * @return one row (est: decimal(38,0)) */
   def countMinInnerProduct(a: DataFrame, b: DataFrame): DataFrame = {
     val d38 = "decimal(38,0)"
-    a.select(col("lane"), col("bucket"), col("cnt").as("cnt_a"))
+    val prod = a.select(col("lane"), col("bucket"), col("cnt").as("cnt_a"))
       .join(b.select(col("lane"), col("bucket"), col("cnt").as("cnt_b")),
         Seq("lane", "bucket")) // inner: a cell missing on either side is 0
       .groupBy(col("lane"))
       .agg(sum((col("cnt_a").cast(d38) * col("cnt_b")).cast(d38)).as("p"))
-      .agg(min(col("p")).cast(d38).as("est"))
+    // a lane with NO overlapping buckets has true product 0 and must WIN
+    // the min (disjoint key sets ⇒ est 0) — the inner join erased it, so
+    // reattach every lane either sketch carries; both sketches empty ⇒ 0
+    val lanes = a.select(col("lane")).unionByName(b.select(col("lane")))
+      .distinct()
+    lanes.join(prod, Seq("lane"), "left")
+      .agg(coalesce(min(coalesce(col("p"), lit(0).cast(d38))),
+        lit(0).cast(d38)).cast(d38).as("est"))
   }
 
   /** Distinct-cardinality min-sketch (Flajolet-Martin stochastic averaging

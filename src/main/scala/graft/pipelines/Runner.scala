@@ -62,11 +62,17 @@ object Runner {
   /** Idempotent logical-date backfill — Airflow's `backfill`/`catchup`
     * semantic without the scheduler. Re-materializes exactly the requested
     * partitions in ONE pass (a per-date loop would pay N source scans at
-    * 100 TB) using dynamic partition overwrite: partitions present in this
-    * run's output are REPLACED, every other partition is untouched —
-    * rerunning a backfill is a no-op-equivalent, never an append-duplicate
-    * (the failure mode of replayed Airflow runs into an append sink) and
-    * never a whole-table truncate (static overwrite's failure mode).
+    * 100 TB): the requested partition directories are dropped first, then
+    * the recomputed rows append into them — so EVERY requested date is
+    * replaced, including one whose recomputation is now EMPTY (upstream
+    * retraction), which dynamic partition overwrite would silently leave
+    * stale. Untouched dates are never affected, rerunning is idempotent by
+    * construction, and no session conf is mutated (a session-global
+    * overwrite-mode flip would race concurrent writers). The delete-then-
+    * write pair is not atomic — a failure in between leaves the requested
+    * dates empty until the rerun, the standard at-least-once backfill
+    * contract (the watermark Runner's write-then-commit discipline applied
+    * to partitions).
     *
     * The output is filtered to the requested dates before writing: a
     * transform that accidentally emits other dates must not clobber them —
@@ -82,19 +88,16 @@ object Runner {
     val out = transform(dates)
       .filter(col(dateCol).isin(dates.map(lit(_)): _*))
     val spark = out.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try {
-      val obs = org.apache.spark.sql.Observation()
-      Sinks.writePartitioned(
-        out.observe(obs, count(lit(1)).as("n")),
-        outPath, Seq(dateCol), sortCols, SaveMode.Overwrite,
-        guardEmpty = false)
-      obs.get("n").asInstanceOf[Long]
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dates.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/$dateCol=$d"), true)
     }
+    val obs = org.apache.spark.sql.Observation()
+    Sinks.writePartitioned(
+      out.observe(obs, count(lit(1)).as("n")),
+      outPath, Seq(dateCol), sortCols, SaveMode.Append,
+      guardEmpty = false)
+    obs.get("n").asInstanceOf[Long]
   }
 }

@@ -202,10 +202,16 @@ object Streaming {
   }
 
   /** Hopping (sliding) window counts: 1-hour windows every 15 minutes —
-    * each event belongs to 4 overlapping windows, state is windows ×
-    * nothing (global count per window), bounded by the watermark horizon.
-    * The streaming twin of the batch q101; both align windows to the
-    * epoch, so their outputs are comparable row-for-row. */
+    * each event belongs to 4 overlapping windows. The streaming twin of
+    * the batch q101; both align windows to the epoch, so their outputs
+    * are comparable row-for-row.
+    *
+    * TEST/ORACLE SHIM like its siblings: complete-mode memory sink, which
+    * NEVER evicts aggregation state (the watermark is ignored in complete
+    * mode) and materializes the result on the driver — bounded inputs
+    * only. A production hopping pipeline takes the
+    * [[hourlyEventCountsToFiles]] shape: append mode + watermark-expired
+    * state + file sink. */
   def hoppingEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val name = uniqueName("graft_stream_hopping")
     val q = eventsStream(spark, sfDir)

@@ -151,7 +151,8 @@ class GraphSpec extends SparkSpec {
   }
 
   test("kCore fails loudly when maxRounds is too small to converge") {
-    // a 6-chain peels one endpoint pair per round at k=2: needs 3 rounds
+    // a 6-chain peels one endpoint pair per round at k=2: 3 peel rounds
+    // plus the convergence round = 4 needed in total
     val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"))
     intercept[IllegalStateException] {
       Graph.kCore(chain.toDF("src", "dst"), k = 2, maxRounds = 1)

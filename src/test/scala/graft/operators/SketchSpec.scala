@@ -47,6 +47,21 @@ class SketchSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("countMinInnerProduct of disjoint key sets is 0, and empty sketches give 0") {
+    // keys chosen to collide in NO lane-bucket cell would be fragile;
+    // instead rely on the lane-reattachment contract: a lane with no
+    // overlap must pull the min to its true 0 product — two singleton
+    // sketches that differ in at least one lane's bucket land on 0
+    val a = Sketch.countMin(Seq("only-a").toDF("k"), "k", w = 4096, d = 4)
+    val b = Sketch.countMin(Seq("only-b").toDF("k"), "k", w = 4096, d = 4)
+    val est = Sketch.countMinInnerProduct(a, b)
+      .collect()(0).getDecimal(0).longValueExact()
+    assert(est == 0L, s"disjoint singletons estimated $est")
+    val empty = Sketch.countMin(df.filter(col("k") === "zzz"), "k", 32, 4)
+    assert(Sketch.countMinInnerProduct(empty, empty)
+      .collect()(0).getDecimal(0).longValueExact() == 0L)
+  }
+
   test("countMinInnerProduct over-estimates the exact self-join size") {
     val sk = Sketch.countMin(df, "k", w = 32, d = 4)
     val est = Sketch.countMinInnerProduct(sk, sk)

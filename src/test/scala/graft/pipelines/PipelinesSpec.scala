@@ -275,10 +275,13 @@ class PipelinesSpec extends SparkSpec {
       Seq((d("2024-01-02"), 99), (d("2024-01-02"), 98)).toDF("day", "v")
     }
     assert(state() == afterOnce)
-    // the conf mutation is restored (default is static)
-    assert(!spark.conf
-      .get("spark.sql.sources.partitionOverwriteMode", "static")
-      .equalsIgnoreCase("dynamic"))
+    // retraction: a requested date whose recomputation is EMPTY must end
+    // empty (dynamic partition overwrite would leave the stale rows)
+    val n0 = Runner.backfill(Seq(d("2024-01-02")), "day", out) { _ =>
+      Seq.empty[(java.sql.Date, Int)].toDF("day", "v")
+    }
+    assert(n0 == 0)
+    assert(state() == Set(("2024-01-01", 1), ("2024-01-03", 1)))
   }
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
