@@ -2939,6 +2939,46 @@ object QueriesExt {
       |ORDER BY g_status, g_priority,
       |         coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""".stripMargin
 
+  // ----------------------------- per-group distinct sketch (q109)
+
+  /** Distinct users per event type, estimated at ≤64 rows of state per
+    * group through [[graft.operators.Sketch.distinctMinPerKey]] — q96's
+    * harmonic min-sketch estimator applied within each key, next to the
+    * exact per-group countDistinct. The bounded-state cardinality
+    * profiling a 100 TB GROUP BY needs (the exact form's shuffle carries
+    * every distinct member). */
+  private val q109: Q = (s, dir) => {
+    import graft.operators.Sketch
+    val ev = t(s, dir, "events")
+    val est = Sketch.distinctEstimatePerKey(
+      Sketch.distinctMinPerKey(ev, "event_type", "user_id", k = 64),
+      "event_type", k = 64)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+    est.join(exact, "event_type").orderBy("event_type")
+  }
+
+  private val q109Sql =
+    """WITH h AS (
+      |  SELECT event_type,
+      |         CAST(('0x' || substring(md5('b:' || CAST(user_id AS VARCHAR)), 1, 8))
+      |              AS BIGINT) % 64 AS bucket,
+      |         CAST(('0x' || substring(md5('v:' || CAST(user_id AS VARCHAR)), 1, 8))
+      |              AS BIGINT) AS h
+      |  FROM events),
+      |mins AS (SELECT event_type, bucket, min(h) AS minh
+      |         FROM h GROUP BY event_type, bucket),
+      |est AS (SELECT event_type,
+      |               CAST(4096 * 4294967296 //
+      |                    (coalesce(sum(minh + 1), 0)
+      |                     + (64 - count(*)) * 4294967296) - 64
+      |                    AS BIGINT) AS est
+      |        FROM mins GROUP BY event_type),
+      |exact AS (SELECT event_type, count(DISTINCT user_id) AS exact
+      |          FROM events GROUP BY event_type)
+      |SELECT event_type, est.est, exact.exact
+      |FROM est JOIN exact USING (event_type) ORDER BY event_type""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -3021,6 +3061,7 @@ object QueriesExt {
     Entry("q105_join_size_sketch", q105, Some(q105Sql)),
     Entry("q106_kcore", q106, Some(q106Sql)),
     Entry("q107_streaming_hopping", q107, Some(q107Sql)),
-    Entry("q108_grouping_sets", q108, Some(q108Sql))
+    Entry("q108_grouping_sets", q108, Some(q108Sql)),
+    Entry("q109_distinct_per_key", q109, Some(q109Sql))
   )
 }

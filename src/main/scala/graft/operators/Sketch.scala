@@ -98,6 +98,36 @@ object Sketch {
       .groupBy("bucket").agg(min(col("h")).as("minh"))
   }
 
+  /** Per-group [[distinctMin]]: one k-bucket min-sketch per `keyCol`
+    * value — ≤ k rows of state per group no matter how many distinct
+    * `valCol` values the group holds, all min-combinable. The bounded-
+    * state alternative to an exact per-group `countDistinct`, whose
+    * shuffle carries every distinct value.
+    *
+    * @return (keyCol, bucket, minh) */
+  def distinctMinPerKey(df: DataFrame, keyCol: String, valCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"distinctMinPerKey needs k >= 2, got $k")
+    df.select(col(keyCol),
+        bucket(lit("b"), col(valCol), k).as("bucket"),
+        conv(substring(md5(concat(lit("v:"), col(valCol).cast("string"))), 1, 8),
+          16, 10).cast("long").as("h"))
+      .groupBy(col(keyCol), col("bucket")).agg(min(col("h")).as("minh"))
+  }
+
+  /** Per-group cardinality estimates from a [[distinctMinPerKey]] sketch —
+    * the [[distinctEstimate]] harmonic combiner applied within each key.
+    *
+    * @return (keyCol, est) */
+  def distinctEstimatePerKey(sketch: DataFrame, keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 40000, s"needs 2 <= k <= 40000, got $k")
+    sketch.groupBy(col(keyCol))
+      .agg(expr(s"CAST(${k.toLong * k} * 4294967296 DIV " +
+        s"(coalesce(sum(minh + 1), 0) + ($k - count(1)) * 4294967296) - $k " +
+        "AS BIGINT)").as("est"))
+  }
+
   /** Cardinality estimate from a [[distinctMin]] sketch. The min of n_i
     * uniform hashes over [0, 2^32) sits near 2^32/(n_i+1), but 1/min is
     * heavy-tailed (one unluckily small min wrecks a per-bucket estimate) —

@@ -101,6 +101,21 @@ class SketchSpec extends SparkSpec {
     assert(once == thrice)
   }
 
+  test("distinctMinPerKey matches the global sketch run per group") {
+    val grouped = manyKeys.zipWithIndex
+      .map { case (v, i) => (s"g${i % 3}", v) }.toDF("g", "v")
+    val per = Sketch.distinctEstimatePerKey(
+        Sketch.distinctMinPerKey(grouped.repartition(7), "g", "v", 64), "g", 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Sketch.distinctEstimate(
+          Sketch.distinctMin(grouped.filter(col("g") === g).select("v"), "v", 64),
+          64)
+        .collect()(0).getLong(0)
+      assert(per(g) == solo, s"group $g: ${per(g)} vs solo $solo")
+    }
+  }
+
   test("distinctMin sketches MERGE by cellwise min") {
     val (ka, kb) = manyKeys.splitAt(2000)
     val merged = Sketch.distinctMin(ka.toDF("k"), "k", 64)
