@@ -378,16 +378,19 @@ object QueriesExt {
       .orderBy(col("qid"), col("rank"))
   }
 
-  private val q35Sql = embCte +
-    """,
-      |bk AS (SELECT vec_id, qv, nsq,
+  /** The 8-plane sign-LSH bucket derivation, shared by q35 and q110. */
+  private val bkCte =
+    """bk AS (SELECT vec_id, qv, nsq,
       |         list_reduce(list_prepend(0::BIGINT,
       |           list_transform(range(8), p ->
       |             CASE WHEN list_sum(list_transform(range(64), d ->
       |                    ((p*73856093 + d*19349663) % 2001 - 1000) * qv[d+1])) >= 0
       |                  THEN 1::BIGINT ELSE 0::BIGINT END)),
       |           (a, b) -> a*2 + b) AS bucket
-      |       FROM n),
+      |       FROM n)""".stripMargin
+
+  private val q35Sql = embCte + ",\n" + bkCte +
+    """,
       |p AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor,
       |        CAST(list_sum(list_transform(list_zip(a.qv, b.qv), s -> s[1]*s[2])) AS DOUBLE)
       |          / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cos
@@ -2939,6 +2942,63 @@ object QueriesExt {
       |ORDER BY g_status, g_priority,
       |         coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""".stripMargin
 
+  // --------------------------- reciprocal-rank fusion (q110)
+
+  /** Reciprocal-rank fusion of the exact cosine top-5 (q34) and the
+    * LSH-ANN top-3 (q35) retrieval lists — the standard hybrid-retrieval
+    * combiner, in exact integers: score = Σ_lists 10⁶ DIV (60 + rank)
+    * (the classic RRF k=60, scaled so integer division keeps rank
+    * resolution), re-ranked per query with deterministic neighbor-id
+    * ties. Fusion runs on RANK TABLES, never on raw similarity scores, so
+    * it composes any mix of retrievers — and costs |queries|·k rows, not
+    * a corpus pass. */
+  private val q110: Q = (s, dir) => {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("neighbor"))
+    q34(s, dir).select(col("qid"), col("neighbor"), col("rank"))
+      .unionByName(q35(s, dir).select(col("qid"), col("neighbor"), col("rank")))
+      .select(col("qid"), col("neighbor"),
+        expr("1000000 DIV (60 + rank)").as("sc"))
+      .groupBy(col("qid"), col("neighbor"))
+      .agg(sum(col("sc")).as("rrf"), count(lit(1)).as("n_lists"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("neighbor"), col("rrf"),
+        col("n_lists"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  private val q110Sql = embCte + ",\n" + bkCte +
+    """,
+      |pa AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+      |         CAST(list_sum(list_transform(list_zip(a.qv, b.qv), s -> s[1]*s[2])) AS DOUBLE)
+      |           / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cos
+      |       FROM n a JOIN n b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+      |ra AS (SELECT qid, neighbor, rank FROM (
+      |         SELECT qid, neighbor,
+      |                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rank
+      |         FROM pa) t WHERE rank <= 5),
+      |pb AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+      |         CAST(list_sum(list_transform(list_zip(a.qv, b.qv), s -> s[1]*s[2])) AS DOUBLE)
+      |           / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cos
+      |       FROM bk a JOIN bk b ON a.vec_id % 50 = 0 AND a.bucket = b.bucket
+      |                          AND b.vec_id <> a.vec_id),
+      |rb AS (SELECT qid, neighbor, rank FROM (
+      |         SELECT qid, neighbor,
+      |                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rank
+      |         FROM pb) t WHERE rank <= 3),
+      |u AS (SELECT qid, neighbor, 1000000 // (60 + rank) AS sc FROM ra
+      |      UNION ALL
+      |      SELECT qid, neighbor, 1000000 // (60 + rank) FROM rb),
+      |g AS (SELECT qid, neighbor, CAST(sum(sc) AS BIGINT) AS rrf,
+      |             CAST(count(*) AS BIGINT) AS n_lists
+      |      FROM u GROUP BY qid, neighbor)
+      |SELECT qid, rk, neighbor, rrf, n_lists FROM (
+      |  SELECT qid, neighbor, rrf, n_lists,
+      |         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, neighbor) AS rk
+      |  FROM g) t
+      |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
   // ----------------------------- per-group distinct sketch (q109)
 
   /** Distinct users per event type, estimated at ≤64 rows of state per
@@ -3062,6 +3122,7 @@ object QueriesExt {
     Entry("q106_kcore", q106, Some(q106Sql)),
     Entry("q107_streaming_hopping", q107, Some(q107Sql)),
     Entry("q108_grouping_sets", q108, Some(q108Sql)),
-    Entry("q109_distinct_per_key", q109, Some(q109Sql))
+    Entry("q109_distinct_per_key", q109, Some(q109Sql)),
+    Entry("q110_rrf_fusion", q110, Some(q110Sql))
   )
 }

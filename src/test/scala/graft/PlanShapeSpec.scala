@@ -263,8 +263,9 @@ class PlanShapeSpec extends SparkSpec {
       // q106 runs its peel fixpoint eagerly (the q48 class) — its plan
       // here would be the post-fixpoint projection
       "q102_collocations", "q105_join_size_sketch", "q106_kcore",
-      // q107 is a real streaming run (the q24/q25 class)
-      "q107_streaming_hopping")
+      // q107 is a real streaming run (the q24/q25 class); q110 embeds
+      // q34's intended broadcast-query-set nested loop
+      "q107_streaming_hopping", "q110_rrf_fusion")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")
