@@ -2300,7 +2300,14 @@ object QueriesExt {
     * postings array (doc_id, tf), kept for terms hitting ≥10% of
     * documents (relative gate so every SF exercises it). Two inherent
     * shuffles (term×doc tf, then term grouping); the corpus-size gate is
-    * a broadcast 1-row scalar, the q55 pattern. */
+    * a broadcast 1-row scalar, the q55 pattern.
+    *
+    * The postings array ships as a JSON STRING, not a nested column — the
+    * gate-portable encoding contract (SURVEY §2.12): Spark's `to_json` and
+    * DuckDB's `to_json` both render `[{"doc_id":1,"tf":2},…]` compactly,
+    * and a string column is sortable/hashable by any downstream consumer
+    * (an array-of-struct cell is not — it crashed the round-3 driver's
+    * pandas sort). */
   private val q89: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val tf = docs
@@ -2314,7 +2321,8 @@ object QueriesExt {
           .as("postings"))
       .crossJoin(broadcast(n))
       .filter(col("df") * 10 >= col("n_docs"))
-      .select(col("term"), col("df"), col("cf"), col("postings"))
+      .select(col("term"), col("df"), col("cf"),
+        to_json(col("postings")).as("postings"))
       .orderBy("term")
   }
 
@@ -2327,7 +2335,8 @@ object QueriesExt {
       |n AS (SELECT count(*) AS n_docs FROM documents)
       |SELECT term, CAST(count(*) AS BIGINT) AS df,
       |       CAST(sum(tf) AS BIGINT) AS cf,
-      |       list(struct_pack(doc_id := doc_id, tf := tf) ORDER BY doc_id)
+      |       CAST(to_json(list(struct_pack(doc_id := doc_id, tf := tf)
+      |                         ORDER BY doc_id)) AS VARCHAR)
       |         AS postings
       |FROM tf, n
       |GROUP BY term, n.n_docs
@@ -2404,6 +2413,12 @@ object QueriesExt {
         datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("d"))
       .agg(count(lit(1)).as("y"))
     graft.operators.Stats.trendExact(daily, Seq("event_type"), "d", "y")
+      // final projection renders the DECIMAL(38,0) rationals as strings —
+      // the gate-portable encoding contract (SURVEY §2.12): integers print
+      // identically in every engine, decimal128 does not hash identically
+      .select(col("event_type"), col("n"),
+        col("slope_num").cast("string").as("slope_num"),
+        col("slope_den").cast("string").as("slope_den"))
       .orderBy("event_type")
   }
 
@@ -2416,10 +2431,10 @@ object QueriesExt {
       |SELECT event_type, count(*) AS n,
       |       CAST(count(*) * sum(CAST(d AS HUGEINT) * y)
       |            - sum(CAST(d AS HUGEINT)) * sum(CAST(y AS HUGEINT))
-      |            AS DECIMAL(38,0)) AS slope_num,
+      |            AS VARCHAR) AS slope_num,
       |       CAST(count(*) * sum(CAST(d AS HUGEINT) * d)
       |            - sum(CAST(d AS HUGEINT)) * sum(CAST(d AS HUGEINT))
-      |            AS DECIMAL(38,0)) AS slope_den
+      |            AS VARCHAR) AS slope_den
       |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ------------------------------ exact χ² contingency cells (q93)
@@ -2433,6 +2448,11 @@ object QueriesExt {
     val ev = t(s, dir, "events")
       .select(col("event_type"), expr("hour(ts) div 6").as("bucket"))
     graft.operators.Stats.chiSquareCells(ev, "event_type", "bucket")
+      // rationals rendered as strings — gate-portable encoding (SURVEY §2.12)
+      .select(col("event_type"), col("bucket"), col("o"), col("r"), col("c"),
+        col("n"),
+        col("chi_num").cast("string").as("chi_num"),
+        col("chi_den").cast("string").as("chi_den"))
       .orderBy("event_type", "bucket")
   }
 
@@ -2445,8 +2465,8 @@ object QueriesExt {
       |SELECT cells.event_type, cells.bucket, cells.o, rm.r, cm.c, nt.n,
       |       CAST((CAST(nt.n AS HUGEINT) * cells.o - CAST(rm.r AS HUGEINT) * cm.c)
       |            * (CAST(nt.n AS HUGEINT) * cells.o - CAST(rm.r AS HUGEINT) * cm.c)
-      |            AS DECIMAL(38,0)) AS chi_num,
-      |       CAST(CAST(nt.n AS HUGEINT) * rm.r * cm.c AS DECIMAL(38,0)) AS chi_den
+      |            AS VARCHAR) AS chi_num,
+      |       CAST(CAST(nt.n AS HUGEINT) * rm.r * cm.c AS VARCHAR) AS chi_den
       |FROM cells JOIN rm USING (event_type) JOIN cm USING (bucket), nt
       |ORDER BY event_type, bucket""".stripMargin
 
@@ -2679,13 +2699,18 @@ object QueriesExt {
     * windows via a bounded 0..3 offset generator (no self-join, no
     * window-spine build), then one map-side-combined count per window
     * start. Pure integer epoch-microsecond arithmetic (the q44/q46
-    * epoch_us discipline), so window boundaries agree across engines. */
+    * epoch_us discipline), so window boundaries agree across engines.
+    * Window starts use FLOOR division (us − pmod(us, hop), never `DIV`,
+    * which truncates toward zero): pre-1970 timestamps have negative
+    * epoch micros, and only floor alignment agrees with both DuckDB's
+    * `//` and Structured Streaming's window() (q107). */
   private val q101: Q = (s, dir) => {
     val hopUs = 900000000L // 15 min
     t(s, dir, "events")
       .select(unix_micros(col("ts")).as("us"))
       .select(explode(sequence(lit(0L), lit(3L))).as("i"), col("us"))
-      .select(expr(s"(us DIV $hopUs - i) * $hopUs").as("w_start_us"))
+      .select((col("us") - pmod(col("us"), lit(hopUs)) - col("i") * hopUs)
+        .as("w_start_us"))
       .groupBy("w_start_us").agg(count(lit(1)).as("n"))
       .orderBy("w_start_us")
   }
@@ -2730,11 +2755,12 @@ object QueriesExt {
       .filter(col("c_ab") >= 5
         && col("n").cast("decimal(38,0)") * col("c_ab")
           >= col("c_a").cast("decimal(38,0)") * col("c_b"))
+      // rationals rendered as strings — gate-portable encoding (SURVEY §2.12)
       .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
         (col("n").cast("decimal(38,0)") * col("c_ab")).cast("decimal(38,0)")
-          .as("lift_num"),
+          .cast("string").as("lift_num"),
         (col("c_a").cast("decimal(38,0)") * col("c_b")).cast("decimal(38,0)")
-          .as("lift_den"))
+          .cast("string").as("lift_den"))
       .orderBy("a", "b")
   }
 
@@ -2747,8 +2773,8 @@ object QueriesExt {
       |       FROM (SELECT unnest(w) AS tok FROM t) GROUP BY 1),
       |n AS (SELECT count(*) AS n FROM bg)
       |SELECT cb.a, cb.b, c_ab, ca.c AS c_a, cb2.c AS c_b,
-      |       CAST(CAST(n.n AS HUGEINT) * c_ab AS DECIMAL(38,0)) AS lift_num,
-      |       CAST(CAST(ca.c AS HUGEINT) * cb2.c AS DECIMAL(38,0)) AS lift_den
+      |       CAST(CAST(n.n AS HUGEINT) * c_ab AS VARCHAR) AS lift_num,
+      |       CAST(CAST(ca.c AS HUGEINT) * cb2.c AS VARCHAR) AS lift_den
       |FROM cb JOIN cu ca ON cb.a = ca.tok JOIN cu cb2 ON cb.b = cb2.tok, n
       |WHERE c_ab >= 5
       |  AND CAST(n.n AS HUGEINT) * c_ab >= CAST(ca.c AS HUGEINT) * cb2.c
@@ -2769,6 +2795,11 @@ object QueriesExt {
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("x"))
       .join(lc, col("o_orderkey") === col("l_orderkey"))
     graft.operators.Stats.correlationExact(j, Seq("pri"), "x", "y")
+      // rationals rendered as strings — gate-portable encoding (SURVEY §2.12)
+      .select(col("pri"), col("n"),
+        col("corr_num").cast("string").as("corr_num"),
+        col("corr_den_x").cast("string").as("corr_den_x"),
+        col("corr_den_y").cast("string").as("corr_den_y"))
       .orderBy("pri")
   }
 
@@ -2785,9 +2816,9 @@ object QueriesExt {
       |             sum(CAST(y AS HUGEINT) * y) AS syy
       |      FROM j GROUP BY pri)
       |SELECT pri, CAST(n AS BIGINT) AS n,
-      |       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS corr_num,
-      |       CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS corr_den_x,
-      |       CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS corr_den_y
+      |       CAST(n * sxy - sx * sy AS VARCHAR) AS corr_num,
+      |       CAST(n * sxx - sx * sx AS VARCHAR) AS corr_den_x,
+      |       CAST(n * syy - sy * sy AS VARCHAR) AS corr_den_y
       |FROM a ORDER BY pri""".stripMargin
 
   // --------------------------------- per-stratum weighted sample (q104)
@@ -2833,6 +2864,9 @@ object QueriesExt {
     val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
       .agg(sum((col("c").cast(d38) * col("c")).cast(d38)).cast(d38).as("exact"))
     Sketch.countMinInnerProduct(sk, sk).crossJoin(exact)
+      // rationals rendered as strings — gate-portable encoding (SURVEY §2.12)
+      .select(col("est").cast("string").as("est"),
+        col("exact").cast("string").as("exact"))
   }
 
   private val q105Sql =
@@ -2844,8 +2878,8 @@ object QueriesExt {
       |         count(*) AS cnt
       |  FROM events, lanes GROUP BY 1, 2),
       |p AS (SELECT lane, sum(CAST(cnt AS HUGEINT) * cnt) AS p FROM cells GROUP BY lane),
-      |est AS (SELECT CAST(min(p) AS DECIMAL(38,0)) AS est FROM p),
-      |exact AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS DECIMAL(38,0)) AS exact
+      |est AS (SELECT CAST(min(p) AS VARCHAR) AS est FROM p),
+      |exact AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS VARCHAR) AS exact
       |          FROM (SELECT count(*) AS c FROM events GROUP BY user_id) t)
       |SELECT est.est, exact.exact FROM est, exact""".stripMargin
 

@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   * of the key MULTISET — partition-invariant and reproducible by any
   * engine that can md5 a string, which is what makes q95's independent
   * DuckDB rebuild meaningful.
+  *
+  * Encoding contract (SURVEY §2.13): [[countMinInnerProduct]]'s
+  * DECIMAL(38,0) estimate is for internal exact arithmetic — final
+  * projections shipping to the correctness gate render it as a string.
   */
 object Sketch {
 

@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
   * engine reproduces every flag bit-for-bit (floating mean/stddev
   * comparisons diverge across engines because float addition is not
   * associative; integer moments cannot).
+  *
+  * Encoding contract (SURVEY §2.13): the DECIMAL(38,0) rationals these
+  * operators return are for INTERNAL exact arithmetic and composition.
+  * Final projections that ship to the correctness gate must render them
+  * as strings — decimal128 does not hash portably across engines.
   */
 object Stats {
 
@@ -22,8 +27,12 @@ object Stats {
     * Magnitude budget (documented, not checked row-by-row): every term
     * must stay under 10³⁸, and the binding one is (10·(n·x − S1))², so
     * keep n·|x|_max ≤ 10¹⁸ — e.g. cents up to 10⁶ with group sizes up to
-    * 10¹² (comfortably past 100 TB). Overflow surfaces as null/ANSI
-    * error, never a silent wrong flag.
+    * 10¹² (comfortably past 100 TB). Past the budget a decimal overflow
+    * nulls the predicate, and under the repo session's ANSI-off setting
+    * (core/Sessions.scala) a null predicate silently DROPS the row — a
+    * false negative, never a false positive. Callers whose inputs can
+    * approach the budget must pre-assert n·|x|_max (one cheap aggregate)
+    * or run with spark.sql.ansi.enabled=true to fail loudly instead.
     *
     * Scale shape: ONE map-side-combinable aggregate over the input builds
     * the per-group moments (|groups| rows), a broadcast-eligible join

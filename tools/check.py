@@ -3,16 +3,75 @@
 the shipped library is pure Scala/Spark; this script just mirrors what the
 driver's DuckDB oracle will do so mismatches surface before a round ends).
 
+Faithful-mirror rules (the round-3 lesson — VERDICT r03 "What's missing" #1;
+the previous version of this script read BOTH sides through DuckDB and
+canonicalized array cells, which laundered exactly the encodings the driver
+hashes, and 6 red rows shipped silently):
+
+- The Spark side is read the way the driver reads it: pyarrow -> pandas.
+  Never through DuckDB (that coerces decimal128 and nested columns into
+  DuckDB's own representation, masking serialization drift).
+- No canonicalization. If a cell would break the driver's multi-column row
+  sort (numpy.ndarray / dict are unhashable), this mirror reports the same
+  failure instead of papering over it.
+- The output-encoding contract (SURVEY §2.12) is enforced directly: every
+  final column must be a hash-stable type — string / int / float / bool /
+  date / timestamp. decimal.Decimal or nested cells on EITHER side fail,
+  even when the values are numerically equal, because the driver's typed
+  hasher serializes them engine-specifically. Pinned exceptions only via
+  NESTED_ALLOWLIST (kept in sync with OutputContractSpec's allowlist).
+
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
 import sys, os, glob, json
+import decimal
 import duckdb
+import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# Queries whose nested output column is pinned as a driver-accepted
+# exception (must match OutputContractSpec's allowlist on the Scala side).
+# Currently empty: every query ships portable scalars (q16 already emits
+# its collected list as a joined string).
+NESTED_ALLOWLIST = set()
+
+PORTABLE_SCALARS = (str, bytes, bool, int, float, np.integer, np.floating,
+                    np.bool_)
+
+
+def read_spark(res_dir: str) -> pd.DataFrame:
+    """Driver path: pyarrow -> pandas, no type laundering."""
+    files = sorted(glob.glob(f"{res_dir}/*.parquet"))
+    if not files:
+        raise RuntimeError("no parquet part files")
+    return pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+
+
+def unportable_cells(df: pd.DataFrame):
+    """Columns holding non-hash-stable cells (Decimal / list / dict /
+    ndarray), with the offending type name."""
+    bad = []
+    for c in df.columns:
+        if df[c].dtype != object:
+            continue  # numeric/datetime dtypes are portable by construction
+        for v in df[c]:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                continue
+            if isinstance(v, decimal.Decimal):
+                bad.append((c, "decimal.Decimal")); break
+            if isinstance(v, (list, dict, np.ndarray)):
+                bad.append((c, type(v).__name__)); break
+            if not isinstance(v, PORTABLE_SCALARS):
+                bad.append((c, type(v).__name__)); break
+    return bad
+
 
 def main(sfdir: str, outdir: str) -> int:
     con = duckdb.connect()
     for f in glob.glob(f"{sfdir}/*.parquet"):
-        name = os.path.basename(f)[:-len(".parquet")]
+        name = os.path.basename(f)[: -len(".parquet")]
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
     with open(f"{outdir}/oracle_sql.json") as fh:
         oracle = json.load(fh)
@@ -26,12 +85,13 @@ def main(sfdir: str, outdir: str) -> int:
             n_fail += 1
             continue
         try:
-            got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df()
+            got = read_spark(res_dir)
             exp = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {str(e).splitlines()[0]}")
             n_fail += 1
             continue
+
         # mirror the driver: sort columns by name, then compare values
         got = got.reindex(sorted(got.columns), axis=1)
         exp = exp.reindex(sorted(exp.columns), axis=1)
@@ -39,11 +99,19 @@ def main(sfdir: str, outdir: str) -> int:
             print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
             n_fail += 1
             continue
-        # the driver hashes TYPED values: a DuckDB HUGEINT (sum of BIGINT,
-        # surfaces as float64/object in pandas) vs Spark int64
-        # hash-mismatches even when values are equal. Integer WIDTH drift
-        # (int32 vs int64) hashed fine in round 1, so only flag kind drift:
-        # int vs float vs object.
+
+        # encoding contract: non-portable cells on either side = the class
+        # of failure the driver's typed hasher flags even when values match
+        if name not in NESTED_ALLOWLIST:
+            drift = [("spark", c, t) for c, t in unportable_cells(got)] + \
+                    [("oracle", c, t) for c, t in unportable_cells(exp)]
+            if drift:
+                print(f"FAIL {name}: non-hash-stable output cells {drift}")
+                n_fail += 1
+                continue
+
+        # dtype KIND drift (int vs float vs object) — the driver's hasher is
+        # width-tolerant (int32 vs int64 passed in round 1) but kind-strict
         def kind(dt):
             return dt.kind if hasattr(dt, "kind") else "O"
         dt_drift = [(c, str(got[c].dtype), str(exp[c].dtype))
@@ -53,32 +121,43 @@ def main(sfdir: str, outdir: str) -> int:
             print(f"FAIL {name}: dtype drift (driver hash would differ): {dt_drift}")
             n_fail += 1
             continue
-        # array/struct columns (duckdb -> numpy ndarrays / dicts) are
-        # unhashable, which breaks the multi-key sort — canonicalize them
-        # to their python repr on BOTH sides before sorting/comparing
-        import numpy as np
-        def canon(v):
-            if isinstance(v, np.ndarray):
-                v = v.tolist()
-            if isinstance(v, (list, dict)):
-                return repr(v)
-            return v
-        for c in got.columns:
-            if got[c].dtype == object or exp[c].dtype == object:
-                got[c] = got[c].map(canon)
-                exp[c] = exp[c].map(canon)
-        gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
-        es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
-        if len(gs) != len(es):
-            print(f"FAIL {name}: rows {len(gs)} != {len(es)}")
+
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_fail += 1
             continue
+
+        # the driver sorts rows by every column with NO canonicalization;
+        # an unhashable cell (ndarray/dict) raises here exactly as it does
+        # there — except for the pinned allowlist, which sorts by its
+        # scalar columns and compares nested cells via repr of tolist()
+        try:
+            if name in NESTED_ALLOWLIST:
+                scalar_cols = [c for c in got.columns
+                               if not unportable_cells(got[[c]])
+                               and not unportable_cells(exp[[c]])]
+                gs = got.sort_values(by=scalar_cols).reset_index(drop=True)
+                es = exp.sort_values(by=scalar_cols).reset_index(drop=True)
+                for c in got.columns:
+                    if c not in scalar_cols:
+                        gs[c] = gs[c].map(lambda v: repr(
+                            v.tolist() if isinstance(v, np.ndarray) else v))
+                        es[c] = es[c].map(lambda v: repr(
+                            v.tolist() if isinstance(v, np.ndarray) else v))
+            else:
+                gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+                es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+        except TypeError as e:
+            print(f"FAIL {name}: driver row sort would crash: {e}")
+            n_fail += 1
+            continue
+
         try:
             pd.testing.assert_frame_equal(gs, es, check_dtype=False,
                                           check_exact=True)
             print(f"ok   {name} ({len(gs)} rows)")
             n_ok += 1
-        except AssertionError as e:
+        except AssertionError:
             print(f"FAIL {name}: value mismatch")
             neq = (gs != es) & ~(gs.isna() & es.isna())
             bad = neq.any(axis=1)
@@ -88,6 +167,7 @@ def main(sfdir: str, outdir: str) -> int:
             n_fail += 1
     print(f"\n{n_ok} ok, {n_fail} fail")
     return 1 if n_fail else 0
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
