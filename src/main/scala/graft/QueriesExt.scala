@@ -18,6 +18,50 @@ object QueriesExt {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Materialized-intermediate cache — the warehouse's shared-CTE /
+    * materialized-view role for expensive DERIVED tables that several
+    * queries consume (the two graph edge sets: q85+q106 share the part
+    * co-purchase graph, q81+q86 the symmetrized trade graph). Built once
+    * per (session, dataset), lineage-truncated into the session's block
+    * store (`localCheckpoint`, MEMORY_AND_DISK), and dying with the
+    * session. At 100 TB this is exactly the "build the edge table once,
+    * run N analytics over it" pattern — re-deriving a multi-join edge
+    * list per analytic is the scale-killer, not the analytics. */
+  private val sharedTables =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), DataFrame]
+
+  private def shared(s: SparkSession, dir: String, key: String)
+      (build: => DataFrame): DataFrame =
+    sharedTables.getOrElseUpdate((s, dir, key), build.localCheckpoint())
+
+  /** Part co-purchase graph, canonical undirected form (a < b, distinct):
+    * parts sharing an order. Shared by q85 (triangles) and q106 (k-core). */
+  private def coPurchaseCanon(s: SparkSession, dir: String): DataFrame =
+    shared(s, dir, "coPurchaseCanon") {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.canonicalUndirected(
+        li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey")
+              && col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst")))
+    }
+
+  /** Symmetrized customer–supplier trade graph (distinct directed edges
+    * both ways; 'c'/'s' prefixes keep the two id spaces disjoint).
+    * Shared by q81 (PageRank) and q86 (BFS). */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    shared(s, dir, "tradeEdges") {
+      val raw = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      raw.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(raw.select(col("b").as("src"), col("a").as("dst")))
+    }
+
   /** Shared doc prep: hashed 3-gram shingle sets. Token hashing (md5 per
     * token) runs in its own projection so the shingle combine's several
     * references to the array read a materialized column instead of
@@ -1999,17 +2043,9 @@ object QueriesExt {
     * (the same recurrence unrolled as CTEs) reproduces every rank
     * bit-for-bit. Floating PageRank cannot be oracle-checked this way;
     * the micro-unit rational form can. */
-  private val q81: Q = (s, dir) => {
-    val raw = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"))
-      .distinct()
-    val edges = raw.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(raw.select(col("b").as("src"), col("a").as("dst")))
-    graft.operators.Graph.pageRank(edges, iters = 3).orderBy("node")
-  }
+  private val q81: Q = (s, dir) =>
+    graft.operators.Graph.pageRankPrepared(tradeEdges(s, dir), iters = 3)
+      .orderBy("node")
 
   private val q81Sql =
     """WITH raw AS (
@@ -2157,14 +2193,9 @@ object QueriesExt {
     * same undirected graph by id order (x<y<z three-way join), a different
     * orientation of the same triangle set, so count equality checks the
     * algorithm, not the plan. */
-  private val q85: Q = (s, dir) => {
-    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val e = li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey")
-          && col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-    graft.operators.Graph.triangleCounts(e).orderBy("node")
-  }
+  private val q85: Q = (s, dir) =>
+    graft.operators.Graph.triangleCountsCanonical(coPurchaseCanon(s, dir))
+      .orderBy("node")
 
   private val q85Sql =
     """WITH e AS (
@@ -2188,17 +2219,10 @@ object QueriesExt {
     * .Graph.bfsDistances]] — frontier-only expansion, 3 bounded rounds.
     * The oracle unrolls the same three rounds as except-chained CTEs. */
   private val q86: Q = (s, dir) => {
-    val raw = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"))
-      .distinct()
-    val edges = raw.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(raw.select(col("b").as("src"), col("a").as("dst")))
     val seeds = t(s, dir, "customer").filter(col("c_nationkey") === 0)
       .select(concat(lit("c"), col("c_custkey")).as("node"))
-    graft.operators.Graph.bfsDistances(edges, seeds, maxHops = 3)
+    graft.operators.Graph.bfsDistancesPrepared(tradeEdges(s, dir), seeds,
+      maxHops = 3)
       .orderBy("node")
   }
 
@@ -2891,17 +2915,12 @@ object QueriesExt {
     * set. The oracle unrolls 10 peel rounds as chained CTEs; rounds past
     * the fixpoint are no-ops, so a fixed unroll reproduces the converged
     * core exactly. */
-  private val q106: Q = (s, dir) => {
-    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val e = li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey")
-          && col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+  private val q106: Q = (s, dir) =>
     // 11 = the oracle's 10 unrolled peel rounds + the convergence round:
     // data needing MORE than 10 peels must fail loudly here, not silently
     // diverge from an unconverged oracle
-    graft.operators.Graph.kCore(e, k = 70, maxRounds = 11).orderBy("node")
-  }
+    graft.operators.Graph.kCoreCanonical(coPurchaseCanon(s, dir),
+      k = 70, maxRounds = 11).orderBy("node")
 
   private val q106Sql: String = {
     // MATERIALIZED is load-bearing: inlined CTEs re-expand e_{i-1} into

@@ -32,13 +32,26 @@ object Graph {
   /** @param edges two columns `src`, `dst` (any duplicate edges are
     *              collapsed — multi-edges would double-count mass)
     * @return `node`, `rank_micro` for every node incident to an edge */
-  def pageRank(edges: DataFrame, iters: Int, initMicro: Long = 1000000L): DataFrame = {
-    require(iters >= 1, s"pageRank needs >= 1 iteration, got $iters")
+  def pageRank(edges: DataFrame, iters: Int, initMicro: Long = 1000000L): DataFrame =
     // materialize the deduped edge list ONCE: deg, annotated, and nodes all
     // branch from it, and without truncation every branch re-runs the whole
     // upstream edge derivation (at sf0.1 that re-ran a lineitem-join scan
     // per iteration — 9 s instead of ~2)
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    pageRankPrepared(
+      edges.select(col("src"), col("dst")).distinct().localCheckpoint(),
+      iters, initMicro)
+
+  /** [[pageRank]] over an edge table the CALLER has already deduped and
+    * materialized — the entry point for pipelines running several graph
+    * analytics over one shared edge table (build + `localCheckpoint` once,
+    * pass everywhere; q81/q86 share the trade graph this way).
+    *
+    * Contract: `e` holds distinct `(src, dst)` rows and is already
+    * materialized (checkpointed/cached) — this method scans it many times
+    * and does NOT truncate its lineage. */
+  def pageRankPrepared(e: DataFrame, iters: Int,
+      initMicro: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"pageRank needs >= 1 iteration, got $iters")
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val annotated = e.join(deg, "src").cache()
     val nodes = e.select(col("src").as("node"))
@@ -89,16 +102,25 @@ object Graph {
     * @return (node, tri_cnt) for every node in ≥1 triangle */
   /** Canonical undirected edge set: (a, b) with a < b, self-loops
     * dropped, multi-edges collapsed — shared by every undirected
-    * algorithm here. */
-  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    * algorithm here. Public so pipelines running several undirected
+    * analytics over ONE graph (q85 triangles + q106 k-core) canonicalize
+    * once, materialize, and hand the result to the `*Canonical` entry
+    * points instead of paying the derivation per operator. */
+  def canonicalUndirected(edges: DataFrame): DataFrame =
     edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
 
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val canon = canonicalUndirected(edges)
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsCanonical(canonicalUndirected(edges))
+
+  /** [[triangleCounts]] over a pre-canonicalized edge table (contract:
+    * `canon` holds distinct `(a, b)` with a < b, no self-loops —
+    * [[canonicalUndirected]]'s output, ideally materialized by the
+    * caller when shared across operators). */
+  def triangleCountsCanonical(canon: DataFrame): DataFrame = {
     // degree over the undirected graph; rank = (deg, node) total order
     val deg = canon.select(col("a").as("node"))
       .unionByName(canon.select(col("b").as("node")))
@@ -141,9 +163,17 @@ object Graph {
     *              undirected reachability)
     * @param seeds one column `node`, distance-0 sources
     * @return (node, dist) for every node within `maxHops` of any seed */
-  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame =
+    bfsDistancesPrepared(
+      edges.select(col("src"), col("dst")).distinct().localCheckpoint(),
+      seeds, maxHops)
+
+  /** [[bfsDistances]] over a caller-deduped, caller-materialized edge
+    * table (the [[pageRankPrepared]] contract — q81/q86 share one trade
+    * graph this way). */
+  def bfsDistancesPrepared(e: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"bfsDistances needs maxHops >= 0, got $maxHops")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     var frontier = seeds.select(col("node")).distinct().localCheckpoint()
     var reached = frontier.withColumn("dist", lit(0)).localCheckpoint()
     var hop = 0
@@ -179,14 +209,20 @@ object Graph {
     *              (duplicates/self-loops collapse like [[triangleCounts]])
     * @return (node, core_deg) — every k-core member with its degree
     *         inside the core (≥ k by construction) */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame =
+    kCoreCanonical(canonicalUndirected(edges).localCheckpoint(), k, maxRounds)
+
+  /** [[kCore]] over a pre-canonicalized, pre-materialized edge table
+    * (the [[triangleCountsCanonical]] contract, plus materialization —
+    * round 1 scans it twice). */
+  def kCoreCanonical(canon: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     require(k >= 1, s"kCore needs k >= 1, got $k")
     require(maxRounds >= 1, s"kCore needs maxRounds >= 1, got $maxRounds")
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("node"))
         .unionByName(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("core_deg"))
-    var ce = canonicalUndirected(edges).localCheckpoint()
+    var ce = canon
     var round = 0
     while (round < maxRounds) {
       round += 1
