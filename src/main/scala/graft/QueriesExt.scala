@@ -3052,6 +3052,85 @@ object QueriesExt {
       |  FROM g) t
       |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
 
+  // ----------------------------------- BPE merge training (q111)
+
+  /** Distributed BPE tokenizer training brought INTO the correctness gate:
+    * 5 Sennrich merge rules learned from the documents word-frequency
+    * table through [[graft.operators.Bpe.train]]. The DuckDB oracle is an
+    * independent SET-BASED derivation of the same greedy semantics — the
+    * left-to-right fold's merge decisions equal "merge at alternate
+    * positions within each maximal run of consecutive pair matches"
+    * (runs longer than 1 only occur when left = right, and a merged token
+    * l+r can never re-trigger l within the same round since r is
+    * nonempty), so each round unrolls as pair-count → argmax →
+    * island-parity re-segmentation CTEs. Rank, pair, and weighted
+    * frequency must match bit-for-bit, tie-broken lexicographically. */
+  private val q111: Q = (s, dir) => {
+    val words = t(s, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val rules = graft.operators.Bpe.train(words, nMerges = 5)
+    import s.implicits._
+    rules.map(m => (m.rank, m.left, m.right, m.pairFreq))
+      .toDF("rank", "left", "right", "pair_freq")
+      .orderBy("rank")
+  }
+
+  private val q111Sql: String = {
+    def round(i: Int): String = {
+      val p = s"p${i - 1}"
+      s""",
+         |pr$i AS MATERIALIZED (
+         |  SELECT a.piece AS l, b.piece AS r, sum(a.freq) AS pf
+         |  FROM $p a JOIN $p b ON a.word = b.word AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2),
+         |top$i AS MATERIALIZED (SELECT l, r, pf FROM pr$i
+         |                       ORDER BY pf DESC, l, r LIMIT 1),
+         |m$i AS MATERIALIZED (
+         |  SELECT word, freq, pos, piece,
+         |         piece = (SELECT l FROM top$i)
+         |         AND lead(piece) OVER (PARTITION BY word ORDER BY pos)
+         |             = (SELECT r FROM top$i) AS m
+         |  FROM $p),
+         |isl$i AS (
+         |  SELECT word, pos,
+         |         pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+         |  FROM m$i WHERE m),
+         |dm$i AS MATERIALIZED (
+         |  SELECT m.word, m.freq, m.pos, m.piece,
+         |         coalesce((i.pos - min(i.pos)
+         |                     OVER (PARTITION BY i.word, i.grp)) % 2 = 0,
+         |                  FALSE) AS dm
+         |  FROM m$i m LEFT JOIN isl$i i ON m.word = i.word AND m.pos = i.pos),
+         |p$i AS MATERIALIZED (
+         |  SELECT word, freq,
+         |         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         |         CASE WHEN dm THEN piece || lead_piece ELSE piece END AS piece
+         |  FROM (
+         |    SELECT *,
+         |           lead(piece) OVER (PARTITION BY word ORDER BY pos) AS lead_piece,
+         |           coalesce(lag(dm) OVER (PARTITION BY word ORDER BY pos),
+         |                    FALSE) AS consumed
+         |    FROM dm$i)
+         |  WHERE NOT consumed)""".stripMargin
+    }
+    """WITH words AS MATERIALIZED (
+      |  SELECT word, count(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t(word)
+      |  WHERE word <> '' GROUP BY word),
+      |p0 AS MATERIALIZED (
+      |  SELECT word, freq, pos, substring(word, CAST(pos AS INT), 1) AS piece
+      |  FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS pos
+      |        FROM words))""".stripMargin +
+      (1 to 5).map(round).mkString +
+      "\nSELECT * FROM (\n" +
+      (1 to 5).map(i =>
+        s"SELECT $i AS rank, l AS left, r AS right, " +
+          s"CAST(pf AS BIGINT) AS pair_freq FROM top$i").mkString("\nUNION ALL\n") +
+      ") ORDER BY rank"
+  }
+
   // ----------------------------- per-group distinct sketch (q109)
 
   /** Distinct users per event type, estimated at ≤64 rows of state per
@@ -3176,6 +3255,7 @@ object QueriesExt {
     Entry("q107_streaming_hopping", q107, Some(q107Sql)),
     Entry("q108_grouping_sets", q108, Some(q108Sql)),
     Entry("q109_distinct_per_key", q109, Some(q109Sql)),
-    Entry("q110_rrf_fusion", q110, Some(q110Sql))
+    Entry("q110_rrf_fusion", q110, Some(q110Sql)),
+    Entry("q111_bpe_merges", q111, Some(q111Sql))
   )
 }

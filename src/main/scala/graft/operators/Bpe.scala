@@ -21,10 +21,16 @@ import org.apache.spark.sql.functions._
   * Determinism: ties on pair frequency break lexicographically, so the
   * learned merge table is a pure function of the word-frequency table.
   *
-  * This is the one operator family with no DuckDB oracle mirror: the
-  * greedy re-segmentation fold needs an array-typed accumulator, which
-  * `list_reduce` (element-typed accumulator) cannot express — BpeSpec pins
-  * the training loop against an independent in-memory reference instead.
+  * Oracle-checked since round 4 (q111): the greedy fold itself needs an
+  * array-typed accumulator `list_reduce` cannot express, but its merge
+  * DECISIONS have a set-based equivalent — within each maximal run of
+  * consecutive pair matches, merge at alternate positions from the run
+  * start (runs longer than 1 require left = right; a merged token l+r can
+  * never re-trigger l in the same round since r is nonempty) — so the
+  * DuckDB mirror unrolls pair-count → argmax → island-parity
+  * re-segmentation CTEs per round. BpeSpec additionally pins the loop
+  * against an independent in-memory reference (tie-breaks, "aaa" greed,
+  * early stop, partition invariance).
   */
 object Bpe {
 

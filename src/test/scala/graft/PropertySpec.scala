@@ -247,6 +247,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("backfill: any op sequence with overlapping date sets folds to the model") {
+    // Each op = (requested dates, emitted (date, value) rows — possibly
+    // including STRAY dates outside the request). The contract under any
+    // sequence, overlaps included: after every op, each requested date
+    // holds exactly that op's rows for it (empty recompute = retraction),
+    // strays never land, untouched dates survive verbatim.
+    val pool = (1 to 5).map(i => java.sql.Date.valueOf(f"2024-02-0$i%d"))
+    val opGen = for {
+      req <- Gen.someOf(pool.indices).suchThat(_.nonEmpty)
+      nRows <- Gen.choose(0, 8)
+      rows <- Gen.listOfN(nRows,
+        Gen.zip(Gen.oneOf(pool.indices), Gen.choose(0, 999)))
+    } yield (req.toList.sorted, rows)
+    val seqGen = Gen.choose(2, 4).flatMap(n => Gen.listOfN(n, opGen))
+    forAll(seqGen, n = 5) { ops =>
+      val dir = java.nio.file.Files.createTempDirectory("backfill_prop").toString
+      val out = s"$dir/out"
+      // model: date -> multiset of values
+      var model = Map.empty[Int, List[Int]].withDefaultValue(Nil)
+      ops.foreach { case (req, rows) =>
+        graft.pipelines.Runner.backfill(req.map(pool), "day", out) { _ =>
+          rows.map { case (di, v) => (pool(di), v) }.toDF("day", "v")
+        }
+        req.foreach { di =>
+          model += di -> rows.filter(_._1 == di).map(_._2)
+        }
+      }
+      val got = spark.read.parquet(out)
+        .select(col("day").cast("string"), col("v"))
+        .collect().map(r => (r.getString(0), r.getInt(1))).toList
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val want = model.filter(_._2.nonEmpty)
+        .map { case (di, vs) => pool(di).toString -> vs.sorted }
+      assert(got == want, s"ops=$ops")
+    }
+  }
+
   test("percentage: in [0, ∞) with 0 exactly when guard trips") {
     forAll(Gen.listOfN(30,
       Gen.zip(Gen.choose(0.0, 100.0), Gen.option(Gen.choose(-10.0, 100.0))))) { rows =>
