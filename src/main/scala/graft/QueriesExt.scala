@@ -3065,19 +3065,34 @@ object QueriesExt {
     * nonempty), so each round unrolls as pair-count → argmax →
     * island-parity re-segmentation CTEs. Rank, pair, and weighted
     * frequency must match bit-for-bit, tie-broken lexicographically. */
-  private val q111: Q = (s, dir) => {
-    val words = t(s, dir, "documents")
+  /** Corpus word-frequency table — the input of BPE train/apply. */
+  private def wordFreq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(explode(Text.tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    val rules = graft.operators.Bpe.train(words, nMerges = 5)
+
+  /** Learned merge tables are a driver-side model — memoized per
+    * (session, dataset) like [[sharedTables]], so q111 (the merges) and
+    * q112 (their application) train once. */
+  private val bpeRules = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[graft.operators.Bpe.Merge]]
+
+  private def trainedRules(s: SparkSession, dir: String) =
+    bpeRules.getOrElseUpdate((s, dir),
+      graft.operators.Bpe.train(wordFreq(s, dir), nMerges = 5))
+
+  private val q111: Q = (s, dir) => {
+    val rules = trainedRules(s, dir)
     import s.implicits._
     rules.map(m => (m.rank, m.left, m.right, m.pairFreq))
       .toDF("rank", "left", "right", "pair_freq")
       .orderBy("rank")
   }
 
-  private val q111Sql: String = {
+  /** The q111/q112 shared oracle prefix: words → char segmentation → 5
+    * unrolled rounds of pair-count → argmax → island-parity re-segment. */
+  private val bpeCtes: String = {
     def round(i: Int): String = {
       val p = s"p${i - 1}"
       s""",
@@ -3123,13 +3138,147 @@ object QueriesExt {
       |  SELECT word, freq, pos, substring(word, CAST(pos AS INT), 1) AS piece
       |  FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS pos
       |        FROM words))""".stripMargin +
-      (1 to 5).map(round).mkString +
+      (1 to 5).map(round).mkString
+  }
+
+  private val q111Sql: String =
+    bpeCtes +
       "\nSELECT * FROM (\n" +
       (1 to 5).map(i =>
         s"SELECT $i AS rank, l AS left, r AS right, " +
           s"CAST(pf AS BIGINT) AS pair_freq FROM top$i").mkString("\nUNION ALL\n") +
       ") ORDER BY rank"
+
+  // ----------------------------------- BPE segmentation (q112)
+
+  /** The tokenizer APPLY step in the gate: every vocabulary word
+    * re-segmented under q111's learned merge table through
+    * [[graft.operators.Bpe.segment]] — `|rules|` chained pure-map
+    * projections, rules baked in as literals (train once, segment
+    * everywhere: the step that touches the real corpus in production).
+    * The oracle reads the FINAL segmentation state (p5) of the same
+    * unrolled island-parity derivation q111 checks the merges from, so
+    * the two queries pin train and apply independently. */
+  private val q112: Q = (s, dir) =>
+    graft.operators.Bpe.segment(wordFreq(s, dir), trainedRules(s, dir))
+      .select(col("word"), concat_ws(" ", col("pieces")).as("pieces"),
+        col("freq"))
+      .orderBy("word")
+
+  private val q112Sql: String =
+    bpeCtes +
+      """
+        |SELECT word, string_agg(piece, ' ' ORDER BY pos) AS pieces,
+        |       CAST(freq AS BIGINT) AS freq
+        |FROM p5 GROUP BY word, freq ORDER BY word""".stripMargin
+
+  // ------------------------------ sliding-window chunking (q113)
+
+  /** RAG/pretraining text chunking: 32-token windows every 24 tokens
+    * (8-token overlap) through [[Text.chunks]] — a bounded pure-map
+    * generator (expansion ~n/stride per document, no shuffle, no spine),
+    * chunk text fingerprinted with md5 so the output stays scalar (SURVEY
+    * §2.13). The oracle re-derives every window with DuckDB list slices. */
+  private val q113: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(Text.tokens(col("text")), x => x =!= lit("")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), explode(Text.chunks(col("w"), 32, 24)).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        size(col("c.toks")).as("n_tokens"),
+        md5(concat_ws(" ", col("c.toks"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  private val q113Sql =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |n AS (SELECT doc_id, w, len(w) AS n FROM d WHERE len(w) > 0),
+      |k AS (SELECT doc_id, w,
+      |             unnest(range(0, 1 + CASE WHEN n > 32
+      |                                      THEN (n - 32 + 23) // 24
+      |                                      ELSE 0 END)) AS k
+      |      FROM n)
+      |SELECT doc_id, CAST(k AS INT) AS chunk_id,
+      |       CAST(len(w[k*24+1 : k*24+32]) AS INT) AS n_tokens,
+      |       md5(array_to_string(w[k*24+1 : k*24+32], ' ')) AS chunk_md5
+      |FROM k ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ------------------------------- inter-rater agreement (q114)
+
+  /** Cohen's κ between two heuristic document-quality raters (char-length
+    * buckets vs token-count buckets) per source, through
+    * [[graft.operators.Stats.cohenKappa]] — the labeling-function
+    * diagnostic of weak supervision, exact integer rationals rendered as
+    * strings (SURVEY §2.13; n² overflows int64 at corpus scale). */
+  private val q114: Q = (s, dir) => {
+    val lab = t(s, dir, "documents").select(col("source"),
+      when(length(col("text")) < 250, "short")
+        .when(length(col("text")) < 400, "mid").otherwise("long").as("ra"),
+      when(size(filter(Text.tokens(col("text")), x => x =!= lit(""))) < 45,
+        "short")
+        .when(size(filter(Text.tokens(col("text")), x => x =!= lit(""))) < 72,
+          "mid").otherwise("long").as("rb"))
+    graft.operators.Stats.cohenKappa(lab, Seq("source"), "ra", "rb")
+      .select(col("source"), col("n"), col("agree"),
+        col("kappa_num").cast("string").as("kappa_num"),
+        col("kappa_den").cast("string").as("kappa_den"))
+      .orderBy("source")
   }
+
+  private val q114Sql =
+    """WITH lab AS (
+      |  SELECT source,
+      |         CASE WHEN length(text) < 250 THEN 'short'
+      |              WHEN length(text) < 400 THEN 'mid' ELSE 'long' END AS ra,
+      |         CASE WHEN len(list_filter(string_split(text,' '), x -> x <> '')) < 45
+      |                THEN 'short'
+      |              WHEN len(list_filter(string_split(text,' '), x -> x <> '')) < 72
+      |                THEN 'mid'
+      |              ELSE 'long' END AS rb
+      |  FROM documents),
+      |cells AS (SELECT source, ra, rb, count(*) AS o FROM lab GROUP BY 1, 2, 3),
+      |nn AS (SELECT source, CAST(sum(o) AS HUGEINT) AS n,
+      |              CAST(sum(CASE WHEN ra = rb THEN o ELSE 0 END) AS HUGEINT) AS agree
+      |       FROM cells GROUP BY source),
+      |rm AS (SELECT source, ra AS lab, CAST(sum(o) AS HUGEINT) AS r
+      |       FROM cells GROUP BY 1, 2),
+      |cm AS (SELECT source, rb AS lab, CAST(sum(o) AS HUGEINT) AS c
+      |       FROM cells GROUP BY 1, 2),
+      |pe AS (SELECT rm.source, sum(rm.r * cm.c) AS rc
+      |       FROM rm JOIN cm ON rm.source = cm.source AND rm.lab = cm.lab
+      |       GROUP BY rm.source)
+      |SELECT nn.source, CAST(nn.n AS BIGINT) AS n,
+      |       CAST(nn.agree AS BIGINT) AS agree,
+      |       CAST(nn.n * nn.agree - coalesce(pe.rc, 0) AS VARCHAR) AS kappa_num,
+      |       CAST(nn.n * nn.n - coalesce(pe.rc, 0) AS VARCHAR) AS kappa_den
+      |FROM nn LEFT JOIN pe ON nn.source = pe.source
+      |ORDER BY nn.source""".stripMargin
+
+  // ------------------------------ majority-vote labels (q115)
+
+  /** Weak-supervision consolidation: each user's majority event type with
+    * a deterministic lexicographic tie-break through [[graft.operators
+    * .Relational.majorityLabel]] — one hash aggregate to the (key, label)
+    * vote table, winner + total votes in one window exchange. */
+  private val q115: Q = (s, dir) =>
+    graft.operators.Relational.majorityLabel(
+      t(s, dir, "events"), Seq("user_id"), "event_type")
+      .orderBy("user_id")
+
+  private val q115Sql =
+    """WITH c AS (SELECT user_id, event_type, count(*) AS votes
+      |           FROM events GROUP BY 1, 2),
+      |t AS (SELECT user_id, CAST(sum(votes) AS BIGINT) AS n_total
+      |      FROM c GROUP BY 1),
+      |r AS (SELECT user_id, event_type, votes,
+      |             row_number() OVER (PARTITION BY user_id
+      |               ORDER BY votes DESC, event_type) AS rk
+      |      FROM c)
+      |SELECT r.user_id, r.event_type, r.votes, t.n_total
+      |FROM r JOIN t USING (user_id) WHERE rk = 1
+      |ORDER BY user_id""".stripMargin
 
   // ----------------------------- per-group distinct sketch (q109)
 
@@ -3256,6 +3405,10 @@ object QueriesExt {
     Entry("q108_grouping_sets", q108, Some(q108Sql)),
     Entry("q109_distinct_per_key", q109, Some(q109Sql)),
     Entry("q110_rrf_fusion", q110, Some(q110Sql)),
-    Entry("q111_bpe_merges", q111, Some(q111Sql))
+    Entry("q111_bpe_merges", q111, Some(q111Sql)),
+    Entry("q112_bpe_segment", q112, Some(q112Sql)),
+    Entry("q113_token_chunks", q113, Some(q113Sql)),
+    Entry("q114_rater_kappa", q114, Some(q114Sql)),
+    Entry("q115_majority_label", q115, Some(q115Sql))
   )
 }

@@ -42,6 +42,30 @@ object Text {
   /** Whitespace tokenization (the corpus is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Sliding-window token chunking — the RAG/pretraining chunker: windows
+    * of `size` tokens every `stride` tokens (overlap = size − stride), the
+    * last window covering the tail. Chunk count for n tokens is
+    * `1 + ceil(max(n − size, 0) / stride)`, so every token lands in ≥ 1
+    * chunk and chunk k starts at token k·stride. A bounded generator — the
+    * per-row expansion factor is ~n/stride, never quadratic — and a pure
+    * map: no shuffle, no join, no spine table.
+    *
+    * @param toks non-empty array<string> column
+    * @return array<struct<chunk_id: int, toks: array<string>>> */
+  def chunks(toks: Column, size: Int, stride: Int): Column = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"chunks needs 1 <= stride <= size, got size=$size stride=$stride")
+    val n = org.apache.spark.sql.functions.size(toks)
+    // ceil over positive ints via double floor: token counts sit far
+    // inside double's exact-integer range
+    val lastK = when(n > size,
+      floor((n - lit(size) + lit(stride - 1)).cast("double") / stride)
+        .cast("int")).otherwise(0)
+    transform(sequence(lit(0), lastK),
+      k => struct(k.cast("int").as("chunk_id"),
+        slice(toks, k * stride + 1, lit(size)).as("toks")))
+  }
+
   /** Distinct word n-gram shingles, e.g. n=3 → "w1 w2 w3" strings. (The
     * string form — useful for debugging; the hot path is [[shingleHashes]],
     * which never materializes shingle strings.) */

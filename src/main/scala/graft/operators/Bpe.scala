@@ -37,6 +37,36 @@ object Bpe {
   /** One learned rule: merge adjacent (left, right) into left+right. */
   final case class Merge(rank: Int, left: String, right: String, pairFreq: Long)
 
+  /** One greedy left-to-right merge application ("aaa" under (a,a) becomes
+    * ["aa","a"], never ["a","aa"]) — the standard BPE apply, shared by
+    * [[train]]'s per-round re-segmentation and [[segment]]. */
+  private def applyMerge(pieces: org.apache.spark.sql.Column, l: String,
+      r: String): org.apache.spark.sql.Column =
+    aggregate(pieces, array().cast("array<string>"),
+      (out, x) => when(size(out) > 0
+          && element_at(out, -1) === lit(l) && x === lit(r),
+        concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
+        .otherwise(concat(out, array(x))))
+
+  /** Tokenizer APPLY: segment each word under an already-learned merge
+    * table — the step that actually touches the corpus vocabulary in
+    * production (train once, segment everywhere). Pure map per rule, in
+    * learning order, no shuffle at all: the plan is `|rules|` chained
+    * projections over the vocabulary table, broadcast-free because the
+    * rules are literals baked into the expressions.
+    *
+    * @param words any table with a `word` string column (other columns
+    *              pass through)
+    * @return input columns + `pieces: array<string>` */
+  def segment(words: DataFrame, rules: Seq[Merge]): DataFrame = {
+    var df = words.withColumn("pieces",
+      filter(split(col("word"), ""), x => x =!= lit("")))
+    rules.sortBy(_.rank).foreach { m =>
+      df = df.withColumn("pieces", applyMerge(col("pieces"), m.left, m.right))
+    }
+    df
+  }
+
   /** Learn `nMerges` merge rules from a word-frequency table.
     *
     * @param words (word: string, freq: long) — aggregate the corpus to
@@ -68,14 +98,8 @@ object Bpe {
       if (top.isEmpty) return rules.toSeq // nothing left to merge
       val (l, r, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       rules += Merge(rank, l, r, pf)
-      // left-to-right greedy re-segmentation: standard BPE apply ("aaa"
-      // under (a,a) becomes ["aa","a"], never ["a","aa"])
-      pieces = pieces.select(col("freq"),
-        aggregate(col("pieces"), array().cast("array<string>"),
-          (out, x) => when(size(out) > 0
-              && element_at(out, -1) === lit(l) && x === lit(r),
-            concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
-            .otherwise(concat(out, array(x)))).as("pieces"))
+      pieces = pieces
+        .select(col("freq"), applyMerge(col("pieces"), l, r).as("pieces"))
         .localCheckpoint()
       rank += 1
     }

@@ -80,6 +80,28 @@ object Relational {
     */
   def latestBy(valueCol: Column, orderCol: Column): Column = max_by(valueCol, orderCol)
 
+  /** Majority vote (mode) per key with a DETERMINISTIC lexicographic
+    * tie-break — the weak-supervision consolidation step: many noisy votes
+    * per item collapse to one label. One hash aggregate to the
+    * (key, label) vote table — bounded by key × labels, never rows — then
+    * one key-partitioned window carrying both the winner rank and the
+    * total vote count in a single exchange.
+    *
+    * @return keyCols + (labelCol, votes, n_total), one row per key */
+  def majorityLabel(df: DataFrame, keyCols: Seq[String],
+      labelCol: String): DataFrame = {
+    val k = keyCols.map(col)
+    val counts = df.groupBy(k :+ col(labelCol): _*)
+      .agg(count(lit(1)).as("votes"))
+    val part = Window.partitionBy(k: _*)
+    counts
+      .withColumn("__rk", row_number().over(
+        part.orderBy(col("votes").desc, col(labelCol).asc)))
+      .withColumn("n_total", sum(col("votes")).over(part))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
   /** As-of join — for each left row, the single right row with the
     * greatest `rightTs` ≤/< the left row's `leftTs` within the same keys
     * (the time-series/attribution join Spark has no native operator for;

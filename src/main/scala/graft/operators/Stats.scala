@@ -155,6 +155,54 @@ object Stats {
         (col("nn") * col("syy") - col("sy") * col("sy")).cast(d38).as("corr_den_y")): _*)
   }
 
+  /** Cohen's κ inter-rater agreement as EXACT integer rationals — the
+    * labeling-function diagnostics step of weak supervision: how much do
+    * two annotators (or two heuristic raters) agree beyond chance?
+    *
+    *   κ = (p_o − p_e) / (1 − p_e)
+    *     = (n·agree − Σ_ℓ r_ℓ·c_ℓ) / (n² − Σ_ℓ r_ℓ·c_ℓ)
+    *
+    * with agree = matching pairs, r_ℓ/c_ℓ the per-label margins of each
+    * rater. Numerator and denominator ship as DECIMAL(38,0) integers (n²
+    * overflows int64 past ~3·10⁹ rows per group — real at corpus scale);
+    * the caller compares κ values by cross-multiplying or renders as
+    * strings per the SURVEY §2.13 contract.
+    *
+    * Scale shape ([[chiSquareCells]]'s): ONE hash aggregate to the
+    * (key, a, b) cell table — bounded by key × label², never rows — then
+    * margins, agreement, and the chance term are |cells|-sized
+    * re-aggregations of it.
+    *
+    * @return keyCols + (n, agree, kappa_num, kappa_den) */
+  def cohenKappa(df: DataFrame, keyCols: Seq[String], aCol: String,
+      bCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val k = keyCols.map(col)
+    val cells = df.groupBy(k :+ col(aCol).as("__a") :+ col(bCol).as("__b"): _*)
+      .agg(count(lit(1)).as("o")).localCheckpoint()
+    val nn = cells.groupBy(k: _*)
+      .agg(sum(col("o")).cast(d38).as("n"),
+        sum(when(col("__a") === col("__b"), col("o")).otherwise(0L))
+          .cast(d38).as("agree"))
+    val rm = cells.groupBy(k :+ col("__a").as("__lab"): _*)
+      .agg(sum(col("o")).cast(d38).as("r"))
+    val cm = cells.groupBy(k :+ col("__b").as("__lab"): _*)
+      .agg(sum(col("o")).cast(d38).as("c"))
+    // chance agreement: labels present for only one rater contribute 0,
+    // which the inner join encodes
+    val pe = rm.join(cm, keyCols :+ "__lab")
+      .groupBy(k: _*)
+      .agg(sum((col("r") * col("c")).cast(d38)).cast(d38).as("rc"))
+    nn.join(pe, keyCols, "left")
+      .select(k ++ Seq(
+        col("n").cast("long").as("n"),
+        col("agree").cast("long").as("agree"),
+        (col("n") * col("agree") - coalesce(col("rc"), lit(0).cast(d38)))
+          .cast(d38).as("kappa_num"),
+        (col("n") * col("n") - coalesce(col("rc"), lit(0).cast(d38)))
+          .cast(d38).as("kappa_den")): _*)
+  }
+
   /** One-pass binned quantile estimation — the 100 TB scale path next to
     * exact percentiles: an exact quantile needs a global sort (or a full
     * `percentile` state), while a fixed histogram is ONE map-side-combined

@@ -358,6 +358,30 @@ class TextSpec extends SparkSpec {
     assert(col0(df.select(Text.bpeTokenCount($"text"))) == List(5, 4, 0))
   }
 
+  test("chunks: windows of `size` every `stride`, tail covered, every token in ≥1 chunk") {
+    def run(n: Int, size: Int, stride: Int): Seq[(Int, Seq[String])] = {
+      val toks = (1 to n).map(i => s"t$i")
+      Seq(Tuple1(toks)).toDF("w")
+        .select(explode(Text.chunks($"w", size, stride)).as("c"))
+        .select($"c.chunk_id", $"c.toks")
+        .collect().map(r => (r.getInt(0), r.getSeq[String](1).toSeq)).toSeq
+    }
+    // n <= size: exactly one chunk, the whole array
+    assert(run(3, 5, 4) == Seq((0, Seq("t1", "t2", "t3"))))
+    assert(run(5, 5, 4) == Seq((0, (1 to 5).map(i => s"t$i"))))
+    // n = 6, size 5, stride 4: chunks at 0 (t1..t5) and 4 (t5, t6)
+    assert(run(6, 5, 4) == Seq((0, (1 to 5).map(i => s"t$i")),
+      (1, Seq("t5", "t6"))))
+    // general: k-th chunk starts at k·stride, all tokens covered, overlap
+    // = size − stride everywhere except possibly the tail
+    val got = run(23, 7, 5)
+    assert(got.map(_._1) == got.indices.toSeq)
+    got.foreach { case (k, c) =>
+      assert(c.head == s"t${k * 5 + 1}" && c.size <= 7)
+    }
+    assert(got.flatMap(_._2).distinct.size == 23)
+  }
+
   test("normalize strips controls, collapses space runs, trims, keeps case") {
     val df = Seq(
       "  Hello\t\tWorld \r\n",

@@ -55,6 +55,30 @@ class BpeSpec extends SparkSpec {
     assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b")))
   }
 
+  test("segment applies the learned table like the reference fold") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L,
+      "aaa" -> 4L)
+    val df = words.toSeq.toDF("word", "freq")
+    val rules = Bpe.train(df, 6)
+    val got = Bpe.segment(df, rules)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2).toVector).toMap
+    // reference: fold every rule in learning order over each word's chars
+    def applyMerge(v: Vector[String], l: String, r: String): Vector[String] =
+      v.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    val want = words.keys.map { w =>
+      w -> rules.foldLeft(w.map(_.toString).toVector) { (v, m) =>
+        applyMerge(v, m.left, m.right)
+      }
+    }.toMap
+    assert(got == want)
+    // every piece is either a learned merge product or a single char, and
+    // pieces reassemble the word exactly
+    got.foreach { case (w, ps) => assert(ps.mkString == w) }
+  }
+
   test("merge table is partition-invariant") {
     val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L,
       "lowest" -> 4L, "newer" -> 1L)

@@ -255,4 +255,22 @@ class RelationalSpec extends SparkSpec {
       Sampling.toMixture(skewed, "id", "domain", Map("big" -> 5000, "tiny" -> 5000)))
     assert(e.getMessage.contains("resolution") || e.getMessage.contains("imbalanced"))
   }
+
+  test("majorityLabel: one winner per key, lexicographic tie-break, exact totals") {
+    val votes = Seq(
+      ("u1", "a"), ("u1", "a"), ("u1", "b"),          // clear majority a
+      ("u2", "b"), ("u2", "c"),                       // tie → b (lexicographic)
+      ("u3", "z")                                     // single vote
+    ).toDF("user", "lab")
+    val got = Relational.majorityLabel(votes, Seq("user"), "lab")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(("u1", "a", 2L, 3L), ("u2", "b", 1L, 2L),
+      ("u3", "z", 1L, 1L)))
+    // partition-invariant (deterministic under any physical layout)
+    val again = Relational.majorityLabel(votes.repartition(7), Seq("user"), "lab")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(again == got)
+  }
 }

@@ -185,4 +185,26 @@ class StatsSpec extends SparkSpec {
       Seq(500)).collect().toSeq
     assert(a == b)
   }
+
+  test("cohenKappa: perfect agreement gives kappa_num = kappa_den > 0") {
+    val df = Seq(("g", "x", "x"), ("g", "y", "y"), ("g", "x", "x"))
+      .toDF("k", "a", "b")
+    val r = Stats.cohenKappa(df, Seq("k"), "a", "b").collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 3 && r(0).getLong(2) == 3) // n, agree
+    val (num, den) = (r(0).getDecimal(3), r(0).getDecimal(4))
+    assert(num == den && num.longValue > 0) // kappa = 1 exactly
+  }
+
+  test("cohenKappa matches the hand formula, incl. one-sided labels") {
+    // rater A uses {x, y}, rater B additionally uses z (one-sided label):
+    // pairs (x,x) (x,x) (x,y) (y,z) (y,y)
+    val df = Seq(("x", "x"), ("x", "x"), ("x", "y"), ("y", "z"), ("y", "y"))
+      .map { case (a, b) => ("g", a, b) }.toDF("k", "a", "b")
+    val r = Stats.cohenKappa(df, Seq("k"), "a", "b").collect()(0)
+    // n=5 agree=3; rA: x=3 y=2, rB: x=2 y=2 z=1; rc = 3·2 + 2·2 = 10
+    assert(r.getLong(1) == 5 && r.getLong(2) == 3)
+    assert(r.getDecimal(3).longValue == 5 * 3 - 10) // 5
+    assert(r.getDecimal(4).longValue == 5 * 5 - 10) // 15 → kappa = 1/3
+  }
 }
