@@ -3256,6 +3256,81 @@ object QueriesExt {
       |FROM nn LEFT JOIN pe ON nn.source = pe.source
       |ORDER BY nn.source""".stripMargin
 
+  // --------------------------- per-key binned quantiles (q116)
+
+  /** Per-event-type p50/p99 value brackets through [[graft.operators
+    * .Stats.binnedQuantilesPerKey]] — q97's fixed-memory histogram held
+    * PER GROUP (≤ nBins+1 rows of state per key, the q96→q109 move
+    * applied to quantiles), where an exact per-group percentile sorts
+    * every group. All integer arithmetic; the oracle rebuilds the same
+    * histograms with PARTITION BY windows. */
+  private val q116: Q = (s, dir) => {
+    val ev = t(s, dir, "events").select(col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    graft.operators.Stats.binnedQuantilesPerKey(ev, "event_type", "cents",
+      nBins = 100, qsPermille = Seq(500, 990))
+      .orderBy("event_type", "q_permille")
+  }
+
+  private val q116Sql =
+    """WITH cents AS (
+      |  SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT event_type, min(cents) AS lo, max(cents) AS hi
+      |      FROM cents GROUP BY 1),
+      |counts AS (
+      |  SELECT cents.event_type,
+      |         CAST(((cents - lo) * 100) // (hi - lo + 1) AS INT) AS bin,
+      |         count(*) AS n
+      |  FROM cents JOIN b USING (event_type) GROUP BY 1, 2),
+      |cum AS (SELECT event_type, bin, n,
+      |               sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+      |               sum(n) OVER (PARTITION BY event_type) AS ntot
+      |        FROM counts),
+      |qs AS (SELECT q FROM (VALUES (500), (990)) t(q)),
+      |sel AS (SELECT event_type, q, min(bin) AS bin, min_by(cum, bin) AS cum,
+      |               min(ntot) AS ntot
+      |        FROM qs JOIN cum ON cum * 1000 >= q * ntot
+      |        GROUP BY event_type, q)
+      |SELECT sel.event_type, q AS q_permille, bin,
+      |       lo + (bin * (hi - lo + 1) + 99) // 100 AS bin_lo,
+      |       lo + ((bin + 1) * (hi - lo + 1) + 99) // 100 - 1 AS bin_hi,
+      |       CAST(cum AS BIGINT) AS cum_rows, CAST(ntot AS BIGINT) AS n_total
+      |FROM sel JOIN b USING (event_type)
+      |ORDER BY sel.event_type, q_permille""".stripMargin
+
+  // ------------------------------------- key-skew profile (q117)
+
+  /** Shuffle-planning skew diagnostic of the orders-per-customer key
+    * through [[graft.operators.Profile.skewProfile]]: hottest-key share
+    * and Herfindahl–Hirschman concentration as exact integer rationals
+    * (rendered as strings per SURVEY §2.13 — Σc² and n² overflow int64 at
+    * corpus scale), plus the hottest key itself with a deterministic
+    * tie-break. One O(keys) aggregate + a TakeOrdered top-1. */
+  private val q117: Q = (s, dir) =>
+    graft.operators.Profile.skewProfile(t(s, dir, "orders"), "o_custkey")
+      .select(col("n_total"), col("n_keys"), col("max_count"), col("top_key"),
+        col("top1_num").cast("string").as("top1_num"),
+        col("top1_den").cast("string").as("top1_den"),
+        col("hhi_num").cast("string").as("hhi_num"),
+        col("hhi_den").cast("string").as("hhi_den"))
+
+  private val q117Sql =
+    """WITH c AS (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1),
+      |m AS (SELECT CAST(sum(c) AS HUGEINT) AS n_total,
+      |             CAST(count(*) AS BIGINT) AS n_keys,
+      |             CAST(max(c) AS BIGINT) AS max_count,
+      |             sum(CAST(c AS HUGEINT) * c) AS sc2
+      |      FROM c),
+      |t AS (SELECT CAST(o_custkey AS VARCHAR) AS top_key
+      |      FROM c ORDER BY c DESC, o_custkey LIMIT 1)
+      |SELECT CAST(n_total AS BIGINT) AS n_total, n_keys, max_count, top_key,
+      |       CAST(max_count AS VARCHAR) AS top1_num,
+      |       CAST(n_total AS VARCHAR) AS top1_den,
+      |       CAST(sc2 AS VARCHAR) AS hhi_num,
+      |       CAST(n_total * n_total AS VARCHAR) AS hhi_den
+      |FROM m, t""".stripMargin
+
   // ------------------------------ majority-vote labels (q115)
 
   /** Weak-supervision consolidation: each user's majority event type with
@@ -3409,6 +3484,8 @@ object QueriesExt {
     Entry("q112_bpe_segment", q112, Some(q112Sql)),
     Entry("q113_token_chunks", q113, Some(q113Sql)),
     Entry("q114_rater_kappa", q114, Some(q114Sql)),
-    Entry("q115_majority_label", q115, Some(q115Sql))
+    Entry("q115_majority_label", q115, Some(q115Sql)),
+    Entry("q116_quantiles_per_key", q116, Some(q116Sql)),
+    Entry("q117_skew_profile", q117, Some(q117Sql))
   )
 }

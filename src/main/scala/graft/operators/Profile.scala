@@ -55,6 +55,47 @@ object Profile {
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
 
+  /** Key-skew profile — the shuffle-planning diagnostic: how concentrated
+    * is a prospective join/groupBy key? Emits the exact ingredients a
+    * planner (or a human choosing between broadcast / salting / AQE skew
+    * handling) needs, all integer-exact:
+    *
+    *   - n_total rows, n_keys distinct keys, max_count of the hottest key,
+    *     and that key (ties break to the smallest key value, rendered as
+    *     a string so any key type profiles identically)
+    *   - top1_num / top1_den   = max_count / n_total (hottest-key share)
+    *   - hhi_num / hhi_den     = Σ c_i² / n_total²  (Herfindahl–Hirschman
+    *     concentration: 1/n_keys for uniform keys → 1 for one key)
+    *
+    * Both rationals are DECIMAL(38,0) pairs (Σc² overflows int64 past
+    * ~3·10⁹ rows on one key — real at corpus scale); render as strings per
+    * SURVEY §2.13 before shipping to a gate. Scale shape: one hash
+    * aggregate to the per-key count table, one map-side-combined aggregate
+    * over it, and a TakeOrdered top-1 — shuffle is O(keys), never O(rows).
+    *
+    * @return one row: (n_total, n_keys, max_count, top_key,
+    *         top1_num, top1_den, hhi_num, hhi_den) */
+  def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // read 2×: the moment aggregate and the top-1
+    val moments = counts.agg(
+      sum(col("c")).cast(d38).as("n_total"),
+      count(lit(1)).as("n_keys"),
+      max(col("c")).as("max_count"),
+      sum((col("c").cast(d38) * col("c")).cast(d38)).cast(d38).as("sc2"))
+    val top = counts.orderBy(col("c").desc, col(keyCol).asc).limit(1)
+      .select(col(keyCol).cast("string").as("top_key"))
+    moments.crossJoin(top)
+      .select(
+        col("n_total").cast("long").as("n_total"),
+        col("n_keys"), col("max_count"), col("top_key"),
+        col("max_count").cast(d38).as("top1_num"),
+        col("n_total").as("top1_den"),
+        col("sc2").as("hhi_num"),
+        (col("n_total") * col("n_total")).cast(d38).as("hhi_den"))
+  }
+
   /** (col_name, value-as-string) stream: every profiled column emitted by
     * one generator per row — one table scan for any number of columns. */
   private def stack(df: DataFrame, cols: Seq[String]): DataFrame = {

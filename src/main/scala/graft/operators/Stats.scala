@@ -266,4 +266,52 @@ object Stats {
           s" + $nBins - 1) DIV $nBins - 1 AS BIGINT)").as("bin_hi"),
         col("cum_rows"), col("n_total"))
   }
+
+  /** Per-key [[binnedQuantiles]] — the q96→q109 move applied to
+    * quantiles: one fixed histogram PER GROUP, ≤ nBins+1 rows of state
+    * per key, where an exact per-group percentile would sort (or hold the
+    * full value multiset of) every group. Per-key bounds come from one
+    * |keys|-sized aggregate joined back (broadcast-eligible); the binning
+    * product and edge math run in DECIMAL(38,0) for the same int64-wrap
+    * reasons as the global form; the cumulative window partitions by key,
+    * so no single-partition stage exists at any key count.
+    *
+    * @return (keyCol, q_permille, bin, bin_lo, bin_hi, cum_rows, n_total),
+    *         one row per key × requested quantile */
+  def binnedQuantilesPerKey(df: DataFrame, keyCol: String, valCol: String,
+      nBins: Int, qsPermille: Seq[Int]): DataFrame = {
+    require(nBins >= 2, s"binnedQuantilesPerKey needs nBins >= 2, got $nBins")
+    require(qsPermille.nonEmpty && qsPermille.forall(q => q >= 1 && q <= 1000),
+      s"quantiles must be in 1..1000 permille, got $qsPermille")
+    val vals = df.filter(col(valCol).isNotNull)
+    val bounds = vals.groupBy(col(keyCol))
+      .agg(min(col(valCol)).cast("long").as("lo"),
+        max(col(valCol)).cast("long").as("hi"))
+    val counts = vals.join(bounds, keyCol)
+      .select(col(keyCol), expr(
+        s"CAST((CAST($valCol - lo AS DECIMAL(38,0)) * $nBins)" +
+          " DIV (hi - lo + 1) AS INT)").as("bin"))
+      .groupBy(col(keyCol), col("bin")).agg(count(lit(1)).as("n"))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy("bin")
+    val cum = counts
+      .withColumn("cum", sum(col("n")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ntot", sum(col("n")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val qs = df.sparkSession.range(1)
+      .select(explode(array(qsPermille.map(lit(_)): _*)).as("q_permille"))
+    cum.crossJoin(broadcast(qs))
+      .filter(col("cum") * 1000 >= col("q_permille").cast("long") * col("ntot"))
+      .groupBy(col(keyCol), col("q_permille"))
+      .agg(min(col("bin")).as("bin"),
+        min_by(col("cum"), col("bin")).as("cum_rows"),
+        min(col("ntot")).as("n_total"))
+      .join(bounds, keyCol)
+      .select(col(keyCol), col("q_permille"), col("bin"),
+        expr("CAST(lo + (CAST(bin AS DECIMAL(38,0)) * (hi - lo + 1)" +
+          s" + $nBins - 1) DIV $nBins AS BIGINT)").as("bin_lo"),
+        expr("CAST(lo + (CAST(bin + 1 AS DECIMAL(38,0)) * (hi - lo + 1)" +
+          s" + $nBins - 1) DIV $nBins - 1 AS BIGINT)").as("bin_hi"),
+        col("cum_rows"), col("n_total"))
+  }
 }

@@ -265,7 +265,12 @@ class PlanShapeSpec extends SparkSpec {
       "q102_collocations", "q105_join_size_sketch", "q106_kcore",
       // q107 is a real streaming run (the q24/q25 class); q110 embeds
       // q34's intended broadcast-query-set nested loop
-      "q107_streaming_hopping", "q110_rrf_fusion")
+      "q107_streaming_hopping", "q110_rrf_fusion",
+      // q116 crosses the per-key histogram (≤ keys·(nBins+1) rows) with
+      // the literal quantile list — the q97 class, per key; q117
+      // cross-joins the 1-row moment aggregate with the 1-row
+      // TakeOrdered top-key (the q96/q105 two-scalar class)
+      "q116_quantiles_per_key", "q117_skew_profile")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")

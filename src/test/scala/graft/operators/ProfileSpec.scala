@@ -45,4 +45,24 @@ class ProfileSpec extends SparkSpec {
       .orderBy("rk").collect().map(_.getString(1)).toSeq
     assert(r1 == Seq("a", "b", "c"))
   }
+
+  test("skewProfile: exact counts, rationals, and smallest-key tie-break") {
+    // keys: 7×3, 5×3 (tie on count 3 → smallest key 5 wins? no: max count
+    // is 3 shared by 5 and 7 → top_key must be 5), 9×1
+    val df = (Seq.fill(3)(7L) ++ Seq.fill(3)(5L) ++ Seq(9L)).toDF("k")
+    val r = Profile.skewProfile(df.repartition(5), "k").collect()(0)
+    assert(r.getLong(0) == 7 && r.getLong(1) == 3 && r.getLong(2) == 3)
+    assert(r.getString(3) == "5")
+    assert(r.getDecimal(4).longValue == 3 && r.getDecimal(5).longValue == 7)
+    // Σc² = 9 + 9 + 1 = 19; n² = 49
+    assert(r.getDecimal(6).longValue == 19 && r.getDecimal(7).longValue == 49)
+  }
+
+  test("skewProfile: uniform keys give hhi = 1/n_keys exactly") {
+    val df = (0L until 40L).map(i => i % 8).toDF("k")
+    val r = Profile.skewProfile(df, "k").collect()(0)
+    // Σc² / n² = 8·25/1600 = 1/8 = 1/n_keys
+    assert(r.getDecimal(6).longValue * r.getLong(1) ==
+      r.getDecimal(7).longValue)
+  }
 }

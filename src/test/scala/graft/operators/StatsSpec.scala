@@ -186,6 +186,28 @@ class StatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("binnedQuantilesPerKey: each group equals the global operator run alone") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 3000).map(i =>
+      (s"k${i % 3}", (rnd.nextInt(100000) - 17).toLong))
+    val df = rows.toDF("k", "v")
+    val qs = Seq(250, 500, 990)
+    val got = Stats.binnedQuantilesPerKey(df.repartition(11), "k", "v", 64, qs)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    for (k <- Seq("k0", "k1", "k2")) {
+      val solo = Stats.binnedQuantiles(df.filter($"k" === k), "v", 64, qs)
+        .collect()
+        .map(r => (k, r.getInt(0)) ->
+          (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      solo.foreach { case (key, want) => assert(got(key) == want, s"$key") }
+    }
+    assert(got.size == 9)
+  }
+
   test("cohenKappa: perfect agreement gives kappa_num = kappa_den > 0") {
     val df = Seq(("g", "x", "x"), ("g", "y", "y"), ("g", "x", "x"))
       .toDF("k", "a", "b")
