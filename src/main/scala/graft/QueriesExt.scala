@@ -3172,6 +3172,42 @@ object QueriesExt {
         |       CAST(freq AS BIGINT) AS freq
         |FROM p5 GROUP BY word, freq ORDER BY word""".stripMargin
 
+  // ------------------------------ tokenizer evaluation (q118)
+
+  /** The EVALUATE step closing the tokenizer loop (train q111 → apply
+    * q112 → evaluate): corpus-weighted compression of the learned merge
+    * table. One row — total word occurrences, total characters, total
+    * pieces after segmentation (all corpus-weighted), and the distinct
+    * piece vocabulary — from two bounded aggregates over the segmented
+    * VOCABULARY table (never the corpus: the word-frequency weights carry
+    * corpus mass). pieces/chars is the compression ratio a tokenizer
+    * report quotes; consumers divide the longs themselves. */
+  private val q118: Q = (s, dir) => {
+    val seg = graft.operators.Bpe.segment(wordFreq(s, dir),
+      trainedRules(s, dir))
+    val totals = seg.agg(
+      sum(col("freq")).as("n_words"),
+      sum(col("freq") * length(col("word"))).as("n_chars"),
+      sum(col("freq") * size(col("pieces"))).as("n_pieces"))
+    val vocab = seg.select(explode(col("pieces")).as("p"))
+      .agg(countDistinct(col("p")).as("n_distinct_pieces"))
+    totals.crossJoin(broadcast(vocab))
+  }
+
+  private val q118Sql: String =
+    bpeCtes +
+      """
+        |, totals AS (
+        |  SELECT CAST(sum(freq) AS BIGINT) AS n_words,
+        |         CAST(sum(freq * length(word)) AS BIGINT) AS n_chars
+        |  FROM words),
+        |pieces AS (
+        |  SELECT CAST(sum(freq) AS BIGINT) AS n_pieces,
+        |         CAST(count(DISTINCT piece) AS BIGINT) AS n_distinct_pieces
+        |  FROM p5)
+        |SELECT n_words, n_chars, n_pieces, n_distinct_pieces
+        |FROM totals, pieces""".stripMargin
+
   // ------------------------------ sliding-window chunking (q113)
 
   /** RAG/pretraining text chunking: 32-token windows every 24 tokens
@@ -3486,6 +3522,7 @@ object QueriesExt {
     Entry("q114_rater_kappa", q114, Some(q114Sql)),
     Entry("q115_majority_label", q115, Some(q115Sql)),
     Entry("q116_quantiles_per_key", q116, Some(q116Sql)),
-    Entry("q117_skew_profile", q117, Some(q117Sql))
+    Entry("q117_skew_profile", q117, Some(q117Sql)),
+    Entry("q118_bpe_compression", q118, Some(q118Sql))
   )
 }

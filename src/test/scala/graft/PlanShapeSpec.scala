@@ -267,10 +267,10 @@ class PlanShapeSpec extends SparkSpec {
       // q34's intended broadcast-query-set nested loop
       "q107_streaming_hopping", "q110_rrf_fusion",
       // q116 crosses the per-key histogram (≤ keys·(nBins+1) rows) with
-      // the literal quantile list — the q97 class, per key; q117
-      // cross-joins the 1-row moment aggregate with the 1-row
-      // TakeOrdered top-key (the q96/q105 two-scalar class)
-      "q116_quantiles_per_key", "q117_skew_profile")
+      // the literal quantile list — the q97 class, per key; q117 and
+      // q118 cross-join 1-row aggregates (the q96/q105 two-scalar class)
+      "q116_quantiles_per_key", "q117_skew_profile",
+      "q118_bpe_compression")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")

@@ -284,6 +284,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunks: full coverage, correct starts/sizes for any (n, size, stride)") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      size <- Gen.choose(1, 12)
+      stride <- Gen.choose(1, size)
+    } yield (n, size, stride)
+    forAll(gen, n = 12) { case (n, size, stride) =>
+      val toks = (1 to n).map(i => s"t$i")
+      val got = Seq(Tuple1(toks)).toDF("w")
+        .select(explode(Text.chunks($"w", size, stride)).as("c"))
+        .select($"c.chunk_id", $"c.toks")
+        .collect().map(r => (r.getInt(0), r.getSeq[String](1).toVector)).toVector
+      val k = 1 + math.ceil(math.max(n - size, 0).toDouble / stride).toInt
+      assert(got.map(_._1) == (0 until k).toVector, s"n=$n size=$size stride=$stride")
+      got.foreach { case (i, c) =>
+        assert(c == toks.slice(i * stride, i * stride + size).toVector,
+          s"chunk $i of n=$n size=$size stride=$stride")
+      }
+      assert(got.flatMap(_._2).distinct.size == n) // every token covered
+    }
+  }
+
   test("percentage: in [0, ∞) with 0 exactly when guard trips") {
     forAll(Gen.listOfN(30,
       Gen.zip(Gen.choose(0.0, 100.0), Gen.option(Gen.choose(-10.0, 100.0))))) { rows =>
