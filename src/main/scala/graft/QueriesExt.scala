@@ -3082,6 +3082,14 @@ object QueriesExt {
     bpeRules.getOrElseUpdate((s, dir),
       graft.operators.Bpe.train(wordFreq(s, dir), nMerges = 5))
 
+  /** Vocabulary segmented under the learned table, materialized once per
+    * (session, dataset) — q112 presents it, q118 aggregates it; the
+    * chained fold expressions evaluate exactly once. */
+  private def segmentedVocab(s: SparkSession, dir: String): DataFrame =
+    shared(s, dir, "segmentedVocab") {
+      graft.operators.Bpe.segment(wordFreq(s, dir), trainedRules(s, dir))
+    }
+
   private val q111: Q = (s, dir) => {
     val rules = trainedRules(s, dir)
     import s.implicits._
@@ -3160,7 +3168,7 @@ object QueriesExt {
     * unrolled island-parity derivation q111 checks the merges from, so
     * the two queries pin train and apply independently. */
   private val q112: Q = (s, dir) =>
-    graft.operators.Bpe.segment(wordFreq(s, dir), trainedRules(s, dir))
+    segmentedVocab(s, dir)
       .select(col("word"), concat_ws(" ", col("pieces")).as("pieces"),
         col("freq"))
       .orderBy("word")
@@ -3183,8 +3191,7 @@ object QueriesExt {
     * corpus mass). pieces/chars is the compression ratio a tokenizer
     * report quotes; consumers divide the longs themselves. */
   private val q118: Q = (s, dir) => {
-    val seg = graft.operators.Bpe.segment(wordFreq(s, dir),
-      trainedRules(s, dir))
+    val seg = segmentedVocab(s, dir)
     val totals = seg.agg(
       sum(col("freq")).as("n_words"),
       sum(col("freq") * length(col("word"))).as("n_chars"),
@@ -3207,6 +3214,71 @@ object QueriesExt {
         |  FROM p5)
         |SELECT n_words, n_chars, n_pieces, n_distinct_pieces
         |FROM totals, pieces""".stripMargin
+
+  // ------------------------------ join-size advisor (q119)
+
+  /** The optimizer-statistics toolkit composed into a join ADVISOR: size
+    * |lineitem ⋈ orders| on orderkey WITHOUT running the join, from two
+    * CMS sketches with the same (w, d) — the two-table inner product
+    * (q105 is the self-join case) — next to the exact Σ_k cA(k)·cB(k)
+    * and both sides' hottest-key counts. Everything a planner needs to
+    * pick broadcast vs shuffle vs salting.
+    *
+    * Scale shape: each table is scanned ONCE, into its per-key count
+    * table (the inherent first aggregate); the sketch
+    * ([[graft.operators.Sketch.countMinWeighted]] — O(keys·d), not a
+    * second corpus scan), the exact product sum, and the skew max all
+    * derive from that materialized |keys|-sized table. */
+  private val q119: Q = (s, dir) => {
+    import graft.operators.Sketch
+    val d38 = "decimal(38,0)"
+    val ca = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val cb = t(s, dir, "orders").groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val skA = Sketch.countMinWeighted(ca, "l_orderkey", "c", w = 256, d = 4)
+    val skB = Sketch.countMinWeighted(cb, "o_orderkey", "c", w = 256, d = 4)
+    val exact = ca.select(col("l_orderkey").as("k"), col("c").as("ca"))
+      .join(cb.select(col("o_orderkey").as("k"), col("c").as("cb")), "k")
+      .agg(sum((col("ca").cast(d38) * col("cb")).cast(d38)).cast(d38)
+        .as("exact"))
+    Sketch.countMinInnerProduct(skA, skB)
+      .crossJoin(exact)
+      .crossJoin(ca.agg(max(col("c")).as("max_count_a")))
+      .crossJoin(cb.agg(max(col("c")).as("max_count_b")))
+      .select(col("est").cast("string").as("est"),
+        col("exact").cast("string").as("exact"),
+        col("max_count_a"), col("max_count_b"))
+  }
+
+  private val q119Sql =
+    """WITH lanes AS (SELECT r FROM (VALUES (0), (1), (2), (3)) t(r)),
+      |ca AS (
+      |  SELECT r AS lane,
+      |         CAST(('0x' || substring(md5(r || ':' || CAST(l_orderkey AS VARCHAR)), 1, 8))
+      |              AS BIGINT) % 256 AS bucket,
+      |         count(*) AS cnt
+      |  FROM lineitem, lanes GROUP BY 1, 2),
+      |cb AS (
+      |  SELECT r AS lane,
+      |         CAST(('0x' || substring(md5(r || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+      |              AS BIGINT) % 256 AS bucket,
+      |         count(*) AS cnt
+      |  FROM orders, lanes GROUP BY 1, 2),
+      |p AS (SELECT ca.lane, sum(CAST(ca.cnt AS HUGEINT) * cb.cnt) AS p
+      |      FROM ca JOIN cb ON ca.lane = cb.lane AND ca.bucket = cb.bucket
+      |      GROUP BY ca.lane),
+      |est AS (SELECT CAST(min(p) AS VARCHAR) AS est FROM p),
+      |exact AS (
+      |  SELECT CAST(sum(CAST(a.c AS HUGEINT) * b.c) AS VARCHAR) AS exact
+      |  FROM (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1) a
+      |  JOIN (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1) b
+      |    USING (k)),
+      |ma AS (SELECT CAST(max(c) AS BIGINT) AS max_count_a
+      |       FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey) t),
+      |mb AS (SELECT CAST(max(c) AS BIGINT) AS max_count_b
+      |       FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey) t)
+      |SELECT est, exact, max_count_a, max_count_b FROM est, exact, ma, mb""".stripMargin
 
   // ------------------------------ sliding-window chunking (q113)
 
@@ -3523,6 +3595,7 @@ object QueriesExt {
     Entry("q115_majority_label", q115, Some(q115Sql)),
     Entry("q116_quantiles_per_key", q116, Some(q116Sql)),
     Entry("q117_skew_profile", q117, Some(q117Sql)),
-    Entry("q118_bpe_compression", q118, Some(q118Sql))
+    Entry("q118_bpe_compression", q118, Some(q118Sql)),
+    Entry("q119_join_advisor", q119, Some(q119Sql))
   )
 }

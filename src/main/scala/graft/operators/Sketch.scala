@@ -41,6 +41,24 @@ object Sketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[countMin]] built from an ALREADY-AGGREGATED (key, weight) table —
+    * cell values are weight sums, so the sketch is identical to running
+    * [[countMin]] over the raw rows (Σ over keys in a bucket of the key's
+    * count) but the generator fans out over |keys| rows instead of |rows|:
+    * when a per-key count table already exists (it is the inherent first
+    * aggregate of join-size/skew statistics), the sketch costs O(keys·d),
+    * not another corpus scan. */
+  def countMinWeighted(counts: DataFrame, keyCol: String, weightCol: String,
+      w: Int, d: Int): DataFrame = {
+    require(w >= 2 && d >= 1, s"countMinWeighted needs w >= 2, d >= 1; got w=$w d=$d")
+    counts.select(col(weightCol).as("__w"),
+        explode(array((0 until d).map(r =>
+          struct(lit(r).as("lane"),
+            bucket(lit(r), col(keyCol), w).as("bucket"))): _*)).as("lb"))
+      .groupBy(col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
   /** Point estimates for a set of probe keys: min over the d probed cells
     * (absent cell = 0). The sketch side is d·w rows — broadcast-sized by
     * construction — so probing any number of keys is one broadcast join. */

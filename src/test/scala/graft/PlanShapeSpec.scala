@@ -270,13 +270,31 @@ class PlanShapeSpec extends SparkSpec {
       // the literal quantile list — the q97 class, per key; q117 and
       // q118 cross-join 1-row aggregates (the q96/q105 two-scalar class)
       "q116_quantiles_per_key", "q117_skew_profile",
-      "q118_bpe_compression")
+      "q118_bpe_compression",
+      // q119 composes four 1-row/d·w-row statistics frames by scalar
+      // cross joins (the q96/q105 class)
+      "q119_join_advisor")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: nested-loop join:\n$p")
       spark.catalog.clearCache() // q31/q32/q35/… cache doc/emb projections
     }
+  }
+
+  test("q112/q113/q115: round-4 queries shuffle exactly where inherent") {
+    def exchanges(q: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(plan(q)).size
+    // q112: ZERO exchanges — it reads the shared materialized segmented
+    // vocabulary (the word-frequency aggregate paid once at
+    // materialization); applying the learned merge table is a pure map
+    assert(exchanges("q112_bpe_segment") == 0)
+    // q113: chunking is a bounded generator — NO hash exchange at all
+    // before the presentation sort
+    assert(exchanges("q113_token_chunks") == 0)
+    // q115: the vote aggregate plus ONE window exchange carrying both the
+    // winner rank and the total votes
+    assert(exchanges("q115_majority_label") == 2)
   }
 
   test("whole-stage codegen covers the scan→aggregate hot path") {

@@ -116,6 +116,19 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("countMinWeighted over per-key counts equals countMin over raw rows") {
+    val rnd = new scala.util.Random(11)
+    val raw = (0 until 4000).map(_ => s"k${rnd.nextInt(300)}")
+    val fromRaw = Sketch.countMin(raw.toDF("k"), "k", w = 32, d = 4)
+      .orderBy("lane", "bucket").collect().toSeq
+    val counts = raw.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      .toSeq.toDF("k", "c")
+    val fromCounts = Sketch
+      .countMinWeighted(counts.repartition(7), "k", "c", w = 32, d = 4)
+      .orderBy("lane", "bucket").collect().toSeq
+    assert(fromCounts == fromRaw)
+  }
+
   test("distinctMin sketches MERGE by cellwise min") {
     val (ka, kb) = manyKeys.splitAt(2000)
     val merged = Sketch.distinctMin(ka.toDF("k"), "k", 64)
