@@ -306,6 +306,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("majorityLabel: equals the brute-force mode with lexicographic ties") {
+    val votesGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 3).map(i => s"u$i"), Gen.oneOf("a", "b", "c", "d")))
+    forAll(votesGen, n = 10) { votes =>
+      val got = graft.operators.Relational
+        .majorityLabel(votes.toDF("k", "lab").repartition(5), Seq("k"), "lab")
+        .collect().map(r => (r.getString(0),
+          (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      val want = votes.groupBy(_._1).map { case (k, vs) =>
+        val counts = vs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val (lab, c) = counts.toSeq.minBy { case (l, n) => (-n, l) }
+        k -> ((lab, c, vs.size.toLong))
+      }
+      assert(got == want, s"votes=$votes")
+    }
+  }
+
+  test("cohenKappa: equals the BigInt model for random label pairs") {
+    val pairGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("x", "y", "z"), Gen.oneOf("x", "y", "z", "w")))
+    forAll(pairGen, n = 10) { pairs =>
+      val r = graft.operators.Stats
+        .cohenKappa(pairs.map(p => ("g", p._1, p._2)).toDF("k", "a", "b"),
+          Seq("k"), "a", "b")
+        .collect()(0)
+      val n = BigInt(pairs.size)
+      val agree = BigInt(pairs.count(p => p._1 == p._2))
+      val ra = pairs.groupBy(_._1).view.mapValues(v => BigInt(v.size)).toMap
+      val rb = pairs.groupBy(_._2).view.mapValues(v => BigInt(v.size)).toMap
+      val rc = (ra.keySet ++ rb.keySet).toSeq
+        .map(l => ra.getOrElse(l, BigInt(0)) * rb.getOrElse(l, BigInt(0))).sum
+      assert(BigInt(r.getDecimal(3).toBigInteger) == n * agree - rc)
+      assert(BigInt(r.getDecimal(4).toBigInteger) == n * n - rc)
+      assert(r.getLong(1) == pairs.size && r.getLong(2) == agree.toLong)
+    }
+  }
+
+  test("binnedQuantilesPerKey is partition-invariant") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 2000).map(i => (s"k${i % 4}", rnd.nextInt(5000).toLong))
+    val a = graft.operators.Stats
+      .binnedQuantilesPerKey(rows.toDF("k", "v").repartition(13), "k", "v",
+        32, Seq(500, 900))
+      .collect().map(_.toSeq).toSet
+    val b = graft.operators.Stats
+      .binnedQuantilesPerKey(rows.toDF("k", "v").coalesce(1), "k", "v",
+        32, Seq(500, 900))
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 8)
+  }
+
   test("percentage: in [0, ∞) with 0 exactly when guard trips") {
     forAll(Gen.listOfN(30,
       Gen.zip(Gen.choose(0.0, 100.0), Gen.option(Gen.choose(-10.0, 100.0))))) { rows =>
