@@ -65,13 +65,19 @@ object QueriesExt {
   /** Shared doc prep: hashed 3-gram shingle sets. Token hashing (md5 per
     * token) runs in its own projection so the shingle combine's several
     * references to the array read a materialized column instead of
-    * re-hashing. */
+    * re-hashing. Materialized ONCE per (session, dataset) through
+    * [[sharedTables]] — five dedup/decontamination queries (q31, q32,
+    * q48, q56, q70) consume the same table, and re-tokenizing the corpus
+    * per analytic is the scale-killer, not the analytics (the
+    * coPurchaseCanon/tradeEdges rationale applied to text prep). */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), Text.tokenHashes(col("text")).as("__th"))
-      .select(col("doc_id"),
-        Text.shingleHashesFromTokenHashes(col("__th"), 3).as("hs"))
-      .filter(size(col("hs")) > 0)
+    shared(s, dir, "docShingles") {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokenHashes(col("text")).as("__th"))
+        .select(col("doc_id"),
+          Text.shingleHashesFromTokenHashes(col("__th"), 3).as("hs"))
+        .filter(size(col("hs")) > 0)
+    }
 
   // ------------------------------------------------------- tree rollup
 
@@ -205,7 +211,7 @@ object QueriesExt {
     * viral shingle); candidates verify through the fused exact-Jaccard
     * kernel. Identical answers, never a cross join. */
   private val q31: Q = (s, dir) =>
-    graft.operators.NearDup.prefixJoinPairs(docShingles(s, dir).cache(), 0.8)
+    graft.operators.NearDup.prefixJoinPairs(docShingles(s, dir), 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** DuckDB mirror derives the same pairs by brute force (fine at oracle
@@ -237,7 +243,7 @@ object QueriesExt {
     * independent implementation. */
   private val q48: Q = (s, dir) =>
     graft.operators.NearDup.clusters(
-        graft.operators.NearDup.prefixJoinPairs(docShingles(s, dir).cache(), 0.8))
+        graft.operators.NearDup.prefixJoinPairs(docShingles(s, dir), 0.8))
       .orderBy(col("doc_id"))
 
   private val q48Sql =
@@ -261,7 +267,7 @@ object QueriesExt {
     * .dedupCorpus]]). The oracle derives survivors from the independent
     * recursive-CTE closure. */
   private val q56: Q = (s, dir) =>
-    graft.operators.NearDup.dedupCorpus(docShingles(s, dir).cache(), 0.8)
+    graft.operators.NearDup.dedupCorpus(docShingles(s, dir), 0.8)
       .orderBy(col("doc_id"))
 
   private val q56Sql =
@@ -287,7 +293,7 @@ object QueriesExt {
     * candidates. The shuffle moves (doc, band-key) pairs — linear in corpus
     * size — instead of any pairwise structure; that is the 100 TB path. */
   private val q32: Q = (s, dir) => {
-    val docs = docShingles(s, dir).cache()
+    val docs = docShingles(s, dir)
     // Fused per-row minhash kernel: the whole signature is a pure map over
     // the shingle sets (docShingles guarantees them non-empty), so the
     // signature stage has NO shuffle at all — banding then runs over the
@@ -1576,7 +1582,7 @@ object QueriesExt {
     * linear in corpus tokens, same contract as q53.
     */
   private val q70: Q = (s, dir) => {
-    val docs = docShingles(s, dir).cache()
+    val docs = docShingles(s, dir)
     graft.operators.NearDup.prefixJoinPairsAgainst(
       docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10), 0.8)
       .groupBy(col("doc_a"))
