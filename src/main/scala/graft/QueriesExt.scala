@@ -35,17 +35,30 @@ object QueriesExt {
       (build: => DataFrame): DataFrame =
     sharedTables.getOrElseUpdate((s, dir, key), build.localCheckpoint())
 
-  /** Part co-purchase graph, canonical undirected form (a < b, distinct):
-    * parts sharing an order. Shared by q85 (triangles) and q106 (k-core). */
-  private def coPurchaseCanon(s: SparkSession, dir: String): DataFrame =
-    shared(s, dir, "coPurchaseCanon") {
+  /** Part co-purchase pair multiplicities: canonical (a < b) part pairs
+    * sharing an order, with the number of DISTINCT orders containing both.
+    * The lineitem self-join — the expensive step of every co-purchase
+    * analytic — runs ONCE for the whole graph family: q85/q106 read the
+    * distinct pair set ([[coPurchaseCanon]]), q122 the strong-tie
+    * (n_ord ≥ 2) subgraph. */
+  private def coPurchasePairCounts(s: SparkSession, dir: String): DataFrame =
+    shared(s, dir, "coPurchasePairCounts") {
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      graft.operators.Graph.canonicalUndirected(
-        li.as("x").join(li.as("y"),
-            col("x.l_orderkey") === col("y.l_orderkey")
-              && col("x.l_partkey") < col("y.l_partkey"))
-          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst")))
+      li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey")
+            && col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"),
+          col("x.l_orderkey").as("ok"))
+        .groupBy(col("a"), col("b"))
+        .agg(countDistinct(col("ok")).as("n_ord"))
     }
+
+  /** Part co-purchase graph, canonical undirected form (a < b, distinct):
+    * parts sharing an order. Shared by q85 (triangles) and q106 (k-core);
+    * a projection of [[coPurchasePairCounts]], so the self-join is paid
+    * once across the whole family. */
+  private def coPurchaseCanon(s: SparkSession, dir: String): DataFrame =
+    coPurchasePairCounts(s, dir).select(col("a"), col("b"))
 
   /** Symmetrized customer–supplier trade graph (distinct directed edges
     * both ways; 'c'/'s' prefixes keep the two id spaces disjoint).
@@ -77,6 +90,33 @@ object QueriesExt {
         .select(col("doc_id"),
           Text.shingleHashesFromTokenHashes(col("__th"), 3).as("hs"))
         .filter(size(col("hs")) > 0)
+    }
+
+  /** Per-(doc, term) frequencies with document length — the term-level
+    * corpus statistic behind retrieval: q89 builds postings lists from it,
+    * q120 scores BM25 over it. One tokenize + one (doc, term) shuffle for
+    * the family; at 100 TB the exploded tf aggregate IS the dominant cost,
+    * so it must not run once per consumer. */
+  private def termFreqs(s: SparkSession, dir: String): DataFrame =
+    shared(s, dir, "termFreqs") {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+        .select(col("doc_id"), size(col("w")).as("dl"),
+          explode(col("w")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+    }
+
+  /** Tokenized documents as (doc_id, w) arrays (empty tokens dropped) —
+    * the sequence-order-preserving sibling of [[termFreqs]]: every
+    * operator that needs adjacency or position (bigrams q102/q124,
+    * skip-gram windows q125) reads this ONE materialized tokenization
+    * instead of re-splitting the corpus. */
+  private def tokenArrays(s: SparkSession, dir: String): DataFrame =
+    shared(s, dir, "tokenArrays") {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(Text.tokens(col("text")), t => t =!= lit("")).as("w"))
     }
 
   // ------------------------------------------------------- tree rollup
@@ -2346,12 +2386,8 @@ object QueriesExt {
     * (an array-of-struct cell is not — it crashed the round-3 driver's
     * pandas sort). */
   private val q89: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
-    val tf = docs
-      .select(col("doc_id"),
-        explode(graft.functions.Text.tokens(col("text"))).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = termFreqs(s, dir).select(col("term"), col("doc_id"), col("tf"))
+    val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
     tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
         sort_array(collect_list(struct(col("doc_id"), col("tf"))))
@@ -2769,9 +2805,7 @@ object QueriesExt {
     * sized, never corpus-sized. The corpus-analysis primitive behind
     * phrase mining and tokenizer-merge candidates. */
   private val q102: Q = (s, dir) => {
-    val toks = t(s, dir, "documents")
-      .select(filter(Text.tokens(col("text")), t => t =!= lit("")).as("w"))
-      .cache()
+    val toks = tokenArrays(s, dir).select(col("w"))
     val bg = toks.select(explode(expr(
         """IF(size(w) < 2, CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>),
           |   transform(sequence(1, size(w) - 1),
@@ -3516,6 +3550,337 @@ object QueriesExt {
       |SELECT event_type, est.est, exact.exact
       |FROM est JOIN exact USING (event_type) ORDER BY event_type""".stripMargin
 
+  // ------------------------------ BM25 ranked retrieval (q120)
+
+  /** BM25 top-10 retrieval: every doc_id % 100 == 0 document is a query;
+    * its distinct terms score the rest of the corpus and the ten best
+    * documents per query win — the hard-negative-mining / retrieval-eval
+    * primitive over the corpus's own statistics.
+    *
+    * The score is the RATIONAL-IDF BM25 variant (k1 = 1.2, b = 0.75):
+    * idf_r = (2N − 2df + 1)/(2df + 1) — the Robertson–Sparck-Jones
+    * (N − df + ½)/(df + ½) ratio WITHOUT the log, the q55 move (a libm
+    * log would hang cross-engine determinism on rounding). Substituting
+    * avgdl = L/N and clearing denominators gives one integer fraction per
+    * (term, doc):
+    *
+    *   score = 22·10⁶·L·tf·(2N−2df+1)
+    *           DIV (2df+1)·(10·tf·L + 3·L + 9·dl·N)   [micro-units]
+    *
+    * quantized to BIGINT micro-units by integer division (the q99/q110
+    * pattern), so per-doc sums over query terms are exact integer adds —
+    * order-independent, engine-independent. Numerator magnitude at
+    * N = 10⁹ docs, L = 10¹² tokens stays under 10³², inside DECIMAL(38,0).
+    *
+    * Scale shape: [[termFreqs]] is scanned once; df is a vocabulary-sized
+    * aggregate; the query term table (|queries|·|terms/doc| rows) joins df
+    * and BROADCASTS onto tf — the corpus never shuffles on anything but
+    * the one inherent (qid, doc) score aggregate, bounded by candidate
+    * matches, then a top-k window per query. */
+  private val q120: Q = (s, dir) => {
+    val tfc = termFreqs(s, dir)
+    val scal = tfc.agg(sum(col("tf")).as("L"),
+      countDistinct(col("doc_id")).as("n"))
+    val dfreq = tfc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = tfc.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"), col("term"))
+    val qdf = dfreq.join(broadcast(qterms), Seq("term"))
+    val cand = tfc.join(broadcast(qdf), Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .crossJoin(broadcast(scal))
+      .withColumn("s", expr(
+        """CAST(CAST(22000000 AS DECIMAL(38,0)) * L * tf * (2*n - 2*df + 1)
+          |  DIV (CAST(2*df + 1 AS DECIMAL(38,0)) *
+          |       (10 * CAST(tf AS DECIMAL(38,0)) * L
+          |        + 3 * CAST(L AS DECIMAL(38,0))
+          |        + 9 * CAST(dl AS DECIMAL(38,0)) * n)) AS BIGINT)"""
+          .stripMargin))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    cand.groupBy(col("qid"), col("doc_id")).agg(sum(col("s")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val q120Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tfu AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t),
+      |tfc AS (SELECT doc_id, dl, term, count(*) AS tf FROM tfu GROUP BY 1, 2, 3),
+      |sc AS (SELECT CAST(sum(tf) AS BIGINT) AS L, count(DISTINCT doc_id) AS n
+      |       FROM tfc),
+      |dfq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+      |q AS (SELECT doc_id AS qid, term FROM tfc WHERE doc_id % 100 = 0),
+      |cand AS (
+      |  SELECT q.qid, tfc.doc_id,
+      |         (CAST(22000000 AS HUGEINT) * sc.L * tfc.tf
+      |            * (2*sc.n - 2*dfq.df + 1))
+      |         // (CAST(2*dfq.df + 1 AS HUGEINT)
+      |             * (10*CAST(tfc.tf AS HUGEINT)*sc.L + 3*sc.L
+      |                + 9*CAST(tfc.dl AS HUGEINT)*sc.n)) AS s
+      |  FROM tfc JOIN q USING (term) CROSS JOIN sc
+      |  JOIN dfq ON tfc.term = dfq.term
+      |  WHERE tfc.doc_id <> q.qid),
+      |s AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score
+      |      FROM cand GROUP BY 1, 2),
+      |r AS (SELECT qid, doc_id, score,
+      |             row_number() OVER (PARTITION BY qid
+      |               ORDER BY score DESC, doc_id) AS rank
+      |      FROM s)
+      |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, score
+      |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  // ------------------------------ model-scored quality filter (q121)
+
+  /** Learned-quality-filter INFERENCE: a fixed-weight linear model over
+    * integer text features — capped length, stopword rate, non-alpha rate,
+    * type–token rate — scored as an integer milli-logit (weights are
+    * milli-units, rates are permille via integer division), so the
+    * classifier's decision boundary is exact on every engine. This is the
+    * model-based corpus gate (fastText-style quality classifiers) with the
+    * model broadcast as literals; scoring is a pure codegen map over one
+    * corpus scan — no shuffle at all. The sigmoid is monotone, so
+    * thresholding the logit IS thresholding the probability. */
+  private val q121: Q = (s, dir) => {
+    val stop = Text.LangProfiles.flatMap(_._2)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).as("n_tok"),
+        size(filter(col("w"), x => x.isin(stop.map(lit): _*))).as("n_stop"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-z ]", ""))).as("n_na"),
+        length(col("text")).as("n_chars"),
+        size(array_distinct(col("w"))).as("n_distinct"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("1000 * n_stop DIV n_tok").as("stop_pm"),
+        expr("1000 * n_na DIV n_chars").as("nonalpha_pm"),
+        expr("1000 * n_distinct DIV n_tok").as("distinct_pm"))
+      .withColumn("logit_milli", expr(
+        "-1700 + 8 * least(n_tok, 200) + 5 * stop_pm" +
+          " - 3 * nonalpha_pm + 2 * distinct_pm"))
+      .withColumn("kept", col("logit_milli") >= 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q121Sql =
+    """WITH f AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |         length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g'))
+      |           AS n_na,
+      |         length(text) AS n_chars
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tok,
+      |         1000 * len(list_filter(w, x -> x IN
+      |           ('the','a','of','and','to','der','die','das','und','ist',
+      |            'le','la','les','et','est','el','los','una','y','es')))
+      |           // len(w) AS stop_pm,
+      |         1000 * n_na // n_chars AS nonalpha_pm,
+      |         1000 * len(list_distinct(w)) // len(w) AS distinct_pm
+      |  FROM f)
+      |SELECT doc_id, n_tok, stop_pm, nonalpha_pm, distinct_pm,
+      |       -1700 + 8 * least(n_tok, 200) + 5 * stop_pm
+      |         - 3 * nonalpha_pm + 2 * distinct_pm AS logit_milli,
+      |       (-1700 + 8 * least(n_tok, 200) + 5 * stop_pm
+      |         - 3 * nonalpha_pm + 2 * distinct_pm) >= 0 AS kept
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  // ------------------------------ connected components (q122)
+
+  /** Connected components over the STRONG-TIE co-purchase graph (part
+    * pairs sharing ≥ 2 distinct orders): min-label propagation with
+    * pointer jumping ([[graft.operators.NearDup.clusters]] — the same
+    * O(log diameter) fixpoint that powers dedup clustering, here exposed
+    * as the general graph operator). The edge multiplicity table comes
+    * from [[coPurchasePairCounts]], shared with q85/q106, so the lineitem
+    * self-join is paid once across the graph family. The oracle closes the
+    * same graph with a recursive reachability CTE — an independent
+    * derivation of every (node, min-reachable-id) label. */
+  private val q122: Q = (s, dir) => {
+    val strong = coPurchasePairCounts(s, dir)
+      .filter(col("n_ord") >= 2)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    graft.operators.NearDup.clusters(strong)
+      .select(col("doc_id").as("part_id"), col("rep_id").as("component_id"))
+      .orderBy(col("part_id"))
+  }
+
+  private val q122Sql =
+    """WITH RECURSIVE p AS (
+      |  SELECT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2 HAVING count(DISTINCT x.l_orderkey) >= 2),
+      |e AS (SELECT a AS n, b AS m FROM p UNION ALL SELECT b, a FROM p),
+      |r(n, l) AS (
+      |  SELECT n, n FROM e
+      |  UNION
+      |  SELECT r.n, e.m FROM r JOIN e ON e.n = r.l)
+      |SELECT n AS part_id, min(l) AS component_id
+      |FROM r GROUP BY n ORDER BY part_id""".stripMargin
+
+  // ------------------------------ repeated-span detection (q123)
+
+  /** Cross-document repeated 8-token spans — the exact-substring dedup
+    * signal (Lee et al. 2022's "deduplicating training data makes language
+    * models better": repeated spans, not just repeated documents, drive
+    * memorization). ALL-occurrence 8-gram hashes per document (the
+    * codegen'd [[graft.functions.Text.ngramHashes]] kernel — positions
+    * kept, NOT the deduped shingle set), one (span) aggregate, keep spans
+    * seen in ≥ 2 distinct documents, top-100 by total occurrences. Work is
+    * O(total tokens) map + one shuffle on span hash; the oracle re-derives
+    * the rolling combine in HUGEINT with one mod at the end (≡ the
+    * kernel's per-step mod 2³², since 31⁷·2³² ≪ 2¹²⁷). */
+  private val q123: Q = (s, dir) => {
+    val spans = t(s, dir, "documents")
+      .select(col("doc_id"), Text.tokenHashes(col("text")).as("th"))
+      .filter(size(col("th")) >= 8)
+      .select(col("doc_id"), explode(Text.ngramHashes(col("th"), 8)).as("span"))
+    spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_occ").desc, col("span"))
+      .limit(100)
+  }
+
+  private val q123Sql =
+    """WITH t AS (SELECT doc_id,
+      |             list_transform(string_split(text, ' '),
+      |               x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT))
+      |               AS th
+      |           FROM documents),
+      |s AS (SELECT doc_id,
+      |        unnest(list_transform(range(len(th) - 7),
+      |          i -> CAST((((((((CAST(th[i+1] AS HUGEINT)*31 + th[i+2])*31
+      |                 + th[i+3])*31 + th[i+4])*31 + th[i+5])*31
+      |                 + th[i+6])*31 + th[i+7])*31 + th[i+8])
+      |               % 4294967296 AS BIGINT))) AS span
+      |      FROM t WHERE len(th) >= 8),
+      |g AS (SELECT span, count(DISTINCT doc_id) AS n_docs,
+      |             count(*) AS n_occ, min(doc_id) AS first_doc
+      |      FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT span, CAST(n_docs AS BIGINT) AS n_docs,
+      |       CAST(n_occ AS BIGINT) AS n_occ, first_doc
+      |FROM g ORDER BY n_occ DESC, span LIMIT 100""".stripMargin
+
+  // ------------------------------ bigram-LM fluency scoring (q124)
+
+  /** Bigram language-model fluency scoring — the conditional-probability
+    * completion of q69's unigram commonness: each document scores the
+    * Laplace-smoothed P(b|a) = (c_ab+1)/(c_a+V) of its own adjacent word
+    * pairs against the corpus bigram model, quantized to micro-units by
+    * integer division (c_ab ≤ c_a forces each term ≤ 10⁶) and SUMMED as
+    * exact BIGINTs — order-independent, engine-independent, no libm log
+    * anywhere (the q55/q69/q120 rational discipline). Low mean = unseen
+    * transitions (noisy/foreign text), high mean = boilerplate.
+    *
+    * Scale shape: the shared [[tokenArrays]] tokenization is paid once for
+    * the q102/q124/q125 family; the bigram model join shuffles on (a, b) —
+    * distinct-bigram-bounded, too big to assume broadcastable at corpus
+    * scale — while the unigram context counts and the vocabulary scalar DO
+    * broadcast; one (doc) aggregate ends the plan. The 10⁶·(c_ab+1)
+    * product runs in DECIMAL(38,0): a stop-word bigram passes 10¹³
+    * occurrences at 100 TB, so int64 would wrap silently under ANSI-off.
+    * Documents with fewer than two tokens have no bigrams and drop out on
+    * both engines. */
+  private val q124: Q = (s, dir) => {
+    val toks = tokenArrays(s, dir)
+    val bg = toks.select(col("doc_id"), explode(expr(
+        """IF(size(w) < 2, CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>),
+          |   transform(sequence(1, size(w) - 1),
+          |     i -> struct(element_at(w, i) AS a,
+          |                 element_at(w, CAST(i + 1 AS INT)) AS b)))""".stripMargin))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cb = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val c1 = bg.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val v = toks.select(explode(col("w")).as("tok"))
+      .agg(countDistinct(col("tok")).as("V"))
+    bg.join(cb, Seq("a", "b"))
+      .join(broadcast(c1), Seq("a"))
+      .crossJoin(broadcast(v))
+      .withColumn("sc", expr(
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * (c_ab + 1) DIV (c_a + V) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"), sum(col("sc")).as("fluency_sum"))
+      .withColumn("fluency_micro", expr("fluency_sum DIV n_bg"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q124Sql =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+      |             AS w FROM documents),
+      |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b
+      |       FROM t),
+      |cb AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT a, count(*) AS c_a FROM bg GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS V
+      |      FROM (SELECT unnest(w) AS tok FROM t)),
+      |s AS (SELECT bg.doc_id,
+      |        CAST(CAST(1000000 AS HUGEINT) * (cb.c_ab + 1)
+      |             // (c1.c_a + v.V) AS BIGINT) AS sc
+      |      FROM bg JOIN cb USING (a, b) JOIN c1 USING (a) CROSS JOIN v),
+      |g AS (SELECT doc_id, count(*) AS n_bg,
+      |             CAST(sum(sc) AS BIGINT) AS fluency_sum
+      |      FROM s GROUP BY 1)
+      |SELECT doc_id, n_bg, fluency_sum,
+      |       CAST(fluency_sum // n_bg AS BIGINT) AS fluency_micro
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  // ------------------------------ skip-gram co-occurrence (q125)
+
+  /** Skip-gram windowed co-occurrence — the word2vec/GloVe training-data
+    * primitive: for every token, its context tokens at distance 1..3
+    * (both directions), counted corpus-wide, then the top-5 contexts per
+    * center word among pairs with support ≥ 5 (count-desc, context-asc
+    * deterministic order). The pair generator is a bounded PURE MAP
+    * (expansion ≤ 6× tokens, no self-join, no spine): a per-document
+    * flatten over position × offset with boundary offsets filtered
+    * locally, so the only shuffles are the inherent (center, context)
+    * count aggregate and the per-center top-k window — vocabulary²-bounded
+    * tables, never corpus-row-bounded. Reads the shared [[tokenArrays]]
+    * tokenization (paid once across q102/q124/q125). */
+  private val q125: Q = (s, dir) => {
+    val pairs = tokenArrays(s, dir).select(explode(expr(
+        """flatten(transform(sequence(1, size(w)), i ->
+          |  filter(transform(array(-3, -2, -1, 1, 2, 3), o ->
+          |    IF(i + o >= 1 AND i + o <= size(w),
+          |       struct(element_at(w, i) AS c,
+          |              element_at(w, CAST(i + o AS INT)) AS x),
+          |       CAST(NULL AS STRUCT<c: STRING, x: STRING>))),
+          |    p -> p IS NOT NULL)))""".stripMargin))
+        .as("p"))
+      .select(col("p.c").as("center"), col("p.x").as("context"))
+    val counts = pairs.groupBy("center", "context")
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+    val w = Window.partitionBy(col("center"))
+      .orderBy(col("n_pair").desc, col("context"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("center"), col("rank"), col("context"), col("n_pair"))
+      .orderBy(col("center"), col("rank"))
+  }
+
+  private val q125Sql =
+    """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |           FROM documents),
+      |idx AS (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM t),
+      |p AS (SELECT w[i] AS center, w[i + o] AS context
+      |      FROM idx, (VALUES (-3), (-2), (-1), (1), (2), (3)) o(o)
+      |      WHERE i + o BETWEEN 1 AND len(w)),
+      |c AS (SELECT center, context, count(*) AS n_pair FROM p
+      |      GROUP BY 1, 2 HAVING count(*) >= 5),
+      |r AS (SELECT center, context, n_pair,
+      |             row_number() OVER (PARTITION BY center
+      |               ORDER BY n_pair DESC, context) AS rank
+      |      FROM c)
+      |SELECT center, CAST(rank AS INTEGER) AS rank, context, n_pair
+      |FROM r WHERE rank <= 5 ORDER BY center, rank""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -3609,6 +3974,12 @@ object QueriesExt {
     Entry("q116_quantiles_per_key", q116, Some(q116Sql)),
     Entry("q117_skew_profile", q117, Some(q117Sql)),
     Entry("q118_bpe_compression", q118, Some(q118Sql)),
-    Entry("q119_join_advisor", q119, Some(q119Sql))
+    Entry("q119_join_advisor", q119, Some(q119Sql)),
+    Entry("q120_bm25_retrieval", q120, Some(q120Sql)),
+    Entry("q121_quality_model", q121, Some(q121Sql)),
+    Entry("q122_connected_components", q122, Some(q122Sql)),
+    Entry("q123_repeated_spans", q123, Some(q123Sql)),
+    Entry("q124_bigram_lm", q124, Some(q124Sql)),
+    Entry("q125_skipgram_cooc", q125, Some(q125Sql))
   )
 }

@@ -273,7 +273,16 @@ class PlanShapeSpec extends SparkSpec {
       "q118_bpe_compression",
       // q119 composes four 1-row/d·w-row statistics frames by scalar
       // cross joins (the q96/q105 class)
-      "q119_join_advisor")
+      "q119_join_advisor",
+      // q120 cross-joins the 1-row (L, n) corpus-scale aggregate onto the
+      // candidate table (the q55 broadcast-scalar class; dedicated spec
+      // below asserts the broadcasts); q122 runs the label-propagation
+      // fixpoint eagerly (the q48/q106 class) — its plan here is the
+      // post-fixpoint projection
+      "q120_bm25_retrieval", "q122_connected_components",
+      // q124 cross-joins the 1-row vocabulary-size aggregate (the q55
+      // broadcast-scalar class)
+      "q124_bigram_lm")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")
@@ -295,6 +304,31 @@ class PlanShapeSpec extends SparkSpec {
     // q115: the vote aggregate plus ONE window exchange carrying both the
     // winner rank and the total votes
     assert(exchanges("q115_majority_label") == 2)
+    // q125: the skip-gram pair generator is a bounded pure map — only the
+    // (center, context) count aggregate and the per-center top-k window
+    // hash-shuffle (the presentation sort is a range exchange)
+    assert(exchanges("q125_skipgram_cooc") == 2)
+  }
+
+  test("q120: query terms broadcast onto the corpus; only the 1-row scale scalar nested-loops") {
+    val p = plan("q120_bm25_retrieval")
+    assert(!p.contains("CartesianProduct"), s"q120 cartesian:\n$p")
+    // the (L, n) corpus-scale aggregate is the single 1-row broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"q120: more than the single scalar broadcast:\n$p")
+    // df→query-terms and candidate→tf both join as broadcast hash joins —
+    // the corpus side never shuffles for a join
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"q120: query-term joins must broadcast:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q121/q123: corpus gates are map + aggregate — no join exchange at all") {
+    for (q <- Seq("q121_quality_model", "q123_repeated_spans")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: unexpected join:\n$p")
+    }
+    spark.catalog.clearCache()
   }
 
   test("whole-stage codegen covers the scan→aggregate hot path") {
