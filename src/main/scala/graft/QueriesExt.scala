@@ -2806,12 +2806,7 @@ object QueriesExt {
     * phrase mining and tokenizer-merge candidates. */
   private val q102: Q = (s, dir) => {
     val toks = tokenArrays(s, dir).select(col("w"))
-    val bg = toks.select(explode(expr(
-        """IF(size(w) < 2, CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>),
-          |   transform(sequence(1, size(w) - 1),
-          |     i -> struct(element_at(w, i) AS a,
-          |                 element_at(w, CAST(i + 1 AS INT)) AS b)))""".stripMargin))
-        .as("p"))
+    val bg = toks.select(explode(Text.bigrams(col("w"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val cb = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
     val cu = toks.select(explode(col("w")).as("tok"))
@@ -3788,12 +3783,7 @@ object QueriesExt {
     * both engines. */
   private val q124: Q = (s, dir) => {
     val toks = tokenArrays(s, dir)
-    val bg = toks.select(col("doc_id"), explode(expr(
-        """IF(size(w) < 2, CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>),
-          |   transform(sequence(1, size(w) - 1),
-          |     i -> struct(element_at(w, i) AS a,
-          |                 element_at(w, CAST(i + 1 AS INT)) AS b)))""".stripMargin))
-        .as("p"))
+    val bg = toks.select(col("doc_id"), explode(Text.bigrams(col("w"))).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
     val cb = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
     val c1 = bg.groupBy("a").agg(count(lit(1)).as("c_a"))
@@ -3844,15 +3834,8 @@ object QueriesExt {
     * tables, never corpus-row-bounded. Reads the shared [[tokenArrays]]
     * tokenization (paid once across q102/q124/q125). */
   private val q125: Q = (s, dir) => {
-    val pairs = tokenArrays(s, dir).select(explode(expr(
-        """flatten(transform(sequence(1, size(w)), i ->
-          |  filter(transform(array(-3, -2, -1, 1, 2, 3), o ->
-          |    IF(i + o >= 1 AND i + o <= size(w),
-          |       struct(element_at(w, i) AS c,
-          |              element_at(w, CAST(i + o AS INT)) AS x),
-          |       CAST(NULL AS STRUCT<c: STRING, x: STRING>))),
-          |    p -> p IS NOT NULL)))""".stripMargin))
-        .as("p"))
+    val pairs = tokenArrays(s, dir)
+      .select(explode(Text.skipgramPairs(col("w"), 3)).as("p"))
       .select(col("p.c").as("center"), col("p.x").as("context"))
     val counts = pairs.groupBy("center", "context")
       .agg(count(lit(1)).as("n_pair"))

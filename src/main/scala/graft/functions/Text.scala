@@ -66,6 +66,43 @@ object Text {
         slice(toks, k * stride + 1, lit(size)).as("toks")))
   }
 
+  /** Adjacent word pairs (bigrams) of a token array, in sequence order —
+    * the positional primitive behind collocation mining (q102) and
+    * bigram-LM fluency scoring (q124). A bounded pure-map generator:
+    * exactly n−1 structs for an n-token row, empty below two tokens (the
+    * explicit guard matters — Spark's `sequence(1, 0)` would DESCEND).
+    * @return array<struct<a: string, b: string>> */
+  def bigrams(toks: Column): Column = {
+    val n = org.apache.spark.sql.functions.size(toks)
+    when(n < 2, array().cast("array<struct<a: string, b: string>>"))
+      .otherwise(transform(sequence(lit(1), n - 1),
+        i => struct(element_at(toks, i).as("a"),
+          element_at(toks, (i + lit(1)).cast("int")).as("b"))))
+  }
+
+  /** Skip-gram (center, context) pairs within ±`window` positions — the
+    * word2vec/GloVe co-occurrence generator (q125). A bounded pure map:
+    * per-row expansion ≤ 2·window × tokens, boundary offsets dropped
+    * locally, no self-join and no position spine. Symmetric by
+    * construction: every (c, x) pair at distance d has its (x, c) mirror,
+    * so corpus-wide pair counts form a symmetric matrix (PropertySpec
+    * pins this).
+    * @return array<struct<c: string, x: string>> */
+  def skipgramPairs(toks: Column, window: Int): Column = {
+    require(window >= 1, s"skipgramPairs needs window >= 1, got $window")
+    val n = org.apache.spark.sql.functions.size(toks)
+    val offsets = array(((-window to -1) ++ (1 to window)).map(lit(_)): _*)
+    when(n < 1, array().cast("array<struct<c: string, x: string>>"))
+      .otherwise(flatten(transform(sequence(lit(1), n, lit(1)), i =>
+        filter(
+          transform(offsets, o =>
+            when(i + o >= 1 && i + o <= n,
+              struct(element_at(toks, i).as("c"),
+                element_at(toks, (i + o).cast("int")).as("x")))
+              .otherwise(lit(null).cast("struct<c: string, x: string>"))),
+          p => p.isNotNull))))
+  }
+
   /** Distinct word n-gram shingles, e.g. n=3 → "w1 w2 w3" strings. (The
     * string form — useful for debugging; the hot path is [[shingleHashes]],
     * which never materializes shingle strings.) */

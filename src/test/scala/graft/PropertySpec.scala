@@ -357,6 +357,39 @@ class PropertySpec extends SparkSpec {
     assert(a == b && a.size == 8)
   }
 
+  private val tokListGen: Gen[List[String]] = for {
+    n <- Gen.choose(0, 12)
+    ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+  } yield ws
+
+  test("bigrams: exactly max(n-1, 0) pairs, equal to consecutive zip") {
+    forAll(tokListGen) { ws =>
+      val got = Seq(Tuple1(ws)).toDF("w")
+        .select(Text.bigrams($"w").as("bg"))
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(got == ws.zip(ws.drop(1)))
+    }
+  }
+
+  test("skipgramPairs: symmetric pair multiset, exact count, distance <= window") {
+    forAll(tokListGen) { ws =>
+      val got = Seq(Tuple1(ws)).toDF("w")
+        .select(Text.skipgramPairs($"w", 3).as("p"))
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getString(1)))
+      // reference: all ordered pairs at positional distance 1..3
+      val want = for {
+        i <- ws.indices; o <- (-3 to 3) if o != 0
+        j = i + o if j >= 0 && j < ws.length
+      } yield (ws(i), ws(j))
+      assert(got.sorted == want.sorted)
+      // the (c, x) multiset is its own (x, c) mirror
+      val m = got.groupBy(identity).view.mapValues(_.size).toMap
+      m.foreach { case ((c, x), k) => assert(m((x, c)) == k) }
+    }
+  }
+
   test("percentage: in [0, ∞) with 0 exactly when guard trips") {
     forAll(Gen.listOfN(30,
       Gen.zip(Gen.choose(0.0, 100.0), Gen.option(Gen.choose(-10.0, 100.0))))) { rows =>
