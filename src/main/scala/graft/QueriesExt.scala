@@ -63,16 +63,30 @@ object QueriesExt {
   /** Symmetrized customer–supplier trade graph (distinct directed edges
     * both ways; 'c'/'s' prefixes keep the two id spaces disjoint).
     * Shared by q81 (PageRank) and q86 (BFS). */
-  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
-    shared(s, dir, "tradeEdges") {
-      val raw = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+  /** Weighted trade edges (w = cheapest single-shipment quantity linking
+    * the pair): the lineitem⋈orders derivation — the expensive step of
+    * every trade-graph analytic — runs ONCE for the family; q127 reads
+    * the weights, q81/q86 project the unweighted pair set
+    * ([[tradeEdges]]). Customer/supplier sides stay disjoint ('c'/'s'
+    * prefixes), so symmetrizing cannot collide ids. */
+  private def tradeEdgesWeighted(s: SparkSession, dir: String): DataFrame =
+    shared(s, dir, "tradeEdgesWeighted") {
+      val raw = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("q"))
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
-        .distinct()
-      raw.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(raw.select(col("b").as("src"), col("a").as("dst")))
+          concat(lit("s"), col("l_suppkey")).as("b"), col("q"))
+        .groupBy(col("a"), col("b")).agg(min(col("q")).as("w"))
+      raw.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(raw.select(col("b").as("src"), col("a").as("dst"),
+          col("w")))
+    }
+
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    shared(s, dir, "tradeEdges") {
+      tradeEdgesWeighted(s, dir).select(col("src"), col("dst"))
     }
 
   /** Shared doc prep: hashed 3-gram shingle sets. Token hashing (md5 per
@@ -3864,6 +3878,87 @@ object QueriesExt {
       |SELECT center, CAST(rank AS INTEGER) AS rank, context, n_pair
       |FROM r WHERE rank <= 5 ORDER BY center, rank""".stripMargin
 
+  // ------------------------------ MAD robust outliers (q126)
+
+  /** Median-absolute-deviation outliers per event type through
+    * [[graft.operators.Stats.madOutliers]] — the ROBUST companion to
+    * q90's σ-outliers (a contaminating extreme drags the mean and
+    * explodes the variance, masking itself; it moves a median one rank).
+    * No rationals needed: interpolated medians of integers are dyadic
+    * (half/quarter-integers), exact in IEEE doubles on both engines —
+    * the q54 percentile cross-check discipline. k = 8 (a power of two,
+    * though any integer stays exact at these magnitudes). */
+  private val q126: Q = (s, dir) => {
+    val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    graft.operators.Stats.madOutliers(ev, Seq("event_type"), "cents", k = 8)
+      .orderBy("event_id")
+  }
+
+  private val q126Sql =
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |         CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+      |      FROM ev GROUP BY 1),
+      |d AS (SELECT ev.event_id, ev.event_type, ev.cents, m.med,
+      |             abs(ev.cents - m.med) AS dev
+      |      FROM ev JOIN m USING (event_type)),
+      |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      |       FROM d GROUP BY 1)
+      |SELECT d.event_id, d.event_type, d.cents, d.med, md.mad
+      |FROM d JOIN md USING (event_type)
+      |WHERE d.dev > 8 * md.mad
+      |ORDER BY d.event_id""".stripMargin
+
+  // ------------------------------ weighted shortest paths (q127)
+
+  /** Hop-bounded weighted shortest paths from nation-0 customers over the
+    * trade graph, edge cost = cheapest single-shipment quantity linking
+    * the pair ([[tradeEdgesWeighted]] — shared with q81/q86's unweighted
+    * projection) — [[graft.operators.Graph.weightedDistances]]'s
+    * frontier-only Bellman-Ford, 4 rounds. The oracle unrolls the same
+    * four FULL relaxation rounds as min-combine CTEs: frontier-only and
+    * full relaxation provably agree after equally many rounds (a node
+    * that didn't improve has nothing new to offer), so hash equality IS
+    * the equivalence proof. */
+  private val q127: Q = (s, dir) => {
+    val seeds = t(s, dir, "customer").filter(col("c_nationkey") === 0)
+      .select(concat(lit("c"), col("c_custkey")).as("node"))
+    graft.operators.Graph.weightedDistancesPrepared(
+      tradeEdgesWeighted(s, dir), seeds, maxRounds = 4)
+      .orderBy("node")
+  }
+
+  private val q127Sql =
+    """WITH raw AS (
+      |  SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b,
+      |         min(CAST(l_quantity AS BIGINT)) AS w
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |e AS (SELECT a AS src, b AS dst, w FROM raw
+      |      UNION ALL SELECT b, a, w FROM raw),
+      |d0 AS (SELECT DISTINCT 'c' || c_custkey AS node, CAST(0 AS BIGINT) AS dist
+      |       FROM customer WHERE c_nationkey = 0),
+      |d1 AS (SELECT node, min(dist) AS dist FROM (
+      |         SELECT node, dist FROM d0
+      |         UNION ALL SELECT e.dst, d0.dist + e.w FROM e
+      |         JOIN d0 ON e.src = d0.node) GROUP BY 1),
+      |d2 AS (SELECT node, min(dist) AS dist FROM (
+      |         SELECT node, dist FROM d1
+      |         UNION ALL SELECT e.dst, d1.dist + e.w FROM e
+      |         JOIN d1 ON e.src = d1.node) GROUP BY 1),
+      |d3 AS (SELECT node, min(dist) AS dist FROM (
+      |         SELECT node, dist FROM d2
+      |         UNION ALL SELECT e.dst, d2.dist + e.w FROM e
+      |         JOIN d2 ON e.src = d2.node) GROUP BY 1),
+      |d4 AS (SELECT node, min(dist) AS dist FROM (
+      |         SELECT node, dist FROM d3
+      |         UNION ALL SELECT e.dst, d3.dist + e.w FROM e
+      |         JOIN d3 ON e.src = d3.node) GROUP BY 1)
+      |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -3963,6 +4058,8 @@ object QueriesExt {
     Entry("q122_connected_components", q122, Some(q122Sql)),
     Entry("q123_repeated_spans", q123, Some(q123Sql)),
     Entry("q124_bigram_lm", q124, Some(q124Sql)),
-    Entry("q125_skipgram_cooc", q125, Some(q125Sql))
+    Entry("q125_skipgram_cooc", q125, Some(q125Sql)),
+    Entry("q126_mad_outliers", q126, Some(q126Sql)),
+    Entry("q127_weighted_paths", q127, Some(q127Sql))
   )
 }

@@ -190,6 +190,65 @@ object Graph {
     reached
   }
 
+  /** Hop-bounded single/multi-source shortest paths over non-negative
+    * integer edge weights — Bellman-Ford with FRONTIER-ONLY relaxation:
+    * after round r the table holds the min-cost path using ≤ r edges, and
+    * only nodes whose distance improved in round r−1 relax their edges in
+    * round r (a node that didn't improve already propagated its final
+    * offer the round it last improved, so re-relaxing it adds nothing).
+    * Per-round cost is improved-set adjacency, not reached-set adjacency —
+    * the [[bfsDistancesPrepared]] frontier discipline with weights.
+    *
+    * An empty improved set IS convergence (the ≤ maxRounds bound and the
+    * fixpoint agree, so early exit never changes the result — it only
+    * skips no-op rounds); state is one (node, dist) row per reached node,
+    * lineage-truncated per round. With all weights = 1 this degenerates
+    * to BFS hop counting.
+    *
+    * @param edges directed `src`, `dst`, `w` (long, ≥ 0); parallel edges
+    *              collapse to their cheapest
+    * @param seeds one column `node`, distance-0 sources
+    * @param maxRounds max path length in edges
+    * @return (node, dist): cheapest ≤ maxRounds-edge path from any seed */
+  def weightedDistances(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int): DataFrame =
+    weightedDistancesPrepared(
+      edges.select(col("src"), col("dst"), col("w"))
+        .groupBy("src", "dst").agg(min("w").as("w")).localCheckpoint(),
+      seeds, maxRounds)
+
+  /** [[weightedDistances]] over a caller-deduped, caller-materialized
+    * (src, dst, w) table (the [[pageRankPrepared]] contract). */
+  def weightedDistancesPrepared(e: DataFrame, seeds: DataFrame,
+      maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0, s"weightedDistances needs maxRounds >= 0, got $maxRounds")
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      round += 1
+      // cheapest offer per neighbor from the improved set only
+      val offers = e
+        .join(frontier.select(col("node").as("src"), col("dist").as("sd")),
+          Seq("src"))
+        .select(col("dst").as("node"), (col("sd") + col("w")).as("cand"))
+        .groupBy("node").agg(min("cand").as("cand"))
+      val improved = offers.join(dist, Seq("node"), "left")
+        .filter(col("dist").isNull || col("cand") < col("dist"))
+        .select(col("node"), col("cand").as("dist"))
+        .localCheckpoint()
+      dist = dist
+        .join(improved.select(col("node"), col("dist").as("gf_nd")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("gf_nd"), col("dist")).as("dist"))
+        .unionByName(improved.join(dist, Seq("node"), "left_anti"))
+        .localCheckpoint()
+      frontier = improved
+    }
+    dist
+  }
+
   /** k-core decomposition by iterative peeling: drop every node with
     * degree < k, recompute degrees over the surviving subgraph, repeat to
     * fixpoint — the density filter behind community mining and graph

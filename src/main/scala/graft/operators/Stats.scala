@@ -63,6 +63,50 @@ object Stats {
       .select(df.columns.toIndexedSeq.map(col) :+ col("gf_n").cast("long").as("n"): _*)
   }
 
+  /** Median-absolute-deviation outlier flags per group — the ROBUST
+    * companion to [[sigmaOutliers]]: a single extreme value drags a mean
+    * and explodes a variance (masking its own z-score), but moves a
+    * median by at most one rank, so MAD flags survive the contaminated
+    * distributions that curation actually meets.
+    *
+    *   flag ⇔ |x − median(x)| > k · median(|x − median(x)|)
+    *
+    * Exactness without rationals: the p·(n−1)-interpolated median of
+    * integers is a HALF-integer, each deviation |x − med| a half-integer,
+    * the MAD of those a QUARTER-integer — dyadic rationals far inside
+    * double's 2⁵³ exact range — and `k` is an integer, so every IEEE
+    * engine computes the predicate bit-identically (the q54 percentile
+    * cross-check discipline; no epsilon anywhere).
+    *
+    * Scale shape: TWO aggregate passes — inherent, the deviations need
+    * the median first — each producing a |groups|-row model joined back
+    * broadcast; the flag is a row-local predicate. `percentile` holds
+    * full per-group value state (the exact path); when groups outgrow
+    * executor memory, [[binnedQuantilesPerKey]] is the fixed-memory
+    * estimate to compose instead.
+    *
+    * @param df      input; `valCol` must be integral (cents-style)
+    * @param keyCols grouping columns
+    * @param valCol  long-typed measure
+    * @param k       threshold multiplier on the MAD
+    * @return input rows whose deviation exceeds k·MAD, with the group's
+    *         `med` and `mad` attached (exact dyadic doubles) */
+  def madOutliers(df: DataFrame, keyCols: Seq[String], valCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"madOutliers needs k > 0, got $k")
+    val keys = keyCols.map(col)
+    val med = df.groupBy(keys: _*)
+      .agg(expr(s"percentile($valCol, 0.5)").as("med"))
+    val dev = df.join(broadcast(med), keyCols)
+      .withColumn("gf_dev", abs(col(valCol) - col("med")))
+    val mad = dev.groupBy(keys: _*)
+      .agg(expr("percentile(gf_dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), keyCols)
+      .filter(col("gf_dev") > lit(k) * col("mad"))
+      .select(df.columns.toIndexedSeq.map(col)
+        :+ col("med") :+ col("mad"): _*)
+  }
+
   /** Per-group least-squares trend WITHOUT floating division: the slope of
     * y over x is `slope_num / slope_den` with
     *

@@ -282,7 +282,10 @@ class PlanShapeSpec extends SparkSpec {
       "q120_bm25_retrieval", "q122_connected_components",
       // q124 cross-joins the 1-row vocabulary-size aggregate (the q55
       // broadcast-scalar class)
-      "q124_bigram_lm")
+      "q124_bigram_lm",
+      // q127 runs its Bellman-Ford fixpoint eagerly (the q48/q106/q122
+      // class) — its plan here is the post-fixpoint projection
+      "q127_weighted_paths")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")

@@ -128,6 +128,65 @@ class GraphSpec extends SparkSpec {
     assert(got("c") == 1) // via z, not the 2-hop path via a
   }
 
+  // --------------------------------------- weighted shortest paths
+
+  /** Reference: hop-bounded Bellman-Ford in plain Scala. */
+  private def localWeighted(edges: Seq[(String, String, Long)],
+      seeds: Seq[String], rounds: Int): Map[String, Long] = {
+    val e = edges.groupBy(t => (t._1, t._2))
+      .map { case ((s, d), v) => (s, d, v.map(_._3).min) }.toSeq
+    var dist: Map[String, Long] = seeds.distinct.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val offers = e.flatMap { case (s, d, w) => dist.get(s).map(sd => d -> (sd + w)) }
+        .groupBy(_._1).map { case (n, v) => n -> v.map(_._2).min }
+      dist = (dist.keySet ++ offers.keySet).map { n =>
+        n -> math.min(dist.getOrElse(n, Long.MaxValue),
+          offers.getOrElse(n, Long.MaxValue))
+      }.toMap
+    }
+    dist
+  }
+
+  test("weightedDistances: cheap long path beats expensive direct edge") {
+    // a→b→c→d costs 3; a→d direct costs 10
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L),
+      ("a", "d", 10L))
+    val got = Graph.weightedDistances(edges.toDF("src", "dst", "w"),
+        Seq("a").toDF("node"), maxRounds = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    // bounded at 2 rounds the 3-edge path is out of reach: direct edge wins
+    val got2 = Graph.weightedDistances(edges.toDF("src", "dst", "w"),
+        Seq("a").toDF("node"), maxRounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2("d") == 10L)
+  }
+
+  test("weightedDistances matches the Bellman-Ford reference on a random graph") {
+    val rnd = new scala.util.Random(17)
+    val edges = Seq.fill(300)(
+      (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}", (rnd.nextInt(9) + 1).toLong))
+    val seeds = Seq("n0", "n1")
+    val expected = localWeighted(edges, seeds, rounds = 5)
+    val got = Graph.weightedDistances(
+        edges.toDF("src", "dst", "w").repartition(7),
+        seeds.toDF("node"), maxRounds = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("weightedDistances with unit weights degenerates to BFS hop counts") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
+    val bfs = Graph.bfsDistances(edges.toDF("src", "dst"),
+        Seq("a").toDF("node"), maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1).toLong).toMap
+    val wd = Graph.weightedDistances(
+        edges.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"),
+        Seq("a").toDF("node"), maxRounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wd == bfs)
+  }
+
   // ---------------------------------------------------------- k-core
 
   /** K4 plus a tail: the classic peel-cascade fixture. */

@@ -48,6 +48,50 @@ class StatsSpec extends SparkSpec {
       assert(gotFlags(xs, z10) == bruteFlags(xs, z10), s"z10=$z10")
   }
 
+  /** Reference MAD flags via exact BigDecimal quartile interpolation. */
+  private def bruteMad(xs: Seq[Long], k: Int): Set[Long] = {
+    def median(vs: Seq[BigDecimal]): BigDecimal = {
+      val s = vs.sorted
+      val lo = (s.size - 1) / 2
+      if (s.size % 2 == 1) s(lo) else (s(lo) + s(lo + 1)) / 2
+    }
+    val med = median(xs.map(BigDecimal(_)))
+    val devs = xs.map(x => (BigDecimal(x) - med).abs)
+    val mad = median(devs)
+    xs.zip(devs).filter { case (_, d) => d > mad * k }.map(_._1).toSet
+  }
+
+  private def gotMadFlags(xs: Seq[Long], k: Int): Set[Long] = {
+    import spark.implicits._
+    Stats.madOutliers(
+        xs.zipWithIndex.map { case (x, i) => (i.toLong, "g", x) }
+          .toDF("id", "g", "x").repartition(5),
+        Seq("g"), "x", k)
+      .collect().map(_.getLong(2)).toSet
+  }
+
+  test("madOutliers: a lone extreme flags; the median mass never does") {
+    val xs = Seq.fill(20)(Seq[Long](10, 11, 9, 12, 8)).flatten.take(21) :+ 5000L
+    assert(gotMadFlags(xs, 8) == Set(5000L))
+    assert(gotMadFlags(xs, 8) == bruteMad(xs, 8))
+  }
+
+  test("madOutliers survives contamination that masks sigmaOutliers") {
+    // two colluding extremes inflate σ enough to hide each other at 3σ
+    // (n=12: a pair at z ≈ 2.2σ each) — MAD flags both regardless
+    val xs = Seq[Long](10, 11, 9, 12, 8, 10, 11, 9, 12, 8, 100000, 100000)
+    assert(gotFlags(xs, 30).isEmpty)
+    assert(gotMadFlags(xs, 8) == Set(100000L))
+  }
+
+  test("madOutliers matches the exact-interpolation reference on random data") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(5, 6, 501, 502); k <- Seq(4, 8)) {
+      val xs = Seq.fill(n)(rnd.nextInt(1000).toLong) ++ Seq(50000L, -40000L)
+      assert(gotMadFlags(xs, k) == bruteMad(xs, k), s"n=$n k=$k")
+    }
+  }
+
   test("trendExact: rising, falling, and flat series get exact signed slopes") {
     val df = Seq(
       // rising: y = 2x → slope_num/slope_den = 2 exactly
