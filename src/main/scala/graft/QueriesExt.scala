@@ -3581,6 +3581,14 @@ object QueriesExt {
     * order-independent, engine-independent. Numerator magnitude at
     * N = 10⁹ docs, L = 10¹² tokens stays under 10³², inside DECIMAL(38,0).
     *
+    * Query terms with df > N/2 are DROPPED (their Robertson idf is
+    * negative — classic BM25 floors them at zero): a stop-word query term
+    * matches nearly every document, so keeping it would explode the
+    * candidate set by |corpus| rows per query for terms that contribute
+    * no discrimination. The gate is exact on both engines (2·df vs N in
+    * integers) and cuts candidate generation — THE scale lever here —
+    * by the Zipf head's share of postings.
+    *
     * Scale shape: [[termFreqs]] is scanned once; df is a vocabulary-sized
     * aggregate; the query term table (|queries|·|terms/doc| rows) joins df
     * and BROADCASTS onto tf — the corpus never shuffles on anything but
@@ -3594,6 +3602,9 @@ object QueriesExt {
     val qterms = tfc.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("qid"), col("term"))
     val qdf = dfreq.join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(scal.select(col("n").as("gf_n"))))
+      .filter(col("df") * 2 <= col("gf_n"))
+      .drop("gf_n")
     val cand = tfc.join(broadcast(qdf), Seq("term"))
       .filter(col("doc_id") =!= col("qid"))
       .crossJoin(broadcast(scal))
@@ -3620,7 +3631,9 @@ object QueriesExt {
       |sc AS (SELECT CAST(sum(tf) AS BIGINT) AS L, count(DISTINCT doc_id) AS n
       |       FROM tfc),
       |dfq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
-      |q AS (SELECT doc_id AS qid, term FROM tfc WHERE doc_id % 100 = 0),
+      |q AS (SELECT tfc.doc_id AS qid, tfc.term
+      |      FROM tfc JOIN dfq ON tfc.term = dfq.term CROSS JOIN sc
+      |      WHERE tfc.doc_id % 100 = 0 AND dfq.df * 2 <= sc.n),
       |cand AS (
       |  SELECT q.qid, tfc.doc_id,
       |         (CAST(22000000 AS HUGEINT) * sc.L * tfc.tf

@@ -316,9 +316,11 @@ class PlanShapeSpec extends SparkSpec {
   test("q120: query terms broadcast onto the corpus; only the 1-row scale scalar nested-loops") {
     val p = plan("q120_bm25_retrieval")
     assert(!p.contains("CartesianProduct"), s"q120 cartesian:\n$p")
-    // the (L, n) corpus-scale aggregate is the single 1-row broadcast
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
-      s"q120: more than the single scalar broadcast:\n$p")
+    // two 1-row scalar broadcasts: the corpus-size gate on the query-term
+    // table (df·2 ≤ N stop-word pruning) and the (L, n) scale constants
+    // on the candidate table
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"q120: more than the two scalar broadcasts:\n$p")
     // df→query-terms and candidate→tf both join as broadcast hash joins —
     // the corpus side never shuffles for a join
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
