@@ -3972,6 +3972,80 @@ object QueriesExt {
       |         JOIN d3 ON e.src = d3.node) GROUP BY 1)
       |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
 
+  // ------------------------------ event rate-spike detection (q128)
+
+  /** Rate-spike detection — the operational-anomaly readout: hourly
+    * tumbling event counts per type (pure integer epoch-µs bucketing, the
+    * q101 floor discipline), then [[graft.operators.Stats.sigmaOutliers]]
+    * flags the (type, hour) cells whose count sits past 3σ of that type's
+    * own hourly distribution — exact DECIMAL(38,0) moments, so every
+    * flagged hour is bit-reproducible. Composition, not new machinery:
+    * the aggregate is |types·hours|-sized, the flag a row-local predicate
+    * over the broadcast moments — the corpus is scanned once. */
+  private val q128: Q = (s, dir) => {
+    val hourUs = 3600000000L
+    val counts = t(s, dir, "events")
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(hourUs)))
+          .as("w_start_us"))
+      .groupBy(col("event_type"), col("w_start_us"))
+      .agg(count(lit(1)).as("n_ev"))
+    graft.operators.Stats.sigmaOutliers(counts, Seq("event_type"), "n_ev",
+        z10 = 30)
+      .orderBy(col("event_type"), col("w_start_us"))
+  }
+
+  private val q128Sql =
+    """WITH ev AS (SELECT event_type,
+      |             epoch_us(ts) - epoch_us(ts) % 3600000000 AS w_start_us
+      |            FROM events),
+      |c AS (SELECT event_type, w_start_us, CAST(count(*) AS BIGINT) AS n_ev
+      |      FROM ev GROUP BY 1, 2),
+      |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |             CAST(sum(n_ev) AS HUGEINT) AS s1,
+      |             CAST(sum(CAST(n_ev AS HUGEINT) * n_ev) AS HUGEINT) AS s2
+      |      FROM c GROUP BY 1)
+      |SELECT c.event_type, c.w_start_us, c.n_ev, CAST(m.n AS BIGINT) AS n
+      |FROM c JOIN m USING (event_type)
+      |WHERE (10*(m.n*c.n_ev - m.s1)) * (10*(m.n*c.n_ev - m.s1))
+      |      > 900 * (m.n*m.s2 - m.s1*m.s1)
+      |ORDER BY c.event_type, c.w_start_us""".stripMargin
+
+  // ------------------------------ fuzzy entity resolution (q129)
+
+  /** Fuzzy entity resolution end-to-end: edit-distance≤2 name pairs
+    * ([[graft.operators.NearDup.editDistancePairs]] — PassJoin pigeonhole
+    * blocking, q88's operator) become edges, and min-label propagation
+    * with pointer jumping ([[graft.operators.NearDup.clusters]]) closes
+    * them into entity groups with the lexicographically-least name as the
+    * canonical id — the data-cleaning primitive that collapses spelling
+    * variants of one real-world entity. The oracle re-derives the pairs
+    * by brute-force cross join and closes them with a recursive
+    * reachability CTE: hash equality proves BOTH the blocking lossless
+    * and the distributed fixpoint equal to the transitive closure. */
+  private val q129: Q = (s, dir) => {
+    val names = t(s, dir, "part").select(col("p_name").as("s")).distinct()
+      .withColumn("id", col("s"))
+    val pairs = graft.operators.NearDup.editDistancePairs(names, k = 2)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    graft.operators.NearDup.clusters(pairs)
+      .select(col("doc_id").as("name"), col("rep_id").as("entity_id"))
+      .orderBy(col("name"))
+  }
+
+  private val q129Sql =
+    """WITH RECURSIVE v AS (SELECT DISTINCT p_name FROM part),
+      |p AS (SELECT a.p_name AS a, b.p_name AS b
+      |      FROM v a JOIN v b ON a.p_name < b.p_name
+      |      WHERE levenshtein(a.p_name, b.p_name) <= 2),
+      |e AS (SELECT a AS n, b AS m FROM p UNION ALL SELECT b, a FROM p),
+      |r(n, l) AS (
+      |  SELECT n, n FROM e
+      |  UNION
+      |  SELECT r.n, e.m FROM r JOIN e ON e.n = r.l)
+      |SELECT n AS name, min(l) AS entity_id
+      |FROM r GROUP BY n ORDER BY name""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -4073,6 +4147,8 @@ object QueriesExt {
     Entry("q124_bigram_lm", q124, Some(q124Sql)),
     Entry("q125_skipgram_cooc", q125, Some(q125Sql)),
     Entry("q126_mad_outliers", q126, Some(q126Sql)),
-    Entry("q127_weighted_paths", q127, Some(q127Sql))
+    Entry("q127_weighted_paths", q127, Some(q127Sql)),
+    Entry("q128_rate_spikes", q128, Some(q128Sql)),
+    Entry("q129_entity_resolution", q129, Some(q129Sql))
   )
 }

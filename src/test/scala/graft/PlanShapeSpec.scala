@@ -284,8 +284,9 @@ class PlanShapeSpec extends SparkSpec {
       // broadcast-scalar class)
       "q124_bigram_lm",
       // q127 runs its Bellman-Ford fixpoint eagerly (the q48/q106/q122
-      // class) — its plan here is the post-fixpoint projection
-      "q127_weighted_paths")
+      // class) — its plan here is the post-fixpoint projection; q129
+      // runs the clustering fixpoint eagerly (the q48 class)
+      "q127_weighted_paths", "q129_entity_resolution")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")
