@@ -4046,6 +4046,67 @@ object QueriesExt {
       |SELECT n AS name, min(l) AS entity_id
       |FROM r GROUP BY n ORDER BY name""".stripMargin
 
+  // ------------------------------ association rules (q130)
+
+  /** Market-basket association rules over order baskets — the classic
+    * warehouse analytic, and the third consumer of the shared
+    * [[coPurchasePairCounts]] self-join (q85/q106/q122 already read it):
+    * directed rules ante→cons with support n_ab ≥ 2, positive lift
+    * (N·n_ab ≥ c_ante·c_cons — the q102 exact cross-multiplication, no
+    * float ever), confidence quantized to micro-units by integer
+    * division, top-50 by confidence with a deterministic tie-break.
+    * Item supports are a |parts|-sized broadcast model; the basket count
+    * rides as a 1-row broadcast scalar. The 10⁶·n_ab product and the
+    * lift comparison run in DECIMAL(38,0): at warehouse scale N·n_ab
+    * passes 2⁶³ and would wrap silently under ANSI-off. */
+  private val q130: Q = (s, dir) => {
+    val pc = coPurchasePairCounts(s, dir).filter(col("n_ord") >= 2)
+    val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_orderkey"))
+    val item = li.groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_orderkey")).as("c"))
+    val n = li.agg(countDistinct(col("l_orderkey")).as("n"))
+    pc.select(col("a").as("ante"), col("b").as("cons"), col("n_ord").as("n_ab"))
+      .unionByName(pc.select(col("b").as("ante"), col("a").as("cons"),
+        col("n_ord").as("n_ab")))
+      .join(broadcast(item.select(col("l_partkey").as("ante"),
+        col("c").as("c_ante"))), Seq("ante"))
+      .join(broadcast(item.select(col("l_partkey").as("cons"),
+        col("c").as("c_cons"))), Seq("cons"))
+      .crossJoin(broadcast(n))
+      .filter(col("n").cast("decimal(38,0)") * col("n_ab")
+        >= col("c_ante").cast("decimal(38,0)") * col("c_cons"))
+      .withColumn("conf_micro", expr(
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_ab DIV c_ante AS BIGINT)"))
+      .select(col("ante"), col("cons"), col("n_ab"), col("c_ante"),
+        col("c_cons"), col("conf_micro"))
+      .orderBy(col("conf_micro").desc, col("ante"), col("cons"))
+      .limit(50)
+  }
+
+  private val q130Sql =
+    """WITH li AS (SELECT l_partkey, l_orderkey FROM lineitem),
+      |p AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+      |             count(DISTINCT x.l_orderkey) AS n_ab
+      |      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |        AND x.l_partkey < y.l_partkey
+      |      GROUP BY 1, 2 HAVING count(DISTINCT x.l_orderkey) >= 2),
+      |r AS (SELECT a AS ante, b AS cons, n_ab FROM p
+      |      UNION ALL SELECT b, a, n_ab FROM p),
+      |it AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS c FROM li
+      |       GROUP BY 1),
+      |n AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+      |g AS (SELECT r.ante, r.cons, r.n_ab, ia.c AS c_ante, ic.c AS c_cons,
+      |             CAST(CAST(1000000 AS HUGEINT) * r.n_ab // ia.c AS BIGINT)
+      |               AS conf_micro
+      |      FROM r JOIN it ia ON r.ante = ia.l_partkey
+      |             JOIN it ic ON r.cons = ic.l_partkey CROSS JOIN n
+      |      WHERE CAST(n.n AS HUGEINT) * r.n_ab
+      |            >= CAST(ia.c AS HUGEINT) * ic.c)
+      |SELECT ante, cons, CAST(n_ab AS BIGINT) AS n_ab,
+      |       CAST(c_ante AS BIGINT) AS c_ante, CAST(c_cons AS BIGINT) AS c_cons,
+      |       conf_micro
+      |FROM g ORDER BY conf_micro DESC, ante, cons LIMIT 50""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -4149,6 +4210,7 @@ object QueriesExt {
     Entry("q126_mad_outliers", q126, Some(q126Sql)),
     Entry("q127_weighted_paths", q127, Some(q127Sql)),
     Entry("q128_rate_spikes", q128, Some(q128Sql)),
-    Entry("q129_entity_resolution", q129, Some(q129Sql))
+    Entry("q129_entity_resolution", q129, Some(q129Sql)),
+    Entry("q130_association_rules", q130, Some(q130Sql))
   )
 }

@@ -286,7 +286,10 @@ class PlanShapeSpec extends SparkSpec {
       // q127 runs its Bellman-Ford fixpoint eagerly (the q48/q106/q122
       // class) — its plan here is the post-fixpoint projection; q129
       // runs the clustering fixpoint eagerly (the q48 class)
-      "q127_weighted_paths", "q129_entity_resolution")
+      "q127_weighted_paths", "q129_entity_resolution",
+      // q130 cross-joins the 1-row basket-count aggregate (the q55
+      // broadcast-scalar class)
+      "q130_association_rules")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")
