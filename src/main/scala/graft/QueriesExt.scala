@@ -60,20 +60,20 @@ object QueriesExt {
   private def coPurchaseCanon(s: SparkSession, dir: String): DataFrame =
     coPurchasePairCounts(s, dir).select(col("a"), col("b"))
 
-  /** Symmetrized customer–supplier trade graph (distinct directed edges
-    * both ways; 'c'/'s' prefixes keep the two id spaces disjoint).
-    * Shared by q81 (PageRank) and q86 (BFS). */
-  /** Weighted trade edges (w = cheapest single-shipment quantity linking
-    * the pair): the lineitem⋈orders derivation — the expensive step of
-    * every trade-graph analytic — runs ONCE for the family; q127 reads
-    * the weights, q81/q86 project the unweighted pair set
-    * ([[tradeEdges]]). Customer/supplier sides stay disjoint ('c'/'s'
-    * prefixes), so symmetrizing cannot collide ids. */
+  /** Symmetrized weighted customer–supplier trade graph (directed edges
+    * both ways; 'c'/'s' prefixes keep the two id spaces disjoint, so
+    * symmetrizing cannot collide ids). w = cheapest single-shipment
+    * quantity linking the pair, FLOORED on both engines (l_quantity is a
+    * double column; a bare double→int cast truncates in Spark but rounds
+    * in DuckDB — the q126 floor discipline avoids that divergence). The
+    * lineitem⋈orders derivation — the expensive step of every trade-graph
+    * analytic — runs ONCE for the family: q127 reads the weights,
+    * q81/q86 the unweighted [[tradeEdges]] projection. */
   private def tradeEdgesWeighted(s: SparkSession, dir: String): DataFrame =
     shared(s, dir, "tradeEdgesWeighted") {
       val raw = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"),
-          col("l_quantity").cast("long").as("q"))
+          floor(col("l_quantity")).cast("long").as("q"))
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("a"),
@@ -84,10 +84,12 @@ object QueriesExt {
           col("w")))
     }
 
+  /** Unweighted trade graph for q81 (PageRank) and q86 (BFS): a BARE
+    * projection of [[tradeEdgesWeighted]] — no second checkpoint (the
+    * [[coPurchaseCanon]] pattern: re-materializing a column drop would
+    * double the family's cached footprint for nothing). */
   private def tradeEdges(s: SparkSession, dir: String): DataFrame =
-    shared(s, dir, "tradeEdges") {
-      tradeEdgesWeighted(s, dir).select(col("src"), col("dst"))
-    }
+    tradeEdgesWeighted(s, dir).select(col("src"), col("dst"))
 
   /** Shared doc prep: hashed 3-gram shingle sets. Token hashing (md5 per
     * token) runs in its own projection so the shingle combine's several
@@ -3581,13 +3583,15 @@ object QueriesExt {
     * order-independent, engine-independent. Numerator magnitude at
     * N = 10⁹ docs, L = 10¹² tokens stays under 10³², inside DECIMAL(38,0).
     *
-    * Query terms with df > N/2 are DROPPED (their Robertson idf is
-    * negative — classic BM25 floors them at zero): a stop-word query term
-    * matches nearly every document, so keeping it would explode the
-    * candidate set by |corpus| rows per query for terms that contribute
-    * no discrimination. The gate is exact on both engines (2·df vs N in
-    * integers) and cuts candidate generation — THE scale lever here —
-    * by the Zipf head's share of postings.
+    * Query terms matching over 75% of the corpus are DROPPED (4·df > 3N —
+    * exact in integers on both engines): past N/2 the Robertson idf goes
+    * negative (classic BM25 floors it at zero), and such a term's
+    * postings are |corpus|-sized, so pruning the Zipf head is THE scale
+    * lever for candidate generation. The 75% cutoff (rational idf < 1/3)
+    * rather than the textbook 50% keeps the gate non-vacuous on the
+    * stop-word-dense synthetic corpus, where a 50% cutoff would leave no
+    * scorable query terms and the oracle would compare empty-vs-empty —
+    * the scoring arithmetic itself must stay under cross-engine check.
     *
     * Scale shape: [[termFreqs]] is scanned once; df is a vocabulary-sized
     * aggregate; the query term table (|queries|·|terms/doc| rows) joins df
@@ -3603,7 +3607,7 @@ object QueriesExt {
       .select(col("doc_id").as("qid"), col("term"))
     val qdf = dfreq.join(broadcast(qterms), Seq("term"))
       .crossJoin(broadcast(scal.select(col("n").as("gf_n"))))
-      .filter(col("df") * 2 <= col("gf_n"))
+      .filter(col("df") * 4 <= col("gf_n") * 3)
       .drop("gf_n")
     val cand = tfc.join(broadcast(qdf), Seq("term"))
       .filter(col("doc_id") =!= col("qid"))
@@ -3633,7 +3637,7 @@ object QueriesExt {
       |dfq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
       |q AS (SELECT tfc.doc_id AS qid, tfc.term
       |      FROM tfc JOIN dfq ON tfc.term = dfq.term CROSS JOIN sc
-      |      WHERE tfc.doc_id % 100 = 0 AND dfq.df * 2 <= sc.n),
+      |      WHERE tfc.doc_id % 100 = 0 AND dfq.df * 4 <= sc.n * 3),
       |cand AS (
       |  SELECT q.qid, tfc.doc_id,
       |         (CAST(22000000 AS HUGEINT) * sc.L * tfc.tf
@@ -3686,8 +3690,13 @@ object QueriesExt {
       .orderBy(col("doc_id"))
   }
 
-  private val q121Sql =
-    """WITH f AS (
+  private val q121Sql = {
+    // interpolate the stop list from the SAME source the Scala side reads
+    // (a hand-copied literal list drifts the moment LangProfiles changes —
+    // the q37/q47 oracle pattern)
+    val stopList = Text.LangProfiles.flatMap(_._2).map("'" + _ + "'")
+      .mkString(", ")
+    s"""WITH f AS (
       |  SELECT doc_id, string_split(text, ' ') AS w,
       |         length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g'))
       |           AS n_na,
@@ -3695,9 +3704,7 @@ object QueriesExt {
       |  FROM documents),
       |g AS (
       |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tok,
-      |         1000 * len(list_filter(w, x -> x IN
-      |           ('the','a','of','and','to','der','die','das','und','ist',
-      |            'le','la','les','et','est','el','los','una','y','es')))
+      |         1000 * len(list_filter(w, x -> x IN ($stopList)))
       |           // len(w) AS stop_pm,
       |         1000 * n_na // n_chars AS nonalpha_pm,
       |         1000 * len(list_distinct(w)) // len(w) AS distinct_pm
@@ -3708,6 +3715,7 @@ object QueriesExt {
       |       (-1700 + 8 * least(n_tok, 200) + 5 * stop_pm
       |         - 3 * nonalpha_pm + 2 * distinct_pm) >= 0 AS kept
       |FROM g ORDER BY doc_id""".stripMargin
+  }
 
   // ------------------------------ connected components (q122)
 
@@ -3947,7 +3955,7 @@ object QueriesExt {
   private val q127Sql =
     """WITH raw AS (
       |  SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b,
-      |         min(CAST(l_quantity AS BIGINT)) AS w
+      |         min(CAST(floor(l_quantity) AS BIGINT)) AS w
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY 1, 2),
       |e AS (SELECT a AS src, b AS dst, w FROM raw
@@ -3997,7 +4005,7 @@ object QueriesExt {
 
   private val q128Sql =
     """WITH ev AS (SELECT event_type,
-      |             epoch_us(ts) - epoch_us(ts) % 3600000000 AS w_start_us
+      |             (epoch_us(ts) // 3600000000) * 3600000000 AS w_start_us
       |            FROM events),
       |c AS (SELECT event_type, w_start_us, CAST(count(*) AS BIGINT) AS n_ev
       |      FROM ev GROUP BY 1, 2),
