@@ -4115,6 +4115,61 @@ object QueriesExt {
       |       conf_micro
       |FROM g ORDER BY conf_micro DESC, ante, cons LIMIT 50""".stripMargin
 
+  // ------------------------------ language consistency (q131)
+
+  /** Chunk-level language consistency — the code-switching detector a
+    * monolingual training mix needs (document-level language ID blesses a
+    * document whose second half is another language): 50-token
+    * non-overlapping chunks ([[graft.functions.Text.chunks]], stride =
+    * size), language ID per chunk (the q36 stopword-profile argmax with
+    * its deterministic tie order), then per-document chunk count,
+    * distinct-language count, and the mixed flag. Pure-map chunking (no
+    * shuffle, no spine) into one hash aggregate — the corpus is scanned
+    * once; the oracle regenerates the same chunk lattice ((n−1) DIV 50
+    * chunk starts — provably equal to the chunker's ceil form for every
+    * n) and the same argmax CASE from the shared language profiles. */
+  private val q131: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(Text.chunks(col("w"), 50, 50)).as("c"))
+      .select(col("doc_id"), Text.langIdFromTokens(col("c.toks")).as("pred"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), countDistinct(col("pred")).as("n_langs"))
+      .withColumn("mixed", col("n_langs") >= 2)
+      .orderBy(col("doc_id"))
+
+  private val q131Sql = {
+    val scores = Text.LangProfiles.map { case (lang, ws) =>
+      lang -> s"len(list_filter(cw, t -> t IN (${ws.map("'" + _ + "'").mkString(", ")})))"
+    }
+    val langs = scores.map(_._1)
+    val cases = langs.dropRight(1).map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n            ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |k AS (SELECT doc_id, w,
+       |        (CASE WHEN len(w) > 0 THEN len(w) - 1 ELSE 0 END) // 50 AS lastk
+       |      FROM w),
+       |c AS (SELECT doc_id,
+       |        unnest(list_transform(range(lastk + 1),
+       |          k -> w[k*50+1 : k*50+50])) AS cw
+       |      FROM k),
+       |sc AS (SELECT doc_id,
+       |         ${scores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n         ")}
+       |       FROM c),
+       |pred AS (SELECT doc_id,
+       |       CASE $cases
+       |            ELSE '${langs.last}' END AS pred
+       |       FROM sc),
+       |g AS (SELECT doc_id, count(*) AS n_chunks,
+       |             count(DISTINCT pred) AS n_langs
+       |      FROM pred GROUP BY 1)
+       |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+       |       CAST(n_langs AS BIGINT) AS n_langs, n_langs >= 2 AS mixed
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -4219,6 +4274,7 @@ object QueriesExt {
     Entry("q127_weighted_paths", q127, Some(q127Sql)),
     Entry("q128_rate_spikes", q128, Some(q128Sql)),
     Entry("q129_entity_resolution", q129, Some(q129Sql)),
-    Entry("q130_association_rules", q130, Some(q130Sql))
+    Entry("q130_association_rules", q130, Some(q130Sql)),
+    Entry("q131_lang_consistency", q131, Some(q131Sql))
   )
 }
