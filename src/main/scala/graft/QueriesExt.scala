@@ -4170,6 +4170,90 @@ object QueriesExt {
        |FROM g ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------ label-propagation communities (q132)
+
+  /** Community detection over the strong-tie co-purchase graph:
+    * deterministic synchronous LPA ([[graft.operators.Graph.labelPropagation]]
+    * — most-frequent neighbour label, ties to the smallest, 3 fixed
+    * rounds). The community complement to q122's connected components on
+    * the SAME edge table ([[coPurchasePairCounts]], so the lineitem
+    * self-join is still paid once across q85/q106/q122/q132): components
+    * flood the min id everywhere; frequency voting keeps densely-knit
+    * part clusters apart. The oracle unrolls the three synchronous rounds
+    * as chained window-argmax CTEs — an independent re-derivation of
+    * every vote. */
+  private val q132: Q = (s, dir) => {
+    val strong = coPurchasePairCounts(s, dir)
+      .filter(col("n_ord") >= 2)
+      .select(col("a"), col("b"))
+    graft.operators.Graph.labelPropagation(strong, rounds = 3)
+      .select(col("n").cast("long").as("part_id"),
+        col("label").cast("long").as("community_id"))
+      .orderBy(col("part_id"))
+  }
+
+  private val q132Sql = {
+    def round(prev: String, cur: String): String =
+      s"""c$cur AS (
+         |  SELECT e.n, l.label, count(*) AS c
+         |  FROM e JOIN l$prev l ON l.n = e.m GROUP BY 1, 2),
+         |l$cur AS (
+         |  SELECT n, label FROM (
+         |    SELECT n, label,
+         |           row_number() OVER (PARTITION BY n
+         |                              ORDER BY c DESC, label) AS rn
+         |    FROM c$cur) WHERE rn = 1)""".stripMargin
+    s"""WITH p AS (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING count(DISTINCT x.l_orderkey) >= 2),
+       |e AS (SELECT a AS n, b AS m FROM p UNION ALL SELECT b, a FROM p),
+       |l0 AS (SELECT DISTINCT n, n AS label FROM e),
+       |${round("0", "1")},
+       |${round("1", "2")},
+       |${round("2", "3")}
+       |SELECT CAST(n AS BIGINT) AS part_id,
+       |       CAST(label AS BIGINT) AS community_id
+       |FROM l3 ORDER BY part_id""".stripMargin
+  }
+
+  // ------------------------------ HyperLogLog distinct count (q133)
+
+  /** HLL distinct-order count over lineitem
+    * ([[graft.operators.Sketch.hllRegisters]], m = 1024 → σ ≈ 3.2%) next
+    * to the exact `countDistinct` — ClickHouse's `uniq`-vs-`uniqExact`
+    * pair as one row. All-integer rank/harmonic arithmetic (powers of
+    * two sum exactly; no float log₂), so the DuckDB oracle rebuilds the
+    * identical register table and estimate bit-for-bit. At 100 TB the
+    * register table is ≤ 1024 rows of max-combinable state however many
+    * rows the scan feeds it; the exact side's shuffle carries the full
+    * distinct key set — the pair IS the cost argument for the sketch. */
+  private val q133: Q = (s, dir) => {
+    import graft.operators.Sketch
+    val li = t(s, dir, "lineitem")
+    Sketch.hllEstimate(Sketch.hllRegisters(li, "l_orderkey", m = 1024),
+        m = 1024)
+      .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("exact")))
+  }
+
+  private val q133Sql =
+    """WITH h AS (
+      |  SELECT CAST(('0x' || substring(md5('v:' || CAST(l_orderkey AS VARCHAR)), 1, 8))
+      |              AS BIGINT) AS h
+      |  FROM lineitem),
+      |b AS (SELECT h >> 22 AS reg, h & 4194303 AS rem FROM h),
+      |r AS (SELECT reg, max(CASE WHEN rem = 0 THEN 23
+      |                           ELSE 23 - length(bin(rem)) END) AS r
+      |      FROM b GROUP BY reg),
+      |s AS (SELECT coalesce(sum(CAST(1 AS BIGINT) << (32 - r)), 0)
+      |             + (1024 - count(*)) * 4294967296 AS S
+      |      FROM r)
+      |SELECT CAST(CAST(720541 AS HUGEINT) * 1048576 * 4294967296
+      |            // (1000000 * S) AS BIGINT) AS est,
+      |       (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS exact
+      |FROM s""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -4275,6 +4359,8 @@ object QueriesExt {
     Entry("q128_rate_spikes", q128, Some(q128Sql)),
     Entry("q129_entity_resolution", q129, Some(q129Sql)),
     Entry("q130_association_rules", q130, Some(q130Sql)),
-    Entry("q131_lang_consistency", q131, Some(q131Sql))
+    Entry("q131_lang_consistency", q131, Some(q131Sql)),
+    Entry("q132_label_propagation", q132, Some(q132Sql)),
+    Entry("q133_hll_distinct", q133, Some(q133Sql))
   )
 }

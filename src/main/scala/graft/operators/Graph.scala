@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bulk-iterative graph analytics on DataFrames.
@@ -301,5 +302,56 @@ object Graph {
     }
     throw new IllegalStateException(
       s"kCore did not converge within $maxRounds rounds")
+  }
+
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007) —
+    * community detection as a bulk-iterative fixpoint: every node starts
+    * labeled with its own id, and each round adopts the label most
+    * frequent among its NEIGHBOURS (ties to the smallest label, making
+    * the update a deterministic pure function of the graph — classic LPA
+    * breaks ties randomly and is run-to-run unstable; determinism is what
+    * lets the DuckDB oracle re-derive the identical labeling, the q81
+    * integral-PageRank discipline). A FIXED round count, not convergence
+    * detection: synchronous LPA can 2-cycle on bipartite-ish regions, so
+    * "labels stopped changing" is not guaranteed to arrive; a bounded
+    * round count is the streaming-safe contract (and each extra round is
+    * one join + one aggregate — cost is explicit, not data-dependent).
+    *
+    * Distinct from [[graft.operators.NearDup.clusters]] (min-label =
+    * connected components): frequency voting splits a component into
+    * densely-connected communities instead of flooding the component
+    * min everywhere.
+    *
+    * Scale shape: per round ONE equi-join (edges ⋈ labels on the
+    * neighbour end, both sides hash-partitioned on the join key), one
+    * map-side-combinable count aggregate, and one per-node window argmax
+    * (partitioned by node — no global window). Labels are
+    * lineage-truncated per round (the [[pageRank]] discipline).
+    *
+    * @param canon distinct canonical undirected edges `(a, b)`, a < b
+    *              ([[canonicalUndirected]]'s contract), already
+    *              materialized by the caller
+    * @return (node, label) for every node incident to an edge; `label`
+    *         is a node id in the same community */
+  def labelPropagation(canon: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"labelPropagation needs rounds >= 1, got $rounds")
+    val e = canon.select(col("a").as("n"), col("b").as("m"))
+      .unionByName(canon.select(col("b").as("n"), col("a").as("m")))
+      .localCheckpoint()
+    var labels = e.select(col("n")).distinct()
+      .select(col("n"), col("n").as("label"))
+      .localCheckpoint()
+    val byVotes = Window.partitionBy(col("n"))
+      .orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      labels = e
+        .join(labels.select(col("n").as("m"), col("label")), "m")
+        .groupBy(col("n"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byVotes))
+        .filter(col("rn") === 1)
+        .select(col("n"), col("label"))
+        .localCheckpoint()
+    }
+    labels
   }
 }

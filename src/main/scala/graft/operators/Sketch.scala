@@ -150,6 +150,63 @@ object Sketch {
         "AS BIGINT)").as("est"))
   }
 
+  /** HyperLogLog register table (Flajolet, Fusy, Gandouet & Meunier
+    * 2007): m registers keyed by the TOP log₂(m) bits of a 32-bit md5
+    * lane, each keeping the MAX rank (leading-zero count + 1) of the
+    * remaining 32−log₂(m) bits. `max` is idempotent-combinable, so the
+    * sketch is map-side combinable and mergeable across shards/days by
+    * cellwise max at ≤ m rows of state — the industry-standard
+    * distinct-count sketch (ClickHouse's `uniq` family, Spark's own
+    * `approx_count_distinct`) next to [[distinctMin]]'s min-value
+    * estimator; HLL's max-rank register is 5 bits of state where the min
+    * sketch keeps a 32-bit hash, and its relative error is the tighter
+    * 1.04/√m. The rank is derived with INTEGER arithmetic only
+    * (`bit_length` via `bin()` string length, not a float log₂, which
+    * rounds differently across engines at exact powers of two).
+    *
+    * @param m register count, a power of two in [16, 65536]
+    * @return (reg, r) — only registers at least one key hashed into */
+  def hllRegisters(df: DataFrame, keyCol: String, m: Int): DataFrame = {
+    require(m >= 16 && m <= 65536 && (m & (m - 1)) == 0,
+      s"hllRegisters needs a power-of-two m in [16, 65536], got $m")
+    val remBits = 32 - Integer.numberOfTrailingZeros(m)
+    val h = conv(substring(md5(concat(lit("v:"), col(keyCol).cast("string"))),
+      1, 8), 16, 10).cast("long")
+    df.select(shiftright(h, remBits).as("reg"),
+        h.bitwiseAND(lit((1L << remBits) - 1)).as("rem"))
+      .select(col("reg"),
+        when(col("rem") === 0, lit(remBits + 1))
+          .otherwise(lit(remBits + 1) - length(bin(col("rem")))).as("rho"))
+      .groupBy("reg").agg(max(col("rho")).cast("int").as("r"))
+  }
+
+  /** Cardinality estimate from an [[hllRegisters]] sketch: the raw HLL
+    * harmonic mean  est = α_m·m² / Σ_j 2^(−M_j)  (empty register ⇒ 2⁰),
+    * computed end-to-end in integers by scaling the denominator with
+    * 2³²:  est = α_micro·m²·2³² DIV (10⁶·S),  S = Σ 2^(32−M_j) — each
+    * term a power of two, so S is EXACT (no float-sum order dependence)
+    * and ≤ m·2³². α_micro = round(10⁶·0.7213/(1 + 1.079/m)), the
+    * standard bias constant for m ≥ 128, folded at plan time. The
+    * numerator passes through DECIMAL(38,0) (α_micro·m²·2³² overflows
+    * int64 past m=2⁹) and the final estimate lands back in BIGINT. No
+    * small-range linear-counting correction: callers below ~2.5·m
+    * distinct should use exact `countDistinct` — the sketch is for the
+    * regime where the distinct set doesn't fit.
+    *
+    * @param m the register count the sketch was built with
+    * @return one row (est: long) */
+  def hllEstimate(regs: DataFrame, m: Int): DataFrame = {
+    require(m >= 128 && m <= 65536 && (m & (m - 1)) == 0,
+      s"hllEstimate needs a power-of-two m in [128, 65536], got $m")
+    val alphaMicro = math.round(1e6 * 0.7213 / (1 + 1.079 / m))
+    regs
+      .agg(expr("coalesce(sum(shiftleft(CAST(1 AS BIGINT), 32 - r)), 0)" +
+        s" + ($m - count(1)) * 4294967296").as("S"))
+      .select(expr(s"CAST(CAST($alphaMicro AS DECIMAL(38,0))" +
+        s" * ${m.toLong * m} * 4294967296 DIV (1000000 * S) AS BIGINT)")
+        .as("est"))
+  }
+
   /** Cardinality estimate from a [[distinctMin]] sketch. The min of n_i
     * uniform hashes over [0, 2^32) sits near 2^32/(n_i+1), but 1/min is
     * heavy-tailed (one unluckily small min wrecks a per-bucket estimate) —

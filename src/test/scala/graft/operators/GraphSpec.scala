@@ -229,4 +229,49 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  /** Reference implementation of one synchronous LPA round: most
+    * frequent neighbour label, ties to the smallest. */
+  private def localLpa(canon: Seq[(String, String)], rounds: Int): Map[String, String] = {
+    val adj = (canon ++ canon.map(_.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2) }
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      labels = adj.map { case (n, nbrs) =>
+        n -> nbrs.groupBy(labels).map { case (l, v) => (l, v.size) }
+          .toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  // two triangles bridged by one edge: LPA keeps the communities apart
+  // where connected components would flood min("a") everywhere
+  private val barbell = Seq(
+    ("a", "b"), ("a", "c"), ("b", "c"),
+    ("x", "y"), ("x", "z"), ("y", "z"),
+    ("c", "x"))
+
+  test("labelPropagation matches the synchronous reference and splits a barbell") {
+    val canon = Graph.canonicalUndirected(
+      barbell.toDF("src", "dst")).localCheckpoint()
+    val got = Graph.labelPropagation(canon, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == localLpa(barbell.map { case (u, v) =>
+      if (u < v) (u, v) else (v, u) }.distinct, 3))
+    // each triangle converges to one label, and the two labels differ
+    assert(got("a") == got("b") && got("b") == got("c"))
+    assert(got("x") == got("y") && got("y") == got("z"))
+    assert(got("a") != got("x"))
+  }
+
+  test("labelPropagation is partition-invariant") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((s"n${rnd.nextInt(50)}", s"n${rnd.nextInt(50)}"))
+    def run(parts: Int) = Graph.labelPropagation(
+        Graph.canonicalUndirected(edges.toDF("src", "dst"))
+          .repartition(parts).localCheckpoint(), rounds = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(run(1) == run(13))
+  }
 }

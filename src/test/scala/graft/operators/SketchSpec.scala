@@ -129,6 +129,37 @@ class SketchSpec extends SparkSpec {
     assert(fromCounts == fromRaw)
   }
 
+  test("hllEstimate lands within 4 sigma of the true cardinality") {
+    val n = 30000
+    val vals = (0 until n).map(i => s"v$i")
+    val est = Sketch.hllEstimate(
+        Sketch.hllRegisters(vals.toDF("k"), "k", m = 1024), m = 1024)
+      .collect()(0).getLong(0)
+    // sigma = 1.04/sqrt(1024) ~ 3.25%; 4 sigma = 13%
+    assert(math.abs(est - n) < n * 0.13, s"est $est vs true $n")
+  }
+
+  test("hllRegisters is duplicate-insensitive and partition-invariant") {
+    val vals = Seq.fill(5000)(s"u${rnd.nextInt(700)}")
+    val once = Sketch.hllRegisters(vals.distinct.toDF("k").coalesce(1),
+        "k", m = 256).orderBy("reg").collect().toSeq
+    val dup = Sketch.hllRegisters(vals.toDF("k").repartition(11),
+        "k", m = 256).orderBy("reg").collect().toSeq
+    assert(dup == once)
+  }
+
+  test("hllRegisters MERGE by cellwise max") {
+    val vals = (0 until 4000).map(i => s"w$i")
+    val (va, vb) = vals.splitAt(1500)
+    val merged = Sketch.hllRegisters(va.toDF("k"), "k", m = 256)
+      .unionByName(Sketch.hllRegisters(vb.toDF("k"), "k", m = 256))
+      .groupBy("reg").agg(max("r").cast("int").as("r"))
+      .orderBy("reg").collect().toSeq
+    val whole = Sketch.hllRegisters(vals.toDF("k"), "k", m = 256)
+      .orderBy("reg").collect().toSeq
+    assert(merged == whole)
+  }
+
   test("distinctMin sketches MERGE by cellwise min") {
     val (ka, kb) = manyKeys.splitAt(2000)
     val merged = Sketch.distinctMin(ka.toDF("k"), "k", 64)
