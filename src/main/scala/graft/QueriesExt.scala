@@ -4254,6 +4254,63 @@ object QueriesExt {
       |       (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS exact
       |FROM s""".stripMargin
 
+  // ------------------------------ rolling active users (q134)
+
+  /** DAU / WAU / MAU — daily actives plus rolling 7- and 28-day distinct
+    * users per day, the product-analytics staple (ClickHouse's
+    * `uniq(...)` over sliding date ranges). Spark has no
+    * `count(DISTINCT) OVER (RANGE ...)`, and fanning the raw corpus ×28
+    * is the naive scale-killer — so the shape here is dedup-first: ONE
+    * pass reduces events to distinct (day, user) pairs (the inherent
+    * smallest sufficient state, |days|·|actives/day| rows no matter the
+    * event volume), and only those pairs fan out to the ≤ 28 window days
+    * they serve (`sequence` + explode — bounded, day-aligned by the q128
+    * floor discipline, so the fan-out target equi-joins the real day
+    * set instead of range-joining). The oracle derives the same three
+    * counts with range joins — an independent derivation of every
+    * window membership. */
+  private val q134: Q = (s, dir) => {
+    val dayUs = 86400000000L
+    val pairs = t(s, dir, "events")
+      .select((unix_micros(col("ts"))
+          - pmod(unix_micros(col("ts")), lit(dayUs))).as("day_us"),
+        col("user_id"))
+      .distinct()
+      .localCheckpoint() // read 3×: dau + two fan-outs
+    val days = pairs.select(col("day_us")).distinct()
+    def rolling(n: Int, name: String): DataFrame = pairs
+      .select(explode(sequence(col("day_us"),
+          col("day_us") + lit((n - 1).toLong * dayUs), lit(dayUs)))
+        .as("day_us"), col("user_id"))
+      .join(broadcast(days), "day_us") // drop windows past the last day
+      .groupBy(col("day_us"))
+      .agg(countDistinct(col("user_id")).as(name))
+    pairs.groupBy(col("day_us")).agg(countDistinct(col("user_id")).as("dau"))
+      .join(rolling(7, "wau"), "day_us")
+      .join(rolling(28, "mau"), "day_us")
+      .orderBy(col("day_us"))
+  }
+
+  private val q134Sql =
+    """WITH ev AS (
+      |  SELECT DISTINCT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+      |         user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT day_us FROM ev),
+      |dau AS (SELECT day_us, count(DISTINCT user_id) AS dau FROM ev GROUP BY 1),
+      |wau AS (SELECT d.day_us, count(DISTINCT e.user_id) AS wau
+      |        FROM ev e JOIN days d
+      |          ON d.day_us BETWEEN e.day_us AND e.day_us + 6*86400000000
+      |        GROUP BY 1),
+      |mau AS (SELECT d.day_us, count(DISTINCT e.user_id) AS mau
+      |        FROM ev e JOIN days d
+      |          ON d.day_us BETWEEN e.day_us AND e.day_us + 27*86400000000
+      |        GROUP BY 1)
+      |SELECT day_us, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+      |       CAST(mau AS BIGINT) AS mau
+      |FROM dau JOIN wau USING (day_us) JOIN mau USING (day_us)
+      |ORDER BY day_us""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -4361,6 +4418,7 @@ object QueriesExt {
     Entry("q130_association_rules", q130, Some(q130Sql)),
     Entry("q131_lang_consistency", q131, Some(q131Sql)),
     Entry("q132_label_propagation", q132, Some(q132Sql)),
-    Entry("q133_hll_distinct", q133, Some(q133Sql))
+    Entry("q133_hll_distinct", q133, Some(q133Sql)),
+    Entry("q134_active_users", q134, Some(q134Sql))
   )
 }
