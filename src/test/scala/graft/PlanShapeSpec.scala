@@ -289,7 +289,12 @@ class PlanShapeSpec extends SparkSpec {
       "q127_weighted_paths", "q129_entity_resolution",
       // q130 cross-joins the 1-row basket-count aggregate (the q55
       // broadcast-scalar class)
-      "q130_association_rules")
+      "q130_association_rules",
+      // q132 runs the label-propagation fixpoint eagerly (the
+      // q48/q106/q122 class) — its plan here is the post-fixpoint
+      // projection; q133 cross-joins two 1-row aggregates (HLL est ×
+      // exact countDistinct — the q96/q105 two-scalar class)
+      "q132_label_propagation", "q133_hll_distinct")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")
