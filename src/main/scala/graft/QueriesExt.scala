@@ -4311,6 +4311,53 @@ object QueriesExt {
       |FROM dau JOIN wau USING (day_us) JOIN mau USING (day_us)
       |ORDER BY day_us""".stripMargin
 
+  // ------------------------------ clustering coefficient (q135)
+
+  /** Local clustering coefficient over the part co-purchase graph
+    * ([[graft.operators.Graph.clusteringCoefficient]]): the fraction of
+    * each part's co-purchase partners that are co-purchased with each
+    * other — the per-node density signal next to q85's raw triangle
+    * counts (hub vs clique member), in exact integer micro-units. Fifth
+    * consumer of [[coPurchasePairCounts]]: the lineitem self-join is
+    * still paid once for the whole graph family, and the only new work
+    * beyond q85's triangle pass is a node-sized degree aggregate and a
+    * node-keyed left join. The oracle re-derives triangles brute-force
+    * (the q85 CTEs) plus the degree table, with the micro-unit ratio
+    * through HUGEINT floor division ≡ Spark's DECIMAL(38,0) DIV on
+    * non-negative operands. */
+  private val q135: Q = (s, dir) =>
+    graft.operators.Graph.clusteringCoefficient(coPurchaseCanon(s, dir))
+      .select(col("node").cast("long").as("part_id"), col("deg"),
+        col("tri_cnt"), col("cc_micro"))
+      .orderBy(col("part_id"))
+
+  private val q135Sql =
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY node),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tc AS (
+      |  SELECT node, count(*) AS tri_cnt FROM (
+      |    SELECT x AS node FROM tri
+      |    UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri)
+      |  GROUP BY node)
+      |SELECT CAST(d.node AS BIGINT) AS part_id,
+      |       CAST(d.deg AS BIGINT) AS deg,
+      |       CAST(coalesce(t.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+      |       CAST(CAST(2000000 AS HUGEINT) * coalesce(t.tri_cnt, 0)
+      |            // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_micro
+      |FROM deg d LEFT JOIN tc t ON t.node = d.node
+      |WHERE d.deg >= 2 ORDER BY part_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -4419,6 +4466,7 @@ object QueriesExt {
     Entry("q131_lang_consistency", q131, Some(q131Sql)),
     Entry("q132_label_propagation", q132, Some(q132Sql)),
     Entry("q133_hll_distinct", q133, Some(q133Sql)),
-    Entry("q134_active_users", q134, Some(q134Sql))
+    Entry("q134_active_users", q134, Some(q134Sql)),
+    Entry("q135_clustering_coef", q135, Some(q135Sql))
   )
 }

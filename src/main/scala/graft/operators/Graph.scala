@@ -354,4 +354,39 @@ object Graph {
     }
     labels
   }
+
+  /** Local clustering coefficient (Watts & Strogatz 1998): the fraction
+    * of a node's neighbour pairs that are themselves connected,
+    * cc = 2·tri(n) / (deg(n)·(deg(n)−1)) — the per-node density signal
+    * community/anomaly pipelines read next to raw triangle counts (a
+    * high-degree node with cc≈0 is a hub; cc≈1 is a clique member).
+    * Emitted in exact integer MICRO-units (the engine-wide rational
+    * discipline): cc_micro = 2·10⁶·tri DIV (deg·(deg−1)), every operand
+    * non-negative so Spark's truncating DIV and an oracle's floor
+    * division agree, with the numerator passed through DECIMAL(38,0)
+    * (2·10⁶·tri wraps int64 once a node closes > ~4.6·10¹² triangles —
+    * real for celebrity hubs in power-law graphs).
+    *
+    * Scale shape: one [[triangleCountsCanonical]] pass plus one
+    * node-sized degree aggregate and a node-keyed left join (tri = 0 for
+    * triangle-free nodes) — no work beyond what triangle counting
+    * already pays. Nodes of degree 1 are excluded (zero neighbour
+    * pairs: the coefficient is undefined, not 0).
+    *
+    * @param canon distinct canonical undirected edges `(a, b)`, a < b
+    *              ([[canonicalUndirected]]'s contract), already
+    *              materialized by the caller
+    * @return (node, deg, tri_cnt, cc_micro) for every node of degree ≥ 2 */
+  def clusteringCoefficient(canon: DataFrame): DataFrame = {
+    val deg = canon.select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(triangleCountsCanonical(canon), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+      .withColumn("cc_micro",
+        expr("CAST(CAST(2000000 AS DECIMAL(38,0)) * tri_cnt" +
+          " DIV (deg * (deg - 1)) AS BIGINT)"))
+  }
 }

@@ -265,6 +265,37 @@ class GraphSpec extends SparkSpec {
     assert(got("a") != got("x"))
   }
 
+  test("clusteringCoefficient matches a brute-force reference") {
+    // barbell: triangle members have cc=1 except the bridge endpoints
+    // (c and x: deg 3, still only 1 closed pair of 3 => 333333)
+    val canon = Graph.canonicalUndirected(barbell.toDF("src", "dst"))
+      .localCheckpoint()
+    val got = Graph.clusteringCoefficient(canon).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val edgeSet = barbell.flatMap { case (u, v) => Seq((u, v), (v, u)) }.toSet
+    val adj = edgeSet.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    val want = adj.collect { case (n, nbrs) if nbrs.size >= 2 =>
+      val pairs = nbrs.toSeq.combinations(2).size.toLong
+      val closed = nbrs.toSeq.combinations(2)
+        .count { case Seq(u, v) => edgeSet((u, v)) }.toLong
+      n -> (nbrs.size.toLong, closed, 1000000L * closed / pairs)
+    }
+    assert(got == want)
+    assert(got("a") == ((2L, 1L, 1000000L)) && got("c") == ((3L, 1L, 333333L)))
+  }
+
+  test("clusteringCoefficient excludes degree-1 nodes, keeps tri-free ones") {
+    // path p-q-r plus pendant t on q: q has deg 3, zero triangles
+    val canon = Graph.canonicalUndirected(
+      Seq(("p", "q"), ("q", "r"), ("q", "t")).toDF("src", "dst"))
+      .localCheckpoint()
+    val got = Graph.clusteringCoefficient(canon).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map("q" -> ((3L, 0L, 0L))))
+  }
+
   test("labelPropagation is partition-invariant") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(300)((s"n${rnd.nextInt(50)}", s"n${rnd.nextInt(50)}"))
