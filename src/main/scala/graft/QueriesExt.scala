@@ -4358,6 +4358,156 @@ object QueriesExt {
       |FROM deg d LEFT JOIN tc t ON t.node = d.node
       |WHERE d.deg >= 2 ORDER BY part_id""".stripMargin
 
+  // ------------------------------ multi-touch attribution (q136)
+
+  /** Linear multi-touch attribution: every click/view in the 3 days
+    * before a purchase shares that conversion's credit equally, summed
+    * per channel — the marketing-analytics complement to q17's
+    * last-touch. The touch→conversion pairing uses NO join: a reverse
+    * cumulative sum of purchase flags per user (one window pass) gives
+    * each event the id of the next purchase at-or-after it — grp g is
+    * exactly "the g-th purchase counting back from the end", so a
+    * group holds one purchase plus every touch since the previous one,
+    * and the lookback then trims it to 3 days. Credit is exact integer
+    * micro-units: base = 10⁶ DIV n per touch with the division
+    * remainder assigned to the MOST RECENT touch (deterministic, and
+    * per-conversion credits sum to exactly 10⁶ — float shares would
+    * neither sum exactly nor hash-match). Scale shape: two
+    * user-partitioned window passes and one hash aggregate — no shuffle
+    * beyond the user partitioning, no self-join of the event log. The
+    * oracle mirrors the same two windows in DuckDB (WHERE precedes
+    * window evaluation identically in both engines). */
+  private val q136: Q = (s, dir) => {
+    val lookbackUs = 3L * 86400000000L
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"),
+        (col("event_type") === "purchase").cast("int").as("is_p"))
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val grouped = ev
+      .withColumn("grp", sum(col("is_p")).over(
+        wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("grp") >= 1)
+      .withColumn("p_us", max(when(col("is_p") === 1, col("us")))
+        .over(Window.partitionBy(col("user_id"), col("grp"))))
+    val touches = grouped
+      .filter(col("is_p") === 0 && col("us") >= col("p_us") - lookbackUs)
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("user_id"), col("grp"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("grp"))
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .withColumn("base", expr("1000000 DIV n"))
+      .withColumn("credit", when(col("rn") === 1,
+        lit(1000000L) - (col("n") - 1) * col("base"))
+        .otherwise(col("base")))
+    touches
+      .groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("touches"),
+        countDistinct(concat(col("user_id"), lit("#"), col("grp")))
+          .as("conversions"),
+        sum(col("credit")).as("credit_micro"))
+      .orderBy(col("channel"))
+  }
+
+  private val q136Sql =
+    """WITH ev AS (
+      |  SELECT event_id, epoch_us(ts) AS us, user_id, event_type,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      |  FROM events WHERE event_type IN ('purchase', 'click', 'view')),
+      |g AS (
+      |  SELECT *, sum(is_p) OVER (
+      |           PARTITION BY user_id ORDER BY us DESC, event_id DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM ev),
+      |gp AS (
+      |  SELECT *, max(CASE WHEN is_p = 1 THEN us END)
+      |              OVER (PARTITION BY user_id, grp) AS p_us
+      |  FROM g WHERE grp >= 1),
+      |touch AS (
+      |  SELECT *, count(*) OVER (PARTITION BY user_id, grp) AS n,
+      |         row_number() OVER (PARTITION BY user_id, grp
+      |                            ORDER BY us DESC, event_id DESC) AS rn
+      |  FROM gp WHERE is_p = 0 AND us >= p_us - 259200000000),
+      |cr AS (
+      |  SELECT event_type, user_id, grp,
+      |         CASE WHEN rn = 1 THEN 1000000 - (n - 1) * (1000000 // n)
+      |              ELSE 1000000 // n END AS credit
+      |  FROM touch)
+      |SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS touches,
+      |       CAST(count(DISTINCT user_id || '#' || grp) AS BIGINT)
+      |         AS conversions,
+      |       CAST(sum(credit) AS BIGINT) AS credit_micro
+      |FROM cr GROUP BY channel ORDER BY channel""".stripMargin
+
+  // ------------------------------ KMV sketch set operations (q137)
+
+  /** Audience-overlap estimation from mergeable sketches: the Jaccard /
+    * union / intersection of the clicker and purchaser user sets,
+    * estimated from two k=64 bottom-k (KMV) sketches
+    * ([[graft.operators.Sketch.kmv]]/[[Sketch.kmvSetOps]]) next to the
+    * exact answers — the Theta-sketch workflow (segment overlap without
+    * co-shuffling the raw sets; ClickHouse reaches for uniqCombined
+    * merges here). At 100 TB each side collapses to ≤ 64 rows before
+    * anything crosses the wire; the exact side's intersect/union
+    * distinct-shuffles carry the full user sets — the pair IS the cost
+    * argument, the q133 uniq-vs-uniqExact discipline. The oracle
+    * rebuilds both sketches hash-for-hash (same md5 lane) and re-derives
+    * the same integer estimators. */
+  private val q137: Q = (s, dir) => {
+    import graft.operators.Sketch
+    val k = 64
+    val ev = t(s, dir, "events")
+    def users(tpe: String): DataFrame =
+      ev.filter(col("event_type") === tpe).select(col("user_id"))
+    val ska = Sketch.kmv(users("click"), "user_id", k).localCheckpoint()
+    val skb = Sketch.kmv(users("purchase"), "user_id", k).localCheckpoint()
+    val ua = users("click").distinct()
+    val ub = users("purchase").distinct()
+    Sketch.kmvSetOps(ska, skb, k)
+      .crossJoin(ua.intersect(ub).agg(count(lit(1)).as("exact_inter")))
+      .crossJoin(ua.union(ub).distinct().agg(count(lit(1)).as("exact_union")))
+      .withColumn("exact_jaccard_micro",
+        expr("CAST(1000000 * exact_inter DIV exact_union AS BIGINT)"))
+  }
+
+  private val q137Sql =
+    """WITH a AS (
+      |  SELECT DISTINCT CAST(('0x' || substring(md5('v:' || CAST(user_id AS VARCHAR)), 1, 8))
+      |                       AS BIGINT) AS h
+      |  FROM events WHERE event_type = 'click' ORDER BY h LIMIT 64),
+      |b AS (
+      |  SELECT DISTINCT CAST(('0x' || substring(md5('v:' || CAST(user_id AS VARCHAR)), 1, 8))
+      |                       AS BIGINT) AS h
+      |  FROM events WHERE event_type = 'purchase' ORDER BY h LIMIT 64),
+      |u AS (SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b)
+      |      ORDER BY h LIMIT 64),
+      |st AS (
+      |  SELECT count(*) AS m, max(h) AS kth,
+      |         sum(CASE WHEN h IN (SELECT h FROM a)
+      |                   AND h IN (SELECT h FROM b) THEN 1 ELSE 0 END) AS o
+      |  FROM u),
+      |est AS (
+      |  SELECT CAST(CASE WHEN m < 64 THEN m
+      |                   ELSE 63 * 4294967296 // (kth + 1) END AS BIGINT) AS union_est,
+      |         m, o
+      |  FROM st),
+      |ca AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |cb AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      |exi AS (SELECT count(*) AS exact_inter FROM ca JOIN cb USING (user_id)),
+      |exu AS (SELECT count(*) AS exact_union FROM
+      |          (SELECT user_id FROM ca UNION SELECT user_id FROM cb))
+      |SELECT union_est,
+      |       CAST(o * union_est // m AS BIGINT) AS inter_est,
+      |       CAST(1000000 * o // m AS BIGINT) AS jaccard_micro,
+      |       CAST(exact_inter AS BIGINT) AS exact_inter,
+      |       CAST(exact_union AS BIGINT) AS exact_union,
+      |       CAST(1000000 * exact_inter // exact_union AS BIGINT)
+      |         AS exact_jaccard_micro
+      |FROM est, exi, exu""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -4467,6 +4617,8 @@ object QueriesExt {
     Entry("q132_label_propagation", q132, Some(q132Sql)),
     Entry("q133_hll_distinct", q133, Some(q133Sql)),
     Entry("q134_active_users", q134, Some(q134Sql)),
-    Entry("q135_clustering_coef", q135, Some(q135Sql))
+    Entry("q135_clustering_coef", q135, Some(q135Sql)),
+    Entry("q136_attribution", q136, Some(q136Sql)),
+    Entry("q137_kmv_set_ops", q137, Some(q137Sql))
   )
 }

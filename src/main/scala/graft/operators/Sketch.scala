@@ -150,6 +150,67 @@ object Sketch {
         "AS BIGINT)").as("est"))
   }
 
+  /** Bottom-k (KMV, k-minimum-values) distinct-value sketch (Bar-Yossef
+    * et al. 2002): the k smallest DISTINCT 32-bit md5 hash values of the
+    * key set. Unlike [[distinctMin]]/[[hllRegisters]], a KMV sketch
+    * supports SET OPERATIONS ([[kmvSetOps]]): because every engine
+    * hashing the same key produces the same h, two sketches share
+    * exactly the hashes their key sets share — the Theta-sketch
+    * workflow (estimate |A∪B|, |A∩B|, Jaccard between segments without
+    * ever co-shuffling the raw sets). Mergeable: k smallest of the
+    * union of two sketches ≡ the sketch of the union. The global
+    * order-limit compiles to TakeOrdered — per-partition bounded heaps,
+    * then a k-row merge on the driver side of the exchange; state is
+    * ≤ k rows no matter the input.
+    *
+    * @return single column (h: long), the k smallest distinct hashes */
+  def kmv(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    df.select(
+        conv(substring(md5(concat(lit("v:"), col(keyCol).cast("string"))), 1, 8),
+          16, 10).cast("long").as("h"))
+      .distinct().orderBy(col("h")).limit(k)
+  }
+
+  /** Set-operation estimates from two [[kmv]] sketches built with the
+    * same k (contract: pass MATERIALIZED sketches — each side is read
+    * twice, for the union re-sketch and the membership flags, and both
+    * are ≤ k rows). The union sketch u = k smallest of a ∪ b is itself
+    * a valid KMV sketch of A∪B; with o = |{h ∈ u : h ∈ a ∧ h ∈ b}|:
+    *
+    *   union_est   = (k−1)·2³² DIV (h_k + 1)   (the KMV unbiased
+    *                 estimator; +1 dodges h=0 and biases by < 2⁻³²),
+    *                 or exactly |u| when the sketch is under-full
+    *                 (m < k ⇒ u holds EVERY union hash)
+    *   jaccard_micro = 10⁶·o DIV m             (o/m is the standard
+    *                 KMV Jaccard estimator over the union sample)
+    *   inter_est   = o·union_est DIV m
+    *
+    * All-integer arithmetic throughout (the engine-wide rational
+    * discipline) — every operand non-negative, so truncating DIV ≡
+    * floor division across engines. The membership joins broadcast
+    * ≤ k-row sides.
+    *
+    * @return one row (union_est, inter_est, jaccard_micro) */
+  def kmvSetOps(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"kmvSetOps needs k >= 2, got $k")
+    val u = a.unionByName(b).distinct().orderBy(col("h")).limit(k)
+    u.join(broadcast(a.withColumn("in_a", lit(1))), Seq("h"), "left")
+      .join(broadcast(b.withColumn("in_b", lit(1))), Seq("h"), "left")
+      .agg(count(lit(1)).as("m"), max(col("h")).as("kth"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1).otherwise(0))
+          .as("o"))
+      .select(
+        expr(s"CAST(CASE WHEN m < $k THEN m" +
+          s" ELSE ${k - 1} * 4294967296 DIV (kth + 1) END AS BIGINT)")
+          .as("union_est"),
+        col("m"), col("o"))
+      .select(
+        col("union_est"),
+        expr("CAST(o * union_est DIV m AS BIGINT)").as("inter_est"),
+        expr("CAST(1000000 * o DIV m AS BIGINT)").as("jaccard_micro"))
+  }
+
   /** HyperLogLog register table (Flajolet, Fusy, Gandouet & Meunier
     * 2007): m registers keyed by the TOP log₂(m) bits of a 32-bit md5
     * lane, each keeping the MAX rank (leading-zero count + 1) of the

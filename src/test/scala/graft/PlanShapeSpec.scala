@@ -294,7 +294,10 @@ class PlanShapeSpec extends SparkSpec {
       // q48/q106/q122 class) — its plan here is the post-fixpoint
       // projection; q133 cross-joins two 1-row aggregates (HLL est ×
       // exact countDistinct — the q96/q105 two-scalar class)
-      "q132_label_propagation", "q133_hll_distinct")
+      "q132_label_propagation", "q133_hll_distinct",
+      // q137 cross-joins three 1-row aggregates (KMV set-op estimates ×
+      // exact intersect × exact union — the q96/q105/q133 scalar class)
+      "q137_kmv_set_ops")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")

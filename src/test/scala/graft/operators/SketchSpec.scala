@@ -160,6 +160,53 @@ class SketchSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("kmv sketch of a union == k-smallest of the merged sketches") {
+    val vals = (0 until 3000).map(i => s"k$i")
+    val (va, vb) = vals.splitAt(1100)
+    val merged = Sketch.kmv(va.toDF("k"), "k", 32)
+      .unionByName(Sketch.kmv(vb.toDF("k"), "k", 32))
+      .distinct().orderBy("h").limit(32).collect().toSeq
+    val whole = Sketch.kmv(vals.toDF("k"), "k", 32)
+      .orderBy("h").collect().toSeq
+    assert(merged == whole)
+  }
+
+  test("kmv is duplicate-insensitive and partition-invariant") {
+    val vals = Seq.fill(4000)(s"d${rnd.nextInt(900)}")
+    val once = Sketch.kmv(vals.distinct.toDF("k").coalesce(1), "k", 48)
+      .orderBy("h").collect().toSeq
+    val dup = Sketch.kmv(vals.toDF("k").repartition(9), "k", 48)
+      .orderBy("h").collect().toSeq
+    assert(dup == once)
+  }
+
+  test("kmvSetOps is EXACT when the union sketch is under-full") {
+    // |A|=20, |B|=15, |A∩B|=10, |A∪B|=25 — all under k=64
+    val a = (0 until 20).map(i => s"s$i")
+    val b = (10 until 25).map(i => s"s$i")
+    val ska = Sketch.kmv(a.toDF("k"), "k", 64).localCheckpoint()
+    val skb = Sketch.kmv(b.toDF("k"), "k", 64).localCheckpoint()
+    val r = Sketch.kmvSetOps(ska, skb, 64).collect()(0)
+    assert(r.getLong(0) == 25L) // union_est exact
+    assert(r.getLong(1) == 10L) // inter_est exact
+    assert(r.getLong(2) == 1000000L * 10 / 25) // jaccard_micro exact
+  }
+
+  test("kmvSetOps estimates land within 4 sigma at over-full sketches") {
+    // two 5000-element sets sharing 2500 keys; k=64 => sigma ~ 1/sqrt(63)
+    val a = (0 until 5000).map(i => s"x$i")
+    val b = (2500 until 7500).map(i => s"x$i")
+    val ska = Sketch.kmv(a.toDF("k"), "k", 64).localCheckpoint()
+    val skb = Sketch.kmv(b.toDF("k"), "k", 64).localCheckpoint()
+    val r = Sketch.kmvSetOps(ska, skb, 64).collect()(0)
+    val trueUnion = 7500.0
+    val trueJ = 2500.0 / 7500.0
+    assert(math.abs(r.getLong(0) - trueUnion) < trueUnion * 0.5,
+      s"union_est ${r.getLong(0)}")
+    assert(math.abs(r.getLong(2) / 1e6 - trueJ) < 4 / math.sqrt(63),
+      s"jaccard_micro ${r.getLong(2)}")
+  }
+
   test("distinctMin sketches MERGE by cellwise min") {
     val (ka, kb) = manyKeys.splitAt(2000)
     val merged = Sketch.distinctMin(ka.toDF("k"), "k", 64)
