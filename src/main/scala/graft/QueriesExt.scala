@@ -4508,6 +4508,73 @@ object QueriesExt {
       |         AS exact_jaccard_micro
       |FROM est, exi, exu""".stripMargin
 
+  // ------------------------------ exact heavy hitters (q138)
+
+  /** Heavy-hitter parts — every part key appearing on at least
+    * N DIV 1500 lineitems — via [[graft.operators.Sketch.heavyHitters]]:
+    * a count-min pre-filter whose one-sided guarantee (est ≥ true) makes
+    * the candidate set a provable superset, then an exact recount over
+    * the survivors. The oracle is sketch-free (plain GROUP BY … HAVING
+    * against the same data-derived threshold) precisely BECAUSE the
+    * sketch only prunes — the final answer is exact. Scale shape: the
+    * corpus is scanned twice but shuffled never-fully — pass 1 reduces
+    * to d·w additive cells, pass 2's estimate filter is a flat codegen'd
+    * map (no explode, no join) and only candidate-key rows reach the
+    * recount exchange. At a skewed 100 TB log that asymmetry is the
+    * whole game; the uniform tail dies map-side. */
+  private val q138: Q = (s, dir) => {
+    import graft.operators.Sketch
+    Sketch.heavyHitters(t(s, dir, "lineitem"), "l_partkey", 1500L)
+      .orderBy(col("l_partkey"))
+  }
+
+  private val q138Sql =
+    """SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem GROUP BY 1
+      |HAVING count(*) >= (SELECT count(*) // 1500 FROM lineitem)
+      |ORDER BY l_partkey""".stripMargin
+
+  // ------------------------------ event-transition matrix (q139)
+
+  /** First-order Markov transition matrix of the event stream: for each
+    * ordered pair of event types, how often does `to` immediately follow
+    * `from` within a user's timeline, and what share of all transitions
+    * out of `from` is that (exact integer micro-probability — per-from
+    * rows sum to ≤ 10⁶ with the remainder lost to truncation, never
+    * re-distributed, so both engines truncate identically). The
+    * sequential dependency is ONE user-partitioned window pass (lag);
+    * everything after operates on the |types|² transition-count table,
+    * where the per-from normalization window is free. No self-join of
+    * the event log — the naive e1 ⋈ e2 ON "next event" formulation is
+    * the scale-killer this shape exists to avoid. */
+  private val q139: Q = (s, dir) => {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    ev.withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prob_micro", expr(
+        "CAST(1000000 * cnt DIV sum(cnt) OVER (PARTITION BY from_type) AS BIGINT)"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val q139Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+      |tr AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY us, event_id) AS from_type,
+      |         event_type AS to_type
+      |  FROM ev)
+      |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(1000000 * count(*) //
+      |            sum(count(*)) OVER (PARTITION BY from_type) AS BIGINT)
+      |         AS prob_micro
+      |FROM tr WHERE from_type IS NOT NULL
+      |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -4619,6 +4686,8 @@ object QueriesExt {
     Entry("q134_active_users", q134, Some(q134Sql)),
     Entry("q135_clustering_coef", q135, Some(q135Sql)),
     Entry("q136_attribution", q136, Some(q136Sql)),
-    Entry("q137_kmv_set_ops", q137, Some(q137Sql))
+    Entry("q137_kmv_set_ops", q137, Some(q137Sql)),
+    Entry("q138_heavy_hitters", q138, Some(q138Sql)),
+    Entry("q139_markov_transitions", q139, Some(q139Sql))
   )
 }

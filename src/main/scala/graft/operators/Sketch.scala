@@ -211,6 +211,52 @@ object Sketch {
         expr("CAST(1000000 * o DIV m AS BIGINT)").as("jaccard_micro"))
   }
 
+  /** Exact heavy hitters via a count-min pre-filter (the ClickHouse
+    * `topK`/`anyHeavy` workflow, made exact): all keys whose frequency
+    * is at least T = N DIV s. Two passes over the input, neither of
+    * which shuffles the full key set:
+    *
+    *   1. build the d×w [[countMin]] sketch (bounded additive state) and
+    *      collect it — a ≤ d·w-cell model, the Ivf/BloomPrune
+    *      bounded-model pattern; N itself is read off lane 0's cell sums,
+    *      costing no extra scan;
+    *   2. re-scan, estimating each row's key frequency with a pure
+    *      codegen'd expression over the collected cell array (min over
+    *      the d lanes, a flat `element_at` per lane — no explode, no
+    *      join, no shuffle) and keep rows with est ≥ T. The CMS
+    *      one-sided guarantee (est ≥ true count) makes the surviving key
+    *      set a PROVABLE SUPERSET of the true heavy hitters, so the
+    *      exact recount over the survivors returns exactly
+    *      {key : count ≥ T} — the sketch only prunes; the answer is
+    *      exact, and the oracle needs no sketch at all.
+    *
+    * The recount groupBy shuffles only candidate-key rows — at a skewed
+    * 100 TB input that is the point: the long uniform tail is rejected
+    * map-side by the estimate filter and never reaches an exchange.
+    *
+    * @return (keyCol, cnt) — exactly the keys with count ≥ N DIV s */
+  def heavyHitters(df: DataFrame, keyCol: String, s: Long,
+      w: Int = 2048, d: Int = 4): DataFrame = {
+    require(s >= 2, s"heavyHitters needs s >= 2, got $s")
+    val cells = countMin(df, keyCol, w, d).collect()
+    val arr = Array.fill(d * w)(0L)
+    cells.foreach { r =>
+      arr(r.getAs[Int]("lane") * w + r.getAs[Long]("bucket").toInt) =
+        r.getAs[Long]("cnt")
+    }
+    val n = arr.slice(0, w).sum // lane 0 holds every row exactly once
+    val thr = n / s
+    val cellArr = typedLit(arr.toSeq)
+    val est = (0 until d).map { r =>
+      element_at(cellArr,
+        (bucket(lit(r), col(keyCol), w) + lit(r * w) + lit(1)).cast("int"))
+    }.reduceLeft(least(_, _))
+    val cand = df.filter(est >= lit(thr)).select(col(keyCol)).distinct()
+    df.join(broadcast(cand), Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thr)
+  }
+
   /** HyperLogLog register table (Flajolet, Fusy, Gandouet & Meunier
     * 2007): m registers keyed by the TOP log₂(m) bits of a 32-bit md5
     * lane, each keeping the MAX rank (leading-zero count + 1) of the

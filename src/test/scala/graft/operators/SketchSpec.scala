@@ -207,6 +207,23 @@ class SketchSpec extends SparkSpec {
       s"jaccard_micro ${r.getLong(2)}")
   }
 
+  test("heavyHitters returns EXACTLY the keys at or above N DIV s") {
+    // skewed multiset: key i appears i times, i in 1..80 ⇒ N = 3240, thr = 32
+    val vals = (1 to 80).flatMap(i => Seq.fill(i)(s"hh$i"))
+    val got = Sketch.heavyHitters(vals.toDF("k").repartition(7), "k", 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == (32 to 80).map(i => s"hh$i" -> i.toLong).toMap)
+  }
+
+  test("heavyHitters stays exact under a collision-heavy narrow sketch") {
+    // w=8 forces massive collisions: the candidate superset balloons but
+    // the exact recount must still return precisely {count >= thr}
+    val vals = (1 to 60).flatMap(i => Seq.fill(i)(s"c$i")) // N = 1830, thr = 30
+    val got = Sketch.heavyHitters(vals.toDF("k"), "k", 60L, w = 8, d = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == (30 to 60).map(i => s"c$i" -> i.toLong).toMap)
+  }
+
   test("distinctMin sketches MERGE by cellwise min") {
     val (ka, kb) = manyKeys.splitAt(2000)
     val merged = Sketch.distinctMin(ka.toDF("k"), "k", 64)
