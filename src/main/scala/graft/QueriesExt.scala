@@ -4575,6 +4575,157 @@ object QueriesExt {
       |FROM tr WHERE from_type IS NOT NULL
       |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin
 
+  // ------------------------------ RFM customer segmentation (q140)
+
+  /** RFM segmentation: per customer, Recency (days since last order,
+    * against the dataset's last order date), Frequency (order count) and
+    * Monetary (exact decimal order total, in cents), each scored into
+    * quintiles 1–5, concatenated into the classic "545"-style segment.
+    * Quintiles come from a cumulative HISTOGRAM, not a global ntile: a
+    * global-ORDER-BY window is a single task at 100 TB, while the
+    * histogram CDF (value → exclusive cumulative count) is a groupBy to
+    * |distinct values| rows, a window over that tiny table, and a
+    * broadcast map-back — the q97 binned-quantile discipline applied to
+    * scoring. Monetary is binned to $10k resolution for the histogram
+    * (score resolution, not value resolution — the emitted mon_cents
+    * stays exact). Ties share a score by construction (score = quintile
+    * of the value's FIRST row in sorted order), which is also what makes
+    * the result deterministic across engines: no arbitrary tie split.
+    * r_q is inverted (most recent = 5) per RFM convention. All integer
+    * arithmetic; the only decimal is the exact money sum, surfaced as
+    * cents BIGINT. */
+  private val q140: Q = (s, dir) => {
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      col("o_orderdate").cast("date").as("d"),
+      col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val base = o.groupBy(col("o_custkey"))
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("freq"),
+        sum(col("p") * 100).cast("long").as("mon_cents"))
+    val mx = o.agg(max(col("d")).as("mx"))
+    val b2 = base.crossJoin(broadcast(mx))
+      .withColumn("rec_days", datediff(col("mx"), col("last_d")).cast("long"))
+      .withColumn("mon_h", expr("mon_cents DIV 1000000"))
+    // value → ascending quintile 1..5 via the histogram CDF
+    def quint(metric: String, out: String): DataFrame =
+      b2.groupBy(col(metric).as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cb", coalesce(
+          sum(col("cnt")).over(Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("nt", expr("sum(cnt) OVER ()"))
+        .select(col("v").as(metric),
+          expr("CAST(1 + 5 * cb DIV nt AS INT)").as(out))
+    b2.join(broadcast(quint("rec_days", "asc_r")), Seq("rec_days"))
+      .join(broadcast(quint("freq", "f_q")), Seq("freq"))
+      .join(broadcast(quint("mon_h", "m_q")), Seq("mon_h"))
+      .withColumn("r_q", lit(6) - col("asc_r")) // recent (small) = 5
+      .select(col("o_custkey"), col("rec_days"), col("freq"),
+        col("mon_cents"), col("r_q"), col("f_q"), col("m_q"),
+        concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val q140Sql =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+      |base AS (
+      |  SELECT o_custkey, max(d) AS last_d, CAST(count(*) AS BIGINT) AS freq,
+      |         CAST(sum(p * 100) AS BIGINT) AS mon_cents
+      |  FROM o GROUP BY 1),
+      |mx AS (SELECT max(d) AS mx FROM o),
+      |b2 AS (
+      |  SELECT base.*, CAST(datediff('day', last_d, mx) AS BIGINT) AS rec_days,
+      |         mon_cents // 1000000 AS mon_h
+      |  FROM base, mx),
+      |rq AS (
+      |  SELECT v, CAST(1 + 5 * cb // nt AS INT) AS q FROM (
+      |    SELECT rec_days AS v, coalesce(sum(count(*)) OVER (ORDER BY rec_days
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+      |           sum(count(*)) OVER () AS nt
+      |    FROM b2 GROUP BY rec_days)),
+      |fq AS (
+      |  SELECT v, CAST(1 + 5 * cb // nt AS INT) AS q FROM (
+      |    SELECT freq AS v, coalesce(sum(count(*)) OVER (ORDER BY freq
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+      |           sum(count(*)) OVER () AS nt
+      |    FROM b2 GROUP BY freq)),
+      |mq AS (
+      |  SELECT v, CAST(1 + 5 * cb // nt AS INT) AS q FROM (
+      |    SELECT mon_h AS v, coalesce(sum(count(*)) OVER (ORDER BY mon_h
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+      |           sum(count(*)) OVER () AS nt
+      |    FROM b2 GROUP BY mon_h))
+      |SELECT o_custkey, rec_days, freq, mon_cents,
+      |       6 - rq.q AS r_q, fq.q AS f_q, mq.q AS m_q,
+      |       CAST(6 - rq.q AS VARCHAR) || CAST(fq.q AS VARCHAR)
+      |         || CAST(mq.q AS VARCHAR) AS segment
+      |FROM b2 JOIN rq ON b2.rec_days = rq.v
+      |        JOIN fq ON b2.freq = fq.v
+      |        JOIN mq ON b2.mon_h = mq.v
+      |ORDER BY o_custkey""".stripMargin
+
+  // ------------------------------ Pareto / ABC analysis (q141)
+
+  /** ABC (Pareto) classification of parts by discounted revenue: parts
+    * covering the first 70% of cumulative revenue are class A, the next
+    * 20% B, the tail C. The cumulative sum over the revenue-DESC order
+    * is the scale problem — a global-ORDER-BY window serializes the
+    * whole part table through one task — so it runs as the Packing
+    * distributed prefix sum: band parts by revenue magnitude (fixed
+    * $100k bands; band order extends revenue order since equal revenues
+    * share a band), cumulate WITHIN bands via band-partitioned windows,
+    * and add each band's exclusive offset from a |bands|-row broadcast
+    * model. Revenue is exact decimal, surfaced in 10⁻⁴ currency units
+    * (price(2dp)·discount(2dp) is exact at 4dp); cumulative share in
+    * micro-units via the g = tot DIV 10⁶ integer trick — cum DIV g
+    * avoids the 10⁶·cum int64 overflow and both engines truncate
+    * identically. (Whole-corpus magnitudes past ~10¹⁸ e4-units take the
+    * DECIMAL(38,0)-as-string route per the encoding contract.) */
+  private val q141: Q = (s, dir) => {
+    val rev = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")) * 10000)
+        .cast("long").as("rev_e4"))
+      .withColumn("band", expr("rev_e4 DIV 1000000000"))
+    val offs = rev.groupBy(col("band")).agg(sum(col("rev_e4")).as("bs"))
+      .withColumn("off", coalesce(
+        sum(col("bs")).over(Window.orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tot", expr("sum(bs) OVER ()"))
+      .select(col("band"), col("off"), col("tot"))
+    val wb = Window.partitionBy(col("band"))
+      .orderBy(col("rev_e4").desc, col("l_partkey"))
+    rev.join(broadcast(offs), Seq("band"))
+      .withColumn("cum", col("off") + sum(col("rev_e4"))
+        .over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_micro", expr("cum DIV (tot DIV 1000000)"))
+      .withColumn("abc", expr("CASE WHEN cum_micro <= 700000 THEN 'A' " +
+        "WHEN cum_micro <= 900000 THEN 'B' ELSE 'C' END"))
+      .select(col("l_partkey"), col("rev_e4"), col("cum_micro"), col("abc"))
+      .orderBy(col("cum_micro"), col("l_partkey"))
+  }
+
+  private val q141Sql =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |              (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000)
+      |           AS BIGINT) AS rev_e4
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT l_partkey, rev_e4,
+      |         sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         sum(rev_e4) OVER () AS tot
+      |  FROM rev)
+      |SELECT l_partkey, rev_e4,
+      |       CAST(cum // (tot // 1000000) AS BIGINT) AS cum_micro,
+      |       CASE WHEN cum // (tot // 1000000) <= 700000 THEN 'A'
+      |            WHEN cum // (tot // 1000000) <= 900000 THEN 'B'
+      |            ELSE 'C' END AS abc
+      |FROM c ORDER BY cum_micro, l_partkey""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -4688,6 +4839,8 @@ object QueriesExt {
     Entry("q136_attribution", q136, Some(q136Sql)),
     Entry("q137_kmv_set_ops", q137, Some(q137Sql)),
     Entry("q138_heavy_hitters", q138, Some(q138Sql)),
-    Entry("q139_markov_transitions", q139, Some(q139Sql))
+    Entry("q139_markov_transitions", q139, Some(q139Sql)),
+    Entry("q140_rfm_segments", q140, Some(q140Sql)),
+    Entry("q141_pareto_abc", q141, Some(q141Sql))
   )
 }

@@ -297,7 +297,11 @@ class PlanShapeSpec extends SparkSpec {
       "q132_label_propagation", "q133_hll_distinct",
       // q137 cross-joins three 1-row aggregates (KMV set-op estimates ×
       // exact intersect × exact union — the q96/q105/q133 scalar class)
-      "q137_kmv_set_ops")
+      "q137_kmv_set_ops",
+      // q140 cross-joins the 1-row dataset-max-date scalar (the q55/q69
+      // broadcast-scalar class); its quintile maps join as broadcasts
+      // over |distinct metric values|-row histograms
+      "q140_rfm_segments")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")
