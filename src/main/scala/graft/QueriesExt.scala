@@ -4726,6 +4726,174 @@ object QueriesExt {
       |            ELSE 'C' END AS abc
       |FROM c ORDER BY cum_micro, l_partkey""".stripMargin
 
+  // ------------------------------ cohort lifetime value (q142)
+
+  /** Cohort LTV curve: customers grouped by first-order month, revenue
+    * tracked by cohort age in months, cumulative per cohort — the
+    * retention-revenue complement of q80's retention counts. The
+    * customer's first-order date comes from a customer-partitioned
+    * window min (ONE shuffle on the natural key, reused by the
+    * cohort aggregate that follows) — not a groupBy + self-join, which
+    * would shuffle orders twice. Age is pure integer month arithmetic
+    * (year·12+month deltas; months_between returns a double and is
+    * banned by the determinism discipline). The cumulative LTV window
+    * runs per cohort over the |cohorts|×|ages| aggregate — partitioned
+    * and tiny. Money is the exact decimal sum in cents. */
+  private val q142: Q = (s, dir) => {
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      col("o_orderdate").cast("date").as("d"),
+      col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val wc = Window.partitionBy(col("o_custkey"))
+    val aged = o.withColumn("fd", min(col("d")).over(wc))
+      .withColumn("cohort", date_format(col("fd"), "yyyy-MM"))
+      .withColumn("agem",
+        (year(col("d")) * 12 + month(col("d"))) -
+          (year(col("fd")) * 12 + month(col("fd"))))
+    aged.groupBy(col("cohort"), col("agem"))
+      .agg(countDistinct(col("o_custkey")).as("customers"),
+        sum(col("p") * 100).cast("long").as("rev_cents"))
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(
+        Window.partitionBy(col("cohort")).orderBy(col("agem"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("cohort"), col("agem"))
+  }
+
+  private val q142Sql =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+      |aged AS (
+      |  SELECT o_custkey, d, p,
+      |         min(d) OVER (PARTITION BY o_custkey) AS fd
+      |  FROM o),
+      |agg AS (
+      |  SELECT strftime(fd, '%Y-%m') AS cohort,
+      |         (year(d) * 12 + month(d)) - (year(fd) * 12 + month(fd)) AS agem,
+      |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS customers,
+      |         CAST(sum(p * 100) AS BIGINT) AS rev_cents
+      |  FROM aged GROUP BY 1, 2)
+      |SELECT cohort, agem, customers, rev_cents,
+      |       CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY agem
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS cum_rev_cents
+      |FROM agg ORDER BY cohort, agem""".stripMargin
+
+  // ------------------------------ CUSUM changepoint scan (q143)
+
+  /** CUSUM changepoint detection on the daily event-count series, per
+    * event type: cumulative sum of the SCALED deviation
+    * dev = daily·days − total (≡ (daily − mean)·days, kept integral so
+    * no engine ever divides), peak |cusum| locates the day where the
+    * series' level most plausibly shifted — the classic CUSUM argmax
+    * estimator. The raw stream reduces to a |types|×|days| daily-count
+    * table in one map-side-combined aggregate; every window after runs
+    * per type over that tiny series. Peak day resolves ties to the
+    * earliest day via an explicit (abs DESC, day ASC) row_number — not
+    * max_by, whose tie choice is engine-defined. */
+  private val q143: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val wt = Window.partitionBy(col("event_type"))
+    val cus = daily
+      .withColumn("days", count(lit(1)).over(wt))
+      .withColumn("total", sum(col("c")).over(wt))
+      .withColumn("dev", col("c") * col("days") - col("total"))
+      .withColumn("cusum", sum(col("dev")).over(
+        wt.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cus.withColumn("rn", row_number().over(
+        wt.orderBy(abs(col("cusum")).desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("days"), col("total"),
+        date_format(col("day"), "yyyy-MM-dd").as("peak_day"),
+        abs(col("cusum")).as("peak_abs"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q143Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cus0 AS (
+      |  SELECT event_type, day, c,
+      |         count(*) OVER (PARTITION BY event_type) AS days,
+      |         sum(c) OVER (PARTITION BY event_type) AS total
+      |  FROM daily),
+      |cus AS (
+      |  SELECT *, sum(c * days - total)
+      |           OVER (PARTITION BY event_type ORDER BY day
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS cusum
+      |  FROM cus0),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |              ORDER BY abs(cusum) DESC, day) AS rn
+      |  FROM cus)
+      |SELECT event_type, CAST(days AS BIGINT) AS days,
+      |       CAST(total AS BIGINT) AS total,
+      |       strftime(day, '%Y-%m-%d') AS peak_day,
+      |       CAST(abs(cusum) AS BIGINT) AS peak_abs
+      |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin
+
+  // ------------------------------ sequence match with veto (q144)
+
+  /** Event-sequence pattern match with a NEGATIVE condition — the
+    * ClickHouse `sequenceMatch('(?1)(?!…)(?2)')` workflow: users whose
+    * signup is followed by a purchase within 7 days with NO error event
+    * between the two. Join-free: one user-partitioned window pass
+    * carries, at every event, the latest prior signup and latest prior
+    * error timestamps (conditional max over the preceding frame); a
+    * purchase row then qualifies locally — signup exists, within the
+    * lookback, and any prior error predates the signup. The naive
+    * 3-way event-log self-join this replaces is quadratic in events per
+    * user; the window form is one shuffle, linear state. Emits each
+    * user's earliest qualifying purchase. */
+  private val q144: Q = (s, dir) => {
+    val lookbackUs = 7L * 86400000000L
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("signup", "purchase", "error"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("sig_us",
+        max(when(col("event_type") === "signup", col("us"))).over(wPrev))
+      .withColumn("err_us",
+        max(when(col("event_type") === "error", col("us"))).over(wPrev))
+      .filter(col("event_type") === "purchase"
+        && col("sig_us").isNotNull
+        && col("us") - col("sig_us") <= lookbackUs
+        && (col("err_us").isNull || col("err_us") < col("sig_us")))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("match_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q144Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |  FROM events WHERE event_type IN ('signup', 'purchase', 'error')),
+      |w AS (
+      |  SELECT *,
+      |         max(CASE WHEN event_type = 'signup' THEN us END)
+      |           OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS sig_us,
+      |         max(CASE WHEN event_type = 'error' THEN us END)
+      |           OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS err_us
+      |  FROM ev)
+      |SELECT user_id, CAST(min(us) AS BIGINT) AS match_us
+      |FROM w
+      |WHERE event_type = 'purchase' AND sig_us IS NOT NULL
+      |  AND us - sig_us <= 604800000000
+      |  AND (err_us IS NULL OR err_us < sig_us)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -4841,6 +5009,9 @@ object QueriesExt {
     Entry("q138_heavy_hitters", q138, Some(q138Sql)),
     Entry("q139_markov_transitions", q139, Some(q139Sql)),
     Entry("q140_rfm_segments", q140, Some(q140Sql)),
-    Entry("q141_pareto_abc", q141, Some(q141Sql))
+    Entry("q141_pareto_abc", q141, Some(q141Sql)),
+    Entry("q142_cohort_ltv", q142, Some(q142Sql)),
+    Entry("q143_cusum_changepoint", q143, Some(q143Sql)),
+    Entry("q144_sequence_match", q144, Some(q144Sql))
   )
 }
