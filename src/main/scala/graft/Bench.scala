@@ -20,21 +20,39 @@ object Bench {
     // clamp to ≥1 (0 would crash the median index); even counts report the
     // upper middle — use odd rep counts for a true median
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    // A query that throws must NOT report its exception latency as a
+    // timing (round 4: 40 broken queries "benched" at ~0.05 s and
+    // contaminated the totals) — it goes under "errors" instead.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop write materializes every row without driver collect
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // isolate queries/reps: cached plans from one run must not occupy
         // storage memory (and GC budget) during the next one's timing
         spark.catalog.clearCache()
-        dt
+        if (ok) Some(dt) else None
       }.sorted
-      name -> times(times.size / 2)
+      if (times.isEmpty) None else Some(name -> times(times.size / 2))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // fixed single-thread integer workload, timed — host/VM contention was
@@ -48,7 +66,7 @@ object Bench {
       if (s == 42) print("") // keep the loop live
       (System.nanoTime() - t0) / 1e9
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","calib_sec":$calib}""")
     spark.stop()
   }
 }

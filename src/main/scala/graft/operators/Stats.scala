@@ -31,8 +31,9 @@ object Stats {
     * nulls the predicate, and under the repo session's ANSI-off setting
     * (core/Sessions.scala) a null predicate silently DROPS the row — a
     * false negative, never a false positive. Callers whose inputs can
-    * approach the budget must pre-assert n·|x|_max (one cheap aggregate)
-    * or run with spark.sql.ansi.enabled=true to fail loudly instead.
+    * approach the budget pass `assertBudget = true` (one extra cheap
+    * aggregate that fails loudly when n·|x|_max exceeds 10¹⁸) or run with
+    * spark.sql.ansi.enabled=true to surface the overflow instead.
     *
     * Scale shape: ONE map-side-combinable aggregate over the input builds
     * the per-group moments (|groups| rows), a broadcast-eligible join
@@ -46,8 +47,22 @@ object Stats {
     * @return input rows where the deviation exceeds (z10/10)·σ, with the
     *         group's `n` attached */
   def sigmaOutliers(df: DataFrame, keyCols: Seq[String], valCol: String,
-      z10: Int): DataFrame = {
+      z10: Int, assertBudget: Boolean = false): DataFrame = {
     require(z10 > 0, s"sigmaOutliers needs z10 > 0, got $z10")
+    if (assertBudget) {
+      // One map-side-combinable aggregate over (max n, max |x|): the
+      // binding magnitude term is (10·(n·x − S1))² < 10³⁸ ⟸ n·|x|_max ≤ 10¹⁸.
+      val row = df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("gf_bn"), max(abs(col(valCol))).as("gf_bx"))
+        .agg(max(col("gf_bn").cast("decimal(38,0)")
+          * col("gf_bx").cast("decimal(38,0)")).as("gf_budget"))
+        .head()
+      val budget = Option(row.getDecimal(0)).map(_.toBigInteger)
+      require(budget.forall(_.compareTo(java.math.BigInteger.TEN.pow(18)) <= 0),
+        s"sigmaOutliers magnitude budget exceeded: max group n*|x| = " +
+          s"${budget.orNull} > 1e18 — DECIMAL(38,0) would overflow and " +
+          "(ANSI off) silently drop rows; rescale valCol or split groups")
+    }
     val d38 = "decimal(38,0)"
     val x = col(valCol).cast(d38)
     val moments = df.groupBy(keyCols.map(col): _*)

@@ -90,19 +90,21 @@ object Streaming {
     * overflow rather than trusting the headroom. */
   private val ProgressRetention = 10000
 
-  /** The shared events source: declared schema, int64-nanos → timestamp
-    * conversion, and a glob that admits `events*.parquet` so files
-    * arriving between runs are picked up on resume. */
+  /** The shared events source: declared schema, schema-dispatched
+    * int64-nanos → timestamp rescue ([[graft.core.Tables.rescueNanosTs]] —
+    * applied only when the footer declares `ts` as a long), and a glob that
+    * admits `events*.parquet` so files arriving between runs are picked up
+    * on resume. */
   private def eventsStream(spark: SparkSession, srcDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
       ProgressRetention.toString)
     val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events*.parquet")
-      .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.core.Tables.rescueNanosTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(srcDir))
   }
 
   /** Run `df` to completion as an append-mode parquet file-sink query and

@@ -41,6 +41,23 @@ class StatsSpec extends SparkSpec {
     assert(gotFlags(xs, 9) == Set(0L, 2000000L))
   }
 
+  test("sigmaOutliers assertBudget: passes in-budget, fails loudly past 1e18") {
+    val ok = Seq[Long](10, 11, 9, 12, 1000).zipWithIndex
+      .map { case (x, i) => (i.toLong, "g", x) }.toDF("row_id", "grp", "v")
+    // in budget: behaves identically to the unchecked path
+    assert(Stats.sigmaOutliers(ok, Seq("grp"), "v", 30, assertBudget = true)
+      .collect().length ==
+      Stats.sigmaOutliers(ok, Seq("grp"), "v", 30).collect().length)
+    // n*|x|_max = 3 * 10^18 > 1e18: must throw, not silently drop rows
+    val over = Seq[Long](1000000000000000000L, -1000000000000000000L, 7L)
+      .zipWithIndex.map { case (x, i) => (i.toLong, "g", x) }
+      .toDF("row_id", "grp", "v")
+    val e = intercept[IllegalArgumentException] {
+      Stats.sigmaOutliers(over, Seq("grp"), "v", 30, assertBudget = true)
+    }
+    assert(e.getMessage.contains("magnitude budget"))
+  }
+
   test("sigmaOutliers matches the BigInt reference on random data per group") {
     val rnd = new scala.util.Random(3)
     val xs = Seq.fill(500)(rnd.nextInt(10000).toLong) ++ Seq(900000L, -800000L)

@@ -75,11 +75,23 @@ def main(sfdir: str, outdir: str) -> int:
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
     with open(f"{outdir}/oracle_sql.json") as fh:
         oracle = json.load(fh)
+    # Verify records each query that ERRORED (vs merely missing) here —
+    # surface those as explicit `err` rows so failed and undeclared are
+    # distinguishable (VERDICT r04 ask #4).
+    errors = {}
+    err_path = f"{outdir}/_errors.json"
+    if os.path.exists(err_path):
+        with open(err_path) as fh:
+            errors = json.load(fh)
 
     n_ok = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
         res_dir = f"{outdir}/{name}"
+        if name in errors:
+            print(f"err  {name}: Verify raised: {errors[name].splitlines()[0][:160]}")
+            n_fail += 1
+            continue
         if not os.path.isdir(res_dir):
             print(f"FAIL {name}: no spark output dir")
             n_fail += 1
