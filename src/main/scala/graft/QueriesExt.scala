@@ -4894,6 +4894,307 @@ object QueriesExt {
       |  AND (err_us IS NULL OR err_us < sig_us)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------ per-day OHLC value bars (q145)
+
+  /** Open/high/low/close bars of the event `value` stream per
+    * (event_type, day) — the time-series downsampling primitive every
+    * monitoring/pricing warehouse ships (the reference's Metabase charts
+    * re-aggregate raw rows instead; SURVEY §3.3). Open/close are
+    * first/last by the TOTAL order (ts, event_id) — the deterministic
+    * tie-break discipline — via one ordered window whose (type, day)
+    * hash partitioning is REUSED by the following aggregate, so the
+    * whole query is a single exchange. Values ride the exact cents
+    * encoding (floor(v·100 + 0.5)); no double arithmetic anywhere. */
+  private val q145: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("open_c", first(col("cents")).over(w))
+      .withColumn("close_c", last(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("open_c")).as("open_c"), max(col("cents")).as("high_c"),
+        min(col("cents")).as("low_c"), max(col("close_c")).as("close_c"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val q145Sql =
+    """WITH ev AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, ts, event_id,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |w AS (
+      |  SELECT *,
+      |         first_value(cents) OVER (PARTITION BY event_type, day
+      |           ORDER BY ts, event_id) AS open_c,
+      |         last_value(cents) OVER (PARTITION BY event_type, day
+      |           ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |           AS close_c
+      |  FROM ev)
+      |SELECT event_type, day, max(open_c) AS open_c, max(cents) AS high_c,
+      |       min(cents) AS low_c, max(close_c) AS close_c, count(*) AS n
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------- time-weighted average value (q146)
+
+  /** Time-weighted average (TWAP) of `value` per event_type: each
+    * observation holds until the next one of the same type, so the mean
+    * is Σ(vᵢ·Δtᵢ)/ΣΔtᵢ — the correct summary for irregularly-sampled
+    * series, where the row-mean over-weights bursts. One lead window
+    * per type then one aggregate (the window's hash partitioning feeds
+    * the groupBy — single exchange). Arithmetic is exact: cents·µs
+    * products summed in DECIMAL(38,0) (a year-long span at max cents
+    * overflows a BIGINT), quotient via DECIMAL DIV ≡ DuckDB HUGEINT
+    * floor division (the q130 discipline), rendered in micro-cents. */
+  private val q146: Q = (s, dir) => {
+    val ev = t(s, dir, "events").select(col("event_type"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+    ev.withColumn("nxt", lead(col("us"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("dt", col("nxt") - col("us"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cents").cast("decimal(38,0)") * col("dt")).cast("decimal(38,0)").as("num"),
+        sum(col("dt").cast("decimal(38,0)")).cast("decimal(38,0)").as("den"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("event_type"),
+        expr("CAST((num * 1000000) DIV den AS BIGINT)").as("twap_micro"),
+        col("n_intervals"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q146Sql =
+    """WITH ev AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS us,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |x AS (
+      |  SELECT event_type, cents, us,
+      |         lead(us) OVER (PARTITION BY event_type ORDER BY us, event_id) AS nxt
+      |  FROM ev)
+      |SELECT event_type,
+      |       CAST(sum(CAST(cents AS HUGEINT) * (nxt - us)) * 1000000
+      |            // sum(CAST(nxt - us AS HUGEINT)) AS BIGINT) AS twap_micro,
+      |       count(*) AS n_intervals
+      |FROM x WHERE nxt IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------- peak concurrent sessions per day (q147)
+
+  /** Peak number of simultaneously-open sessions per day — the
+    * interval-concurrency sweep (capacity planning's core query):
+    * sessions (q74's 30-min-gap definition, one user-partitioned
+    * window + aggregate) become ±1 endpoint deltas, and the running
+    * sum over the GLOBAL (t, start-before-end-at-ties) order is the
+    * live concurrency; the day's max is its peak. The global order is
+    * banded (q141's distributed prefix-sum discipline): per-day sorted
+    * windows plus a |days|-row broadcast of cumulative prior-day
+    * offsets — no single-partition global window over the data.
+    * Sessions spanning midnight are handled by construction: the
+    * offset carries their +1 into every later day. Tie order among
+    * equal (t, d) endpoints cannot change a day's max: the running sum
+    * is monotone along a run of equal deltas, so the run's extremum is
+    * order-invariant. */
+  private val q147: Q = (s, dir) => {
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("brk",
+        when(col("us") - lag(col("us"), 1).over(wu) >= 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    // endpoints via explode, not a union of two sess projections — a
+    // union would recompute the whole sessionization once per branch
+    val pts = sess.select(explode(array(
+        struct(col("s_us").as("t"), lit(1L).as("d")),
+        struct(col("e_us").as("t"), lit(-1L).as("d")))).as("p"))
+      .select(col("p.t").as("t"), col("p.d").as("d"))
+      .withColumn("day", date_format(timestamp_micros(col("t")), "yyyy-MM-dd"))
+    val offs = pts.groupBy(col("day")).agg(sum(col("d")).as("ds"))
+      .withColumn("off", coalesce(
+        sum(col("ds")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("off"))
+    val wd = Window.partitionBy(col("day")).orderBy(col("t"), col("d").desc)
+    pts.join(broadcast(offs), Seq("day"))
+      .withColumn("run", col("off") + sum(col("d")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("day"))
+      .agg(max(col("run")).as("peak"))
+      .orderBy(col("day"))
+  }
+
+  private val q147Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |l AS (
+      |  SELECT user_id, us,
+      |         lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev,
+      |         event_id
+      |  FROM ev),
+      |g AS (
+      |  SELECT user_id, us,
+      |         sum(CASE WHEN prev IS NOT NULL AND us - prev >= 1800000000
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM l),
+      |sess AS (
+      |  SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+      |  FROM g GROUP BY 1, 2),
+      |p AS (
+      |  SELECT s_us AS t, 1 AS d FROM sess
+      |  UNION ALL SELECT e_us, -1 FROM sess),
+      |r AS (
+      |  SELECT strftime(make_timestamp(t), '%Y-%m-%d') AS day,
+      |         sum(d) OVER (ORDER BY t, d DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM p)
+      |SELECT day, CAST(max(run) AS BIGINT) AS peak
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------- spend inequality (Gini) per nation (q148)
+
+  /** Gini coefficient of customer order spend per nation, in exact
+    * integer arithmetic: with per-nation spend ranked ascending
+    * (i = row_number, tie-broken by custkey — though ties cannot move
+    * the sum: equal x contribute the same Σi·xᵢ under any rank
+    * assignment), G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), rendered in
+    * micro-units via DECIMAL(38,0) DIV (Σi·xᵢ reaches n²·x_max — far
+    * past BIGINT at warehouse row counts). Shape: one aggregate to
+    * per-customer spend, a broadcast-size dim join, one per-nation
+    * ranked window feeding a per-nation aggregate — the window's hash
+    * partitioning is reused, so rank+moments cost one exchange. */
+  private val q148: Q = (s, dir) => {
+    val d38 = "decimal(38,0)"
+    val spend = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    val x = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+    val wn = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("cents"), col("c_custkey"))
+    x.withColumn("i", row_number().over(wn))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast(d38)).cast(d38).as("sx"),
+        sum(col("i").cast(d38) * col("cents")).cast(d38).as("six"))
+      .select(col("c_nationkey"), col("n"),
+        expr("CAST((2 * six - (n + 1) * sx) * 1000000 " +
+          "DIV (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)").as("gini_micro"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val q148Sql =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |           AS cents
+      |  FROM orders GROUP BY 1),
+      |x AS (
+      |  SELECT c_nationkey, c_custkey, cents
+      |  FROM customer JOIN spend ON c_custkey = o_custkey),
+      |r AS (
+      |  SELECT c_nationkey, cents,
+      |         row_number() OVER (PARTITION BY c_nationkey
+      |           ORDER BY cents, c_custkey) AS i
+      |  FROM x),
+      |a AS (
+      |  SELECT c_nationkey, count(*) AS n,
+      |         sum(CAST(cents AS HUGEINT)) AS sx,
+      |         sum(CAST(i AS HUGEINT) * cents) AS six
+      |  FROM r GROUP BY 1)
+      |SELECT c_nationkey, CAST(n AS BIGINT) AS n,
+      |       CAST((2 * six - (n + 1) * sx) * 1000000
+      |            // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_micro
+      |FROM a ORDER BY c_nationkey""".stripMargin
+
+  // ------------------------------ event-time lateness profile (q149)
+
+  /** Out-of-order arrival profile per event_type: treating event_id as
+    * the arrival sequence and ts as event time, an event is LATE when
+    * its event time precedes the high-water mark of everything that
+    * arrived before it — exactly the disorder a streaming watermark
+    * (§2.10, `Streaming.tumbling`'s `withWatermark`) must absorb. This
+    * batch profile is how an operator CHOOSES the watermark delay: one
+    * running-max window per type (arrival order), then one aggregate
+    * (shared partitioning, single exchange) emitting count, late
+    * count, worst lateness, and the late fraction per million. */
+  private val q149: Q = (s, dir) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("hwm", max(col("us")).over(w))
+      .withColumn("late_us",
+        when(col("hwm") > col("us"), col("hwm") - col("us")).otherwise(lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("late_n"),
+        max(col("late_us")).as("max_late_us"))
+      .withColumn("late_pm", expr("1000000 * late_n DIV n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q149Sql =
+    """WITH w AS (
+      |  SELECT event_type, epoch_us(ts) AS us,
+      |         max(epoch_us(ts)) OVER (PARTITION BY event_type
+      |           ORDER BY event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      |  FROM events),
+      |x AS (
+      |  SELECT event_type,
+      |         CASE WHEN hwm > us THEN hwm - us ELSE 0 END AS late_us
+      |  FROM w)
+      |SELECT event_type, count(*) AS n,
+      |       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS late_n,
+      |       max(late_us) AS max_late_us,
+      |       CAST(1000000 * sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+      |            // count(*) AS BIGINT) AS late_pm
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------- log2-bucketed value histogram (q150)
+
+  /** Power-of-two value histogram per event_type — the constant-width
+    * log histogram every metrics store uses for heavy-tailed
+    * distributions (exponentially-growing buckets, ~40 buckets cover
+    * any int64 range). The bucket index is floor(log₂ cents) computed
+    * EXACTLY as length(bin(cents)) − 1 — binary digit count, no
+    * floating log whose platform-dependent rounding would shift
+    * boundary values between engines. Pure map + one aggregate over
+    * (type, bucket): map-side partial aggregation collapses the
+    * shuffle to |types|·|buckets| rows. */
+  private val q150: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .filter(col("cents") >= 1)
+      .withColumn("bucket", (length(bin(col("cents"))) - 1).cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo_cents", expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  private val q150Sql =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type, length(bin(cents)) - 1 AS bucket
+      |  FROM ev WHERE cents >= 1)
+      |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+      |       CAST(1 AS BIGINT) << bucket AS lo_cents
+      |FROM b GROUP BY event_type, bucket ORDER BY 1, 2""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -5012,6 +5313,12 @@ object QueriesExt {
     Entry("q141_pareto_abc", q141, Some(q141Sql)),
     Entry("q142_cohort_ltv", q142, Some(q142Sql)),
     Entry("q143_cusum_changepoint", q143, Some(q143Sql)),
-    Entry("q144_sequence_match", q144, Some(q144Sql))
+    Entry("q144_sequence_match", q144, Some(q144Sql)),
+    Entry("q145_ohlc_bars", q145, Some(q145Sql)),
+    Entry("q146_twap", q146, Some(q146Sql)),
+    Entry("q147_concurrency_peak", q147, Some(q147Sql)),
+    Entry("q148_gini_inequality", q148, Some(q148Sql)),
+    Entry("q149_lateness_profile", q149, Some(q149Sql)),
+    Entry("q150_log2_histogram", q150, Some(q150Sql))
   )
 }
