@@ -4942,32 +4942,21 @@ object QueriesExt {
 
   // ------------------------------- time-weighted average value (q146)
 
-  /** Time-weighted average (TWAP) of `value` per event_type: each
-    * observation holds until the next one of the same type, so the mean
-    * is Σ(vᵢ·Δtᵢ)/ΣΔtᵢ — the correct summary for irregularly-sampled
-    * series, where the row-mean over-weights bursts. One lead window
-    * per type then one aggregate (the window's hash partitioning feeds
-    * the groupBy — single exchange). Arithmetic is exact: cents·µs
-    * products summed in DECIMAL(38,0) (a year-long span at max cents
-    * overflows a BIGINT), quotient via DECIMAL DIV ≡ DuckDB HUGEINT
-    * floor division (the q130 discipline), rendered in micro-cents. */
-  private val q146: Q = (s, dir) => {
-    val ev = t(s, dir, "events").select(col("event_type"), col("event_id"),
-      unix_micros(col("ts")).as("us"),
-      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
-    ev.withColumn("nxt", lead(col("us"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .withColumn("dt", col("nxt") - col("us"))
-      .groupBy(col("event_type"))
-      .agg(sum(col("cents").cast("decimal(38,0)") * col("dt")).cast("decimal(38,0)").as("num"),
-        sum(col("dt").cast("decimal(38,0)")).cast("decimal(38,0)").as("den"),
-        count(lit(1)).as("n_intervals"))
-      .select(col("event_type"),
-        expr("CAST((num * 1000000) DIV den AS BIGINT)").as("twap_micro"),
-        col("n_intervals"))
+  /** Time-weighted average (TWAP) of `value` per event_type through
+    * [[graft.operators.Stats.timeWeightedAvg]]: each observation holds
+    * until the next one of the same type, so the mean is Σ(vᵢ·Δtᵢ)/ΣΔtᵢ
+    * — the correct summary for irregularly-sampled series, where the
+    * row-mean over-weights bursts. One lead window per type then one
+    * aggregate on the same partitioning (single exchange); cents·µs
+    * products summed in DECIMAL(38,0), quotient via DECIMAL DIV ≡
+    * DuckDB HUGEINT floor division, rendered in micro-cents. */
+  private val q146: Q = (s, dir) =>
+    graft.operators.Stats.timeWeightedAvg(
+      t(s, dir, "events").select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+      Seq("event_type"), "us", "event_id", "cents")
       .orderBy(col("event_type"))
-  }
 
   private val q146Sql =
     """WITH ev AS (
@@ -4988,19 +4977,15 @@ object QueriesExt {
   // -------------------------- peak concurrent sessions per day (q147)
 
   /** Peak number of simultaneously-open sessions per day — the
-    * interval-concurrency sweep (capacity planning's core query):
-    * sessions (q74's 30-min-gap definition, one user-partitioned
-    * window + aggregate) become ±1 endpoint deltas, and the running
-    * sum over the GLOBAL (t, start-before-end-at-ties) order is the
-    * live concurrency; the day's max is its peak. The global order is
-    * banded (q141's distributed prefix-sum discipline): per-day sorted
-    * windows plus a |days|-row broadcast of cumulative prior-day
-    * offsets — no single-partition global window over the data.
-    * Sessions spanning midnight are handled by construction: the
-    * offset carries their +1 into every later day. Tie order among
-    * equal (t, d) endpoints cannot change a day's max: the running sum
-    * is monotone along a run of equal deltas, so the run's extremum is
-    * order-invariant. */
+    * interval-concurrency sweep (capacity planning's core query) via
+    * [[graft.operators.Intervals.dailyConcurrencyPeaks]]: sessions
+    * (q74's 30-min-gap definition, one user-partitioned window +
+    * aggregate) become ±1 endpoint deltas whose running sum over the
+    * global (t, start-before-end-at-ties) order is the live
+    * concurrency; the day's max is its peak. The global order is
+    * banded (q141's distributed prefix-sum discipline — see the
+    * operator's scaladoc for the midnight-spanning and tie-invariance
+    * arguments). */
   private val q147: Q = (s, dir) => {
     val wu = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val sess = t(s, dir, "events")
@@ -5011,25 +4996,7 @@ object QueriesExt {
         wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("sid"))
       .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
-    // endpoints via explode, not a union of two sess projections — a
-    // union would recompute the whole sessionization once per branch
-    val pts = sess.select(explode(array(
-        struct(col("s_us").as("t"), lit(1L).as("d")),
-        struct(col("e_us").as("t"), lit(-1L).as("d")))).as("p"))
-      .select(col("p.t").as("t"), col("p.d").as("d"))
-      .withColumn("day", date_format(timestamp_micros(col("t")), "yyyy-MM-dd"))
-    val offs = pts.groupBy(col("day")).agg(sum(col("d")).as("ds"))
-      .withColumn("off", coalesce(
-        sum(col("ds")).over(Window.orderBy(col("day"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("day"), col("off"))
-    val wd = Window.partitionBy(col("day")).orderBy(col("t"), col("d").desc)
-    pts.join(broadcast(offs), Seq("day"))
-      .withColumn("run", col("off") + sum(col("d")).over(
-        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("day"))
-      .agg(max(col("run")).as("peak"))
-      .orderBy(col("day"))
+    graft.operators.Intervals.dailyConcurrencyPeaks(sess, "s_us", "e_us")
   }
 
   private val q147Sql =

@@ -373,4 +373,43 @@ object Stats {
           s" + $nBins - 1) DIV $nBins - 1 AS BIGINT)").as("bin_hi"),
         col("cum_rows"), col("n_total"))
   }
+
+  /** Time-weighted average per key over an irregularly-sampled series:
+    * each observation holds until the key's next one, so the mean is
+    * Σ(vᵢ·Δtᵢ)/ΣΔtᵢ — the correct summary where the row-mean would
+    * over-weight bursts of closely-spaced samples. The key's LAST
+    * observation has no holding interval and contributes nothing.
+    *
+    * Exactness: value·µs products and the µs total are summed in
+    * DECIMAL(38,0) (a year-long span at 10⁶-unit values overflows
+    * BIGINT), and the quotient is DECIMAL DIV — truncating integral
+    * division, ≡ DuckDB HUGEINT floor division on non-negative
+    * operands — rendered in micro-units of `valCol`.
+    *
+    * Scale shape: one lead window per key then one aggregate on the
+    * SAME key partitioning — a single exchange end-to-end.
+    *
+    * @param df      input rows
+    * @param keyCols grouping columns
+    * @param usCol   epoch-microsecond long observation time
+    * @param seqCol  unique tie-break column for equal timestamps
+    * @param valCol  long-typed integral measure (cents-style)
+    * @return one row per key: keys..., `twap_micro` (10⁻⁶ units of
+    *         valCol), `n_intervals` */
+  def timeWeightedAvg(df: DataFrame, keyCols: Seq[String], usCol: String,
+      seqCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(usCol), col(seqCol))
+    df.withColumn("gf_nxt", lead(col(usCol), 1).over(w))
+      .filter(col("gf_nxt").isNotNull)
+      .withColumn("gf_dt", col("gf_nxt") - col(usCol))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(valCol).cast("decimal(38,0)") * col("gf_dt"))
+          .cast("decimal(38,0)").as("gf_num"),
+        sum(col("gf_dt").cast("decimal(38,0)")).cast("decimal(38,0)").as("gf_den"),
+        count(lit(1)).as("n_intervals"))
+      .select(keyCols.map(col) :+
+        expr("CAST((gf_num * 1000000) DIV gf_den AS BIGINT)").as("twap_micro") :+
+        col("n_intervals"): _*)
+  }
 }

@@ -390,6 +390,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private val intervalsGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      s <- Gen.choose(0L, 4L * 86400000000L)        // within 4 UTC days
+      len <- Gen.choose(0L, 86400000000L * 3 / 2)   // up to 1.5 days — spans midnights
+    } yield (s, s + len))
+  } yield rows
+
+  test("dailyConcurrencyPeaks matches the single-threaded sweep reference") {
+    def day(us: Long): String =
+      java.time.LocalDate.ofInstant(
+        java.time.Instant.ofEpochMilli(us / 1000), java.time.ZoneOffset.UTC).toString
+    forAll(intervalsGen) { iv =>
+      // reference: one sorted pass, starts before ends at equal t
+      val pts = iv.flatMap { case (s, e) => List((s, 1L), (e, -1L)) }
+        .sortBy { case (t, d) => (t, -d) }
+      var run = 0L
+      val exp = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      pts.foreach { case (t, d) =>
+        run += d
+        val k = day(t)
+        exp(k) = math.max(exp.getOrElse(k, Long.MinValue), run)
+      }
+      val got = graft.operators.Intervals.dailyConcurrencyPeaks(
+          iv.toDF("s_us", "e_us").repartition(7), "s_us", "e_us")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exp.toMap)
+    }
+  }
+
+  private val twapGen: Gen[List[(String, Long, Long, Long)]] = for {
+    n <- Gen.choose(2, 40)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.oneOf("a", "b", "c")
+      us <- Gen.choose(0L, 1000000000L)
+      v <- Gen.choose(0L, 50000L)
+    } yield (k, us, v))
+  } yield rows.zipWithIndex.map { case ((k, us, v), i) => (k, us, i.toLong, v) }
+
+  test("timeWeightedAvg matches the BigInt reference per key") {
+    forAll(twapGen) { rows =>
+      val exp = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3))
+        val pairs = sorted.zip(sorted.tail)
+        val den = pairs.map { case (a, b) => BigInt(b._2 - a._2) }.sum
+        if (pairs.isEmpty || den == 0) None
+        else {
+          val num = pairs.map { case (a, b) => BigInt(a._4) * (b._2 - a._2) }.sum
+          Some(k -> ((num * 1000000 / den).toLong, pairs.size.toLong))
+        }
+      }
+      val got = graft.operators.Stats.timeWeightedAvg(
+          rows.toDF("k", "us", "seq", "v").repartition(5),
+          Seq("k"), "us", "seq", "v")
+        .collect().filter(!_.isNullAt(1))
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == exp)
+    }
+  }
+
   test("percentage: in [0, ∞) with 0 exactly when guard trips") {
     forAll(Gen.listOfN(30,
       Gen.zip(Gen.choose(0.0, 100.0), Gen.option(Gen.choose(-10.0, 100.0))))) { rows =>
