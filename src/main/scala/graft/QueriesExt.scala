@@ -2608,14 +2608,14 @@ object QueriesExt {
     """WITH lanes AS (SELECT r FROM (VALUES (0),(1),(2),(3)) t(r)),
       |cells AS (
       |  SELECT r AS lane,
-      |         CAST(('0x' || substring(md5(r || ':' || CAST(user_id AS VARCHAR)), 1, 8))
+      |         CAST(('0x' || substring(md5('c:' || CAST(user_id AS VARCHAR)), 1 + 8*r, 8))
       |              AS BIGINT) % 64 AS bucket,
       |         count(*) AS cnt
       |  FROM events, lanes GROUP BY 1, 2),
       |probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
       |probed AS (
       |  SELECT p.user_id, l.r AS lane,
-      |         CAST(('0x' || substring(md5(l.r || ':' || CAST(p.user_id AS VARCHAR)), 1, 8))
+      |         CAST(('0x' || substring(md5('c:' || CAST(p.user_id AS VARCHAR)), 1 + 8*l.r, 8))
       |              AS BIGINT) % 64 AS bucket
       |  FROM probes p, lanes l),
       |est AS (
@@ -2955,7 +2955,7 @@ object QueriesExt {
     """WITH lanes AS (SELECT r FROM (VALUES (0), (1), (2), (3)) t(r)),
       |cells AS (
       |  SELECT r AS lane,
-      |         CAST(('0x' || substring(md5(r || ':' || CAST(user_id AS VARCHAR)), 1, 8))
+      |         CAST(('0x' || substring(md5('c:' || CAST(user_id AS VARCHAR)), 1 + 8*r, 8))
       |              AS BIGINT) % 64 AS bucket,
       |         count(*) AS cnt
       |  FROM events, lanes GROUP BY 1, 2),
@@ -3313,13 +3313,13 @@ object QueriesExt {
     """WITH lanes AS (SELECT r FROM (VALUES (0), (1), (2), (3)) t(r)),
       |ca AS (
       |  SELECT r AS lane,
-      |         CAST(('0x' || substring(md5(r || ':' || CAST(l_orderkey AS VARCHAR)), 1, 8))
+      |         CAST(('0x' || substring(md5('c:' || CAST(l_orderkey AS VARCHAR)), 1 + 8*r, 8))
       |              AS BIGINT) % 256 AS bucket,
       |         count(*) AS cnt
       |  FROM lineitem, lanes GROUP BY 1, 2),
       |cb AS (
       |  SELECT r AS lane,
-      |         CAST(('0x' || substring(md5(r || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+      |         CAST(('0x' || substring(md5('c:' || CAST(o_orderkey AS VARCHAR)), 1 + 8*r, 8))
       |              AS BIGINT) % 256 AS bucket,
       |         count(*) AS cnt
       |  FROM orders, lanes GROUP BY 1, 2),

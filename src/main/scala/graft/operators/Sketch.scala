@@ -22,8 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
-  /** Lane-r bucket of a key: first 8 md5 hex chars of "r:key", mod w. */
-  private def bucket(lane: Column, key: Column, w: Int): Column =
+  /** One namespaced 32-hex md5 per row; each lane reads its own disjoint
+    * 8-hex (32-bit) slice. ONE hash evaluation serves all d lanes — at
+    * sketch-build and probe time the md5 dominates the per-row cost, so
+    * this is a ~d× kernel saving over hashing "lane:key" per lane. Lane
+    * slices of one md5 are independent for CMS purposes (md5 diffusion);
+    * the one-sided est ≥ true guarantee needs no independence at all.
+    * Caps d at 4 (4 slices × 8 hex = the whole digest). */
+  private def keyHash(key: Column): Column =
+    md5(concat(lit("c:"), key.cast("string")))
+
+  /** Lane-r bucket from a precomputed [[keyHash]] column: slice r's 8 hex
+    * chars, mod w. */
+  private def sliceBucket(h: Column, lane: Int, w: Int): Column =
+    pmod(conv(substring(h, 1 + 8 * lane, 8), 16, 10).cast("long"), lit(w))
+
+  private val MaxLanes = 4
+
+  /** Legacy lane-hash bucket ("lane:key" md5) — used by the DISTINCT
+    * sketches ([[distinctMin]]/[[distinctMinPerKey]]), whose bucket lane
+    * must stay independent of their "v:key" VALUE lane and whose q96/q109
+    * oracles pin this exact construction. The CMS family uses the sliced
+    * [[keyHash]] instead (one md5 serves all lanes). */
+  private def laneBucket(lane: Column, key: Column, w: Int): Column =
     pmod(conv(substring(md5(concat(lane, lit(":"), key.cast("string"))), 1, 8),
       16, 10).cast("long"), lit(w))
 
@@ -33,10 +54,12 @@ object Sketch {
     *
     * @return (lane, bucket, cnt) — only nonzero cells */
   def countMin(df: DataFrame, keyCol: String, w: Int, d: Int): DataFrame = {
-    require(w >= 2 && d >= 1, s"countMin needs w >= 2, d >= 1; got w=$w d=$d")
-    df.select(explode(array((0 until d).map(r =>
+    require(w >= 2 && d >= 1 && d <= MaxLanes,
+      s"countMin needs w >= 2, 1 <= d <= $MaxLanes; got w=$w d=$d")
+    df.select(keyHash(col(keyCol)).as("gf_h"))
+      .select(explode(array((0 until d).map(r =>
         struct(lit(r).as("lane"),
-          bucket(lit(r), col(keyCol), w).as("bucket"))): _*)).as("lb"))
+          sliceBucket(col("gf_h"), r, w).as("bucket"))): _*)).as("lb"))
       .groupBy(col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -50,11 +73,12 @@ object Sketch {
     * not another corpus scan. */
   def countMinWeighted(counts: DataFrame, keyCol: String, weightCol: String,
       w: Int, d: Int): DataFrame = {
-    require(w >= 2 && d >= 1, s"countMinWeighted needs w >= 2, d >= 1; got w=$w d=$d")
-    counts.select(col(weightCol).as("__w"),
-        explode(array((0 until d).map(r =>
+    require(w >= 2 && d >= 1 && d <= MaxLanes,
+      s"countMinWeighted needs w >= 2, 1 <= d <= $MaxLanes; got w=$w d=$d")
+    counts.select(col(weightCol).as("__w"), keyHash(col(keyCol)).as("gf_h"))
+      .select(col("__w"), explode(array((0 until d).map(r =>
           struct(lit(r).as("lane"),
-            bucket(lit(r), col(keyCol), w).as("bucket"))): _*)).as("lb"))
+            sliceBucket(col("gf_h"), r, w).as("bucket"))): _*)).as("lb"))
       .groupBy(col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
       .agg(sum(col("__w")).as("cnt"))
   }
@@ -64,9 +88,12 @@ object Sketch {
     * construction — so probing any number of keys is one broadcast join. */
   def countMinEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
       w: Int, d: Int): DataFrame = {
-    val keyed = probes.select(col(keyCol), explode(array((0 until d).map(r =>
+    require(d >= 1 && d <= MaxLanes,
+      s"countMinEstimate needs 1 <= d <= $MaxLanes, got d=$d")
+    val keyed = probes.select(col(keyCol), keyHash(col(keyCol)).as("gf_h"))
+      .select(col(keyCol), explode(array((0 until d).map(r =>
         struct(lit(r).as("lane"),
-          bucket(lit(r), col(keyCol), w).as("bucket"))): _*)).as("lb"))
+          sliceBucket(col("gf_h"), r, w).as("bucket"))): _*)).as("lb"))
       .select(col(keyCol), col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
     keyed.join(broadcast(sketch), Seq("lane", "bucket"), "left")
       .groupBy(col(keyCol))
@@ -114,7 +141,7 @@ object Sketch {
   def distinctMin(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 2, s"distinctMin needs k >= 2, got $k")
     df.select(
-        bucket(lit("b"), col(keyCol), k).as("bucket"),
+        laneBucket(lit("b"), col(keyCol), k).as("bucket"),
         conv(substring(md5(concat(lit("v:"), col(keyCol).cast("string"))), 1, 8),
           16, 10).cast("long").as("h"))
       .groupBy("bucket").agg(min(col("h")).as("minh"))
@@ -131,7 +158,7 @@ object Sketch {
       k: Int): DataFrame = {
     require(k >= 2, s"distinctMinPerKey needs k >= 2, got $k")
     df.select(col(keyCol),
-        bucket(lit("b"), col(valCol), k).as("bucket"),
+        laneBucket(lit("b"), col(valCol), k).as("bucket"),
         conv(substring(md5(concat(lit("v:"), col(valCol).cast("string"))), 1, 8),
           16, 10).cast("long").as("h"))
       .groupBy(col(keyCol), col("bucket")).agg(min(col("h")).as("minh"))
@@ -238,6 +265,8 @@ object Sketch {
   def heavyHitters(df: DataFrame, keyCol: String, s: Long,
       w: Int = 2048, d: Int = 4): DataFrame = {
     require(s >= 2, s"heavyHitters needs s >= 2, got $s")
+    require(d >= 1 && d <= MaxLanes,
+      s"heavyHitters needs 1 <= d <= $MaxLanes, got d=$d")
     val cells = countMin(df, keyCol, w, d).collect()
     val arr = Array.fill(d * w)(0L)
     cells.foreach { r =>
@@ -247,12 +276,18 @@ object Sketch {
     val n = arr.slice(0, w).sum // lane 0 holds every row exactly once
     val thr = n / s
     val cellArr = typedLit(arr.toSeq)
+    // gf_h projected ONCE: the d per-lane probes reference the named
+    // column, so the md5 runs once per row, not d times
     val est = (0 until d).map { r =>
       element_at(cellArr,
-        (bucket(lit(r), col(keyCol), w) + lit(r * w) + lit(1)).cast("int"))
+        (sliceBucket(col("gf_h"), r, w) + lit(r * w) + lit(1)).cast("int"))
     }.reduceLeft(least(_, _))
-    val cand = df.filter(est >= lit(thr)).select(col(keyCol)).distinct()
-    df.join(broadcast(cand), Seq(keyCol), "left_semi")
+    // The estimate is a pure function of the key, so the row filter IS
+    // the candidate-key membership test — every row of a surviving key
+    // passes. Recount directly on the filtered rows: no distinct pass,
+    // no semi-join, one sketch scan + one filtered recount scan total.
+    df.withColumn("gf_h", keyHash(col(keyCol)))
+      .filter(est >= lit(thr))
       .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= thr)
   }
