@@ -5162,6 +5162,261 @@ object QueriesExt {
       |       CAST(1 AS BIGINT) << bucket AS lo_cents
       |FROM b GROUP BY event_type, bucket ORDER BY 1, 2""".stripMargin
 
+  // -------------------- seasonality-normalized volume anomaly (q151)
+
+  /** Daily-volume anomalies against a DAY-OF-WEEK baseline: q128 flags
+    * hours against a type's global hourly distribution, which marks every
+    * weekend as an anomaly for weekday-heavy types; this compares each
+    * (type, day) count to the mean of its own weekday cohort and flags
+    * |n/baseline − 1| > 50%. The predicate is the cross-multiplied
+    * integer form 2·|n·m − s| > s (s = cohort sum, m = cohort days) — no
+    * division, bit-reproducible. Two aggregates (daily counts, then a
+    * |types|·7-row cohort table broadcast back) and a row-local flag;
+    * day/dow indices are pure integer epoch-µs arithmetic, not calendar
+    * functions whose week-start conventions differ across engines. */
+  private val q151: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .select(col("event_type"),
+        (unix_micros(col("ts")) / 86400000000L).cast("long").as("day_idx"))
+      .groupBy(col("event_type"), col("day_idx"))
+      .agg(count(lit(1)).as("n_ev"))
+      .withColumn("dow", pmod(col("day_idx"), lit(7)))
+    val base = daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n_ev")).as("s"), count(lit(1)).as("m"))
+    daily.join(broadcast(base), Seq("event_type", "dow"))
+      .filter(abs(col("n_ev") * col("m") - col("s")) * 2 > col("s"))
+      .withColumn("base_micro", expr("(1000000 * s) DIV m"))
+      .select(col("event_type"), col("day_idx"), col("n_ev"), col("base_micro"))
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
+  private val q151Sql =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+      |         count(*) AS n_ev
+      |  FROM events GROUP BY 1, 2),
+      |base AS (
+      |  SELECT event_type, day_idx % 7 AS dow,
+      |         CAST(sum(n_ev) AS BIGINT) AS s, count(*) AS m
+      |  FROM daily GROUP BY 1, 2)
+      |SELECT d.event_type, d.day_idx, d.n_ev,
+      |       CAST((1000000 * b.s) // b.m AS BIGINT) AS base_micro
+      |FROM daily d JOIN base b
+      |  ON d.event_type = b.event_type AND d.day_idx % 7 = b.dow
+      |WHERE abs(d.n_ev * b.m - b.s) * 2 > b.s
+      |ORDER BY d.event_type, d.day_idx""".stripMargin
+
+  // ----------------------- funnel latency distribution per day (q152)
+
+  /** Click→purchase latency distribution by purchase day: q44's as-of
+    * attribution (sort-merge carry, one shuffle — not a range join)
+    * yields each purchase's most recent strictly-prior click; exact
+    * continuous percentiles of the gap per day follow the q54
+    * `percentile` ≡ `quantile_cont` cross-check discipline. The payload
+    * carried is only the click time, so equal-timestamp clicks cannot
+    * make the as-of row ill-defined. */
+  private val q152: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts")).distinct()
+    graft.operators.Relational.asofJoin(purchases, clicks, Seq("user_id"),
+        "ts", "cts", Seq("cts"))
+      .filter(col("cts").isNotNull)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        (unix_micros(col("ts")) - unix_micros(col("cts"))).as("gap_us"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(gap_us, 0.5)").as("p50_us"),
+        expr("percentile(gap_us, 0.9)").as("p90_us"))
+      .orderBy(col("day"))
+  }
+
+  private val q152Sql =
+    """WITH p AS (SELECT user_id, event_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT DISTINCT user_id, ts AS cts FROM events
+      |      WHERE event_type = 'click'),
+      |g AS (
+      |  SELECT strftime(p.ts, '%Y-%m-%d') AS day,
+      |         epoch_us(p.ts) - epoch_us(cts) AS gap_us
+      |  FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts > c.cts)
+      |SELECT day, count(*) AS n,
+      |       quantile_cont(gap_us, 0.5) AS p50_us,
+      |       quantile_cont(gap_us, 0.9) AS p90_us
+      |FROM g GROUP BY day ORDER BY day""".stripMargin
+
+  // ------------------------------ vocabulary richness per source (q153)
+
+  /** Vocabulary-richness profile per source: token count, distinct types,
+    * hapax legomena (frequency-1 types), type-token ratio and hapax share
+    * in exact integer micro-units — the corpus-health readout that
+    * separates template spam (low TTR) from natural text, complementing
+    * q50's within-document repetition. One explode into a (source, token)
+    * count aggregate — map-side combinable, vocabulary-sized state — then
+    * a per-source rollup of the count table. */
+  private val q153: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("source"), explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_micro", expr("1000000 * n_types DIV n_tokens"))
+      .withColumn("hapax_micro", expr("1000000 * n_hapax DIV n_types"))
+      .orderBy(col("source"))
+
+  private val q153Sql =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (
+      |  SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+      |SELECT source,
+      |       CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       count(*) AS n_types,
+      |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |       CAST(1000000 * count(*) // sum(c) AS BIGINT) AS ttr_micro,
+      |       CAST(1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+      |            // count(*) AS BIGINT) AS hapax_micro
+      |FROM cnt GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------ cart abandonment per day (q154)
+
+  /** Cart-abandonment rate per day: a click is ABANDONED when the same
+    * user makes no purchase within the following hour. The time-windowed
+    * NOT-EXISTS is JOIN-FREE: one user-partitioned window carries each
+    * row's next-purchase time backward (`min` of purchase times over the
+    * following rows — the q136 reverse-carry discipline), and the
+    * abandonment test becomes a row-local predicate. The naive
+    * clicks-anti-join-purchases-on-a-range formulation is a per-key
+    * quadratic nested loop — the shape this query exists to avoid. */
+  private val q154: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    ev.withColumn("next_p_us",
+        min(when(col("event_type") === "purchase", col("us"))).over(w))
+      .filter(col("event_type") === "click")
+      .withColumn("day", date_format(timestamp_micros(col("us")), "yyyy-MM-dd"))
+      .withColumn("abandoned",
+        when(col("next_p_us").isNull
+          || col("next_p_us") > col("us") + 3600000000L, 1L).otherwise(0L))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_clicks"), sum(col("abandoned")).as("n_abandoned"))
+      .withColumn("abandon_pm", expr("1000000 * n_abandoned DIV n_clicks"))
+      .orderBy(col("day"))
+  }
+
+  private val q154Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |n AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN us END)
+      |           OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      |           AS next_p_us
+      |  FROM ev),
+      |c AS (
+      |  SELECT strftime(make_timestamp(us), '%Y-%m-%d') AS day,
+      |         CASE WHEN next_p_us IS NULL OR next_p_us > us + 3600000000
+      |              THEN 1 ELSE 0 END AS abandoned
+      |  FROM n WHERE event_type = 'click')
+      |SELECT day, count(*) AS n_clicks,
+      |       CAST(sum(abandoned) AS BIGINT) AS n_abandoned,
+      |       CAST(1000000 * sum(abandoned) // count(*) AS BIGINT) AS abandon_pm
+      |FROM c GROUP BY day ORDER BY day""".stripMargin
+
+  // ---------------------------------- part reorder cadence (q155)
+
+  /** Reorder cadence per part: gaps in days between successive DISTINCT
+    * order dates of each part — the demand-rhythm profile behind
+    * replenishment planning. One lineitem⋈orders equi-join (the fact
+    * join every procurement analytic pays), dedup to (part, date), one
+    * part-partitioned lag window feeding a part aggregate on the same
+    * partitioning. Mean gap is integer DIV; parts need ≥ 5 gaps so the
+    * mean is a cadence, not noise. */
+  private val q155: Q = (s, dir) => {
+    val pd = t(s, dir, "lineitem").select(col("l_partkey"), col("l_orderkey"))
+      .join(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), col("d")).distinct()
+    val w = Window.partitionBy(col("l_partkey")).orderBy(col("d"))
+    pd.withColumn("prev", lag(col("d"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_days", datediff(col("d"), col("prev")).cast("long"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_days")).as("sum_gap"),
+        max(col("gap_days")).as("max_gap"))
+      .filter(col("n_gaps") >= 5)
+      .select(col("l_partkey"), col("n_gaps"),
+        expr("sum_gap DIV n_gaps").as("mean_gap_days"), col("max_gap"))
+      .orderBy(col("l_partkey"))
+  }
+
+  private val q155Sql =
+    """WITH pd AS (
+      |  SELECT DISTINCT l_partkey, CAST(o_orderdate AS DATE) AS d
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |g AS (
+      |  SELECT l_partkey,
+      |         date_diff('day', lag(d) OVER (PARTITION BY l_partkey ORDER BY d),
+      |                   d) AS gap_days
+      |  FROM pd),
+      |a AS (
+      |  SELECT l_partkey, count(*) AS n_gaps,
+      |         CAST(sum(gap_days) AS BIGINT) AS sum_gap,
+      |         CAST(max(gap_days) AS BIGINT) AS max_gap
+      |  FROM g WHERE gap_days IS NOT NULL GROUP BY 1)
+      |SELECT l_partkey, n_gaps, sum_gap // n_gaps AS mean_gap_days, max_gap
+      |FROM a WHERE n_gaps >= 5 ORDER BY l_partkey""".stripMargin
+
+  // ------------------------------- new vs returning users per day (q156)
+
+  /** Daily active users split into NEW (first-ever activity that day) vs
+    * RETURNING — the growth-accounting readout on every product
+    * dashboard. Dedup to (user, day) pairs first (smallest sufficient
+    * state — the q134 discipline), one user-partitioned window min marks
+    * each user's first day, and the day rollup is a reuse of that same
+    * user-keyed exchange's output. Day indices are integer epoch-µs
+    * division. */
+  private val q156: Q = (s, dir) => {
+    val ud = t(s, dir, "events")
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / 86400000000L).cast("long").as("day_idx"))
+      .distinct()
+    val wu = Window.partitionBy(col("user_id"))
+    ud.withColumn("first_day", min(col("day_idx")).over(wu))
+      .withColumn("is_new",
+        when(col("day_idx") === col("first_day"), 1L).otherwise(0L))
+      .groupBy(col("day_idx"))
+      .agg(count(lit(1)).as("n_users"), sum(col("is_new")).as("n_new"))
+      .withColumn("n_returning", col("n_users") - col("n_new"))
+      .orderBy(col("day_idx"))
+  }
+
+  private val q156Sql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, day_idx,
+      |         min(day_idx) OVER (PARTITION BY user_id) AS first_day
+      |  FROM ud)
+      |SELECT day_idx, count(*) AS n_users,
+      |       CAST(sum(CASE WHEN day_idx = first_day THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_new,
+      |       CAST(count(*) - sum(CASE WHEN day_idx = first_day THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_returning
+      |FROM f GROUP BY day_idx ORDER BY day_idx""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -5286,6 +5541,12 @@ object QueriesExt {
     Entry("q147_concurrency_peak", q147, Some(q147Sql)),
     Entry("q148_gini_inequality", q148, Some(q148Sql)),
     Entry("q149_lateness_profile", q149, Some(q149Sql)),
-    Entry("q150_log2_histogram", q150, Some(q150Sql))
+    Entry("q150_log2_histogram", q150, Some(q150Sql)),
+    Entry("q151_seasonal_anomaly", q151, Some(q151Sql)),
+    Entry("q152_funnel_latency", q152, Some(q152Sql)),
+    Entry("q153_vocab_richness", q153, Some(q153Sql)),
+    Entry("q154_cart_abandonment", q154, Some(q154Sql)),
+    Entry("q155_reorder_cadence", q155, Some(q155Sql)),
+    Entry("q156_new_vs_returning", q156, Some(q156Sql))
   )
 }
