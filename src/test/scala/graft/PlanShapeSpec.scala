@@ -329,6 +329,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges("q125_skipgram_cooc") == 2)
   }
 
+  test("q145-q156: round-5 queries shuffle exactly where inherent") {
+    def exchanges(q: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(plan(q)).size
+    // single-exchange family: the ordered window's hash partitioning is
+    // REUSED by the aggregate that follows (OHLC (type,day); TWAP,
+    // lateness (type)); the histogram is one partial-agg shuffle
+    assert(exchanges("q145_ohlc_bars") == 1)
+    assert(exchanges("q146_twap") == 1)
+    assert(exchanges("q149_lateness_profile") == 1)
+    assert(exchanges("q150_log2_histogram") == 1)
+    // two inherent shuffles: the user-ordered reverse-carry window, then
+    // the day rollup (q154); the vocabulary count, then the source
+    // rollup (q153); the fact join + per-part lag window (q155)
+    assert(exchanges("q154_cart_abandonment") == 2)
+    assert(exchanges("q153_vocab_richness") == 2)
+    assert(exchanges("q155_reorder_cadence") == 2)
+    spark.catalog.clearCache()
+  }
+
   test("q120: query terms broadcast onto the corpus; only the 1-row scale scalar nested-loops") {
     val p = plan("q120_bm25_retrieval")
     assert(!p.contains("CartesianProduct"), s"q120 cartesian:\n$p")
