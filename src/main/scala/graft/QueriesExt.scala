@@ -5417,6 +5417,136 @@ object QueriesExt {
       |            AS BIGINT) AS n_returning
       |FROM f GROUP BY day_idx ORDER BY day_idx""".stripMargin
 
+  // --------------------- near-dup leakage matrix by source (q157)
+
+  /** Cross-source duplication matrix: which source pairs share near-
+    * duplicate documents — the leakage readout that decides whether a
+    * "new" crawl actually adds content or re-ingests an existing feed.
+    * Rides the SAME PPJoin prefix-filtered pair detection as q31/q48
+    * (shared shingle table, paid once per session); the only new work is
+    * two doc_id-keyed source lookups over the (small) pair set and a
+    * |sources|²-bounded aggregate. Pairs canonicalize as
+    * (least, greatest) so the matrix is upper-triangular. */
+  private val q157: Q = (s, dir) => {
+    val pairs = graft.operators.NearDup
+      .prefixJoinPairs(docShingles(s, dir), 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val q157Sql = docHsCte +
+    """,
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |      WHERE len(list_intersect(a.hs, b.hs))
+      |            / len(list_distinct(a.hs || b.hs)) >= 0.8),
+      |s AS (SELECT least(da.source, db.source) AS src_a,
+      |             greatest(da.source, db.source) AS src_b
+      |      FROM p JOIN documents da ON p.doc_a = da.doc_id
+      |             JOIN documents db ON p.doc_b = db.doc_id)
+      |SELECT src_a, src_b, count(*) AS n_pairs
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------ boilerplate prefix detection (q158)
+
+  /** Template/boilerplate detection: documents sharing an identical
+    * 5-token prefix (md5 of the joined head) in groups of ≥ 3 are
+    * template instances — the cheap first pass before near-dup machinery
+    * (a shared header is one hash-groupBy; shingle similarity is a
+    * join). Pure map + one vocabulary-sized aggregate; the prefix hash
+    * keys the shuffle, so the corpus body never moves. */
+  private val q158: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 5))).as("prefix_h"))
+      .groupBy(col("prefix_h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") >= 3)
+      .orderBy(col("prefix_h"))
+
+  private val q158Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         md5(array_to_string(list_slice(string_split(text, ' '), 1, 5),
+      |             ' ')) AS prefix_h
+      |  FROM documents)
+      |SELECT prefix_h, count(*) AS n_docs, min(doc_id) AS min_doc
+      |FROM p GROUP BY prefix_h HAVING count(*) >= 3
+      |ORDER BY prefix_h""".stripMargin
+
+  // ------------------------------ dup-cluster size histogram (q159)
+
+  /** Size histogram of the near-duplicate clusters — the dedup QA
+    * readout: a long tail of pairs is organic duplication, one giant
+    * cluster means the threshold (or a template) collapsed the corpus.
+    * Rides q48's transitive closure (shared shingles + pair detection;
+    * the min-label propagation is |clustered docs|-sized); the rollup
+    * is two tiny aggregates on top. The oracle re-derives membership
+    * with the independent recursive-CTE closure. */
+  private val q159: Q = (s, dir) =>
+    graft.operators.NearDup.clusters(
+        graft.operators.NearDup.prefixJoinPairs(docShingles(s, dir), 0.8))
+      .groupBy(col("rep_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("sz"))
+
+  private val q159Sql =
+    docHsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    """,
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |      WHERE len(list_intersect(a.hs, b.hs))
+      |            / len(list_distinct(a.hs || b.hs)) >= 0.8),
+      |e AS (SELECT doc_a AS n, doc_b AS m FROM p
+      |      UNION ALL SELECT doc_b, doc_a FROM p),
+      |r(n, l) AS (
+      |  SELECT n, n FROM e
+      |  UNION
+      |  SELECT r.n, e.m FROM r JOIN e ON e.n = r.l),
+      |lab AS (SELECT n, min(l) AS rep_id FROM r GROUP BY n),
+      |cl AS (SELECT rep_id, count(*) AS sz FROM lab GROUP BY rep_id)
+      |SELECT sz, count(*) AS n_clusters FROM cl
+      |GROUP BY sz ORDER BY sz""".stripMargin
+
+  // ------------------------------ holdout split integrity (q160)
+
+  /** Deterministic train/val/test split accounting: the 80/10/10 holdout
+    * assignment is the [[graft.operators.Sampling]] stable-hash gate
+    * (md5 band of the doc id — membership is a pure function of the id,
+    * so reruns, repartitions, and corpus growth never move a document
+    * across splits), and the report is one aggregate: docs and
+    * characters per split. The integrity property a training pipeline
+    * audits before every run — leakage-free, size-stable splits. */
+  private val q160: Q = (s, dir) => {
+    val band = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100))
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(band < 80, "train").when(band < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("split"))
+  }
+
+  private val q160Sql =
+    """WITH b AS (
+      |  SELECT n_chars,
+      |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |              AS BIGINT) % 100 AS band
+      |  FROM documents)
+      |SELECT CASE WHEN band < 80 THEN 'train'
+      |            WHEN band < 90 THEN 'val' ELSE 'test' END AS split,
+      |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -5547,6 +5677,10 @@ object QueriesExt {
     Entry("q153_vocab_richness", q153, Some(q153Sql)),
     Entry("q154_cart_abandonment", q154, Some(q154Sql)),
     Entry("q155_reorder_cadence", q155, Some(q155Sql)),
-    Entry("q156_new_vs_returning", q156, Some(q156Sql))
+    Entry("q156_new_vs_returning", q156, Some(q156Sql)),
+    Entry("q157_dup_source_matrix", q157, Some(q157Sql)),
+    Entry("q158_template_prefixes", q158, Some(q158Sql)),
+    Entry("q159_dup_cluster_sizes", q159, Some(q159Sql)),
+    Entry("q160_split_integrity", q160, Some(q160Sql))
   )
 }
