@@ -5030,33 +5030,18 @@ object QueriesExt {
 
   // ----------------------- spend inequality (Gini) per nation (q148)
 
-  /** Gini coefficient of customer order spend per nation, in exact
-    * integer arithmetic: with per-nation spend ranked ascending
-    * (i = row_number, tie-broken by custkey — though ties cannot move
-    * the sum: equal x contribute the same Σi·xᵢ under any rank
-    * assignment), G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), rendered in
-    * micro-units via DECIMAL(38,0) DIV (Σi·xᵢ reaches n²·x_max — far
-    * past BIGINT at warehouse row counts). Shape: one aggregate to
-    * per-customer spend, a broadcast-size dim join, one per-nation
-    * ranked window feeding a per-nation aggregate — the window's hash
-    * partitioning is reused, so rank+moments cost one exchange. */
+  /** Gini coefficient of customer order spend per nation through
+    * [[graft.operators.Stats.giniByKey]] (exact integer rank-moment
+    * formula; see the operator's scaladoc). Shape: one aggregate to
+    * per-customer spend, a broadcast-size dim join, then the operator's
+    * single ranked-window + aggregate exchange. */
   private val q148: Q = (s, dir) => {
-    val d38 = "decimal(38,0)"
     val spend = t(s, dir, "orders").groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long").as("cents"))
     val x = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
       .join(spend, col("c_custkey") === col("o_custkey"))
-    val wn = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("cents"), col("c_custkey"))
-    x.withColumn("i", row_number().over(wn))
-      .groupBy(col("c_nationkey"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("cents").cast(d38)).cast(d38).as("sx"),
-        sum(col("i").cast(d38) * col("cents")).cast(d38).as("six"))
-      .select(col("c_nationkey"), col("n"),
-        expr("CAST((2 * six - (n + 1) * sx) * 1000000 " +
-          "DIV (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)").as("gini_micro"))
+    graft.operators.Stats.giniByKey(x, Seq("c_nationkey"), "cents", "c_custkey")
       .orderBy(col("c_nationkey"))
   }
 

@@ -412,4 +412,36 @@ object Stats {
         expr("CAST((gf_num * 1000000) DIV gf_den AS BIGINT)").as("twap_micro") :+
         col("n_intervals"): _*)
   }
+
+  /** Gini coefficient per key in exact integer arithmetic: with values
+    * ranked ascending (i = row_number, tie-broken by `seqCol` — ties
+    * cannot move the result: equal x contribute the same Σi·xᵢ under any
+    * rank assignment), G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), rendered in
+    * micro-units via DECIMAL(38,0) DIV (Σi·xᵢ reaches n²·x_max — far
+    * past BIGINT at warehouse row counts). Values must be non-negative
+    * (Gini is undefined below zero); an all-zero group divides by zero
+    * and yields a null `gini_micro` under ANSI-off.
+    *
+    * Scale shape: one per-key ranked window feeding a per-key aggregate
+    * on the SAME partitioning — a single exchange end-to-end.
+    *
+    * @param df      input rows
+    * @param keyCols grouping columns
+    * @param valCol  long-typed non-negative measure (cents-style)
+    * @param seqCol  unique tie-break column for equal values
+    * @return one row per key: keys..., `n`, `gini_micro` ∈ [0, 10⁶) */
+  def giniByKey(df: DataFrame, keyCols: Seq[String], valCol: String,
+      seqCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val wn = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(valCol), col(seqCol))
+    df.withColumn("gf_i", row_number().over(wn))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valCol).cast(d38)).cast(d38).as("gf_sx"),
+        sum(col("gf_i").cast(d38) * col(valCol)).cast(d38).as("gf_six"))
+      .select(keyCols.map(col) :+ col("n") :+
+        expr("CAST((2 * gf_six - (n + 1) * gf_sx) * 1000000 " +
+          "DIV (CAST(n AS DECIMAL(38,0)) * gf_sx) AS BIGINT)").as("gini_micro"): _*)
+  }
 }

@@ -450,6 +450,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("giniByKey matches the BigInt rank-moment reference and its bounds") {
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b")
+        v <- Gen.choose(0L, 100000L)
+      } yield (k, v))
+    } yield rows.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+    forAll(gen) { rows =>
+      val exp = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val xs = rs.sortBy(r => (r._3, r._2)).map(_._3)
+        val n = BigInt(xs.size)
+        val sx = xs.map(BigInt(_)).sum
+        if (sx == 0) None // all-zero group: undefined (operator yields null)
+        else {
+          val six = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+          Some(k -> ((2 * six - (n + 1) * sx) * 1000000 / (n * sx)).toLong)
+        }
+      }
+      val got = graft.operators.Stats.giniByKey(
+          rows.toDF("k", "seq", "v").repartition(5), Seq("k"), "v", "seq")
+        .collect().filter(!_.isNullAt(2))
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got == exp)
+      // bounds: 0 ≤ G_micro < 10⁶ whenever defined
+      got.values.foreach(g => assert(g >= 0L && g < 1000000L))
+    }
+  }
+
   test("percentage: in [0, ∞) with 0 exactly when guard trips") {
     forAll(Gen.listOfN(30,
       Gen.zip(Gen.choose(0.0, 100.0), Gen.option(Gen.choose(-10.0, 100.0))))) { rows =>

@@ -50,4 +50,13 @@ class SmokeGateSpec extends SparkSpec {
       val n = SparkEntry.queries(query)(spark, sfDir).count()
       assert(n > 0L, s"$query produced zero rows")
     }
+
+  // The STREAMING reader is a separate code path from the batch catalog
+  // (`Streaming.eventsStream` — its own schema load + rescue dispatch);
+  // round 4 broke both, and a batch-only smoke would have cleared half
+  // the regression. One real streaming query closes the tripwire.
+  test("streaming query q24_streaming_window runs end-to-end at sf0.001") {
+    val n = SparkEntry.queries("q24_streaming_window")(spark, sfDir).count()
+    assert(n > 0L, "q24 produced zero rows")
+  }
 }
