@@ -5532,6 +5532,22 @@ object QueriesExt {
       |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------- streaming exact key-distinct (q161)
+
+  /** §2.10 extension — streaming exact distinct over the event stream
+    * through [[graft.streaming.Streaming.distinctKeyPairs]]: every
+    * (user, event_type) pair once, from a REAL Structured Streaming
+    * query (keyspace-sized dedup state; see the operator's scaladoc for
+    * the watermark-expiring alternative). The oracle is the batch
+    * SELECT DISTINCT — streaming/batch parity on the same input is the
+    * §2.10 contract. */
+  private val q161: Q = (s, dir) =>
+    graft.streaming.Streaming.distinctKeyPairs(s, dir)
+
+  private val q161Sql =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -5666,6 +5682,7 @@ object QueriesExt {
     Entry("q157_dup_source_matrix", q157, Some(q157Sql)),
     Entry("q158_template_prefixes", q158, Some(q158Sql)),
     Entry("q159_dup_cluster_sizes", q159, Some(q159Sql)),
-    Entry("q160_split_integrity", q160, Some(q160Sql))
+    Entry("q160_split_integrity", q160, Some(q160Sql)),
+    Entry("q161_streaming_distinct", q161, Some(q161Sql))
   )
 }

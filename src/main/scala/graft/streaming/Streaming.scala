@@ -233,6 +233,37 @@ object Streaming {
     out
   }
 
+  /** Streaming EXACT key-distinct: every (user_id, event_type) pair seen
+    * anywhere in the stream, once — `dropDuplicates` on the keys, whose
+    * state is KEYSPACE-sized (|users|·|types|), not input-sized: correct
+    * and bounded whenever the key domain is (dimension-like keys). For
+    * unbounded key domains the watermark-expiring
+    * `dropDuplicatesWithinWatermark` variant ([[dedupEventsToFiles]],
+    * StreamingSpec) is the scale path — at the cost of re-emitting keys
+    * that recur beyond the horizon. Output carries ONLY the dedup keys,
+    * so which in-stream representative won is invisible and the result
+    * is deterministic (file-source task order is not).
+    *
+    * TEST/ORACLE SHIM like its siblings: append-mode memory sink,
+    * bounded inputs; production swaps the file/JDBC runners in. */
+  def distinctKeyPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = uniqueName("graft_stream_distinct")
+    val q = eventsStream(spark, sfDir)
+      .dropDuplicates(Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, 300000)
+    val out = spark.table(name)
+      .orderBy(col("user_id"), col("event_type")).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** PRODUCTION sessionization: append-mode parquet sink with
     * watermark-bounded state — nothing ever materializes on the driver,
     * output lands as files partitioned work-stealing style by the sink.
