@@ -389,13 +389,20 @@ object Stats {
     * Scale shape: one lead window per key then one aggregate on the
     * SAME key partitioning — a single exchange end-to-end.
     *
+    * Degenerate keys: if EVERY observation of a key shares one
+    * timestamp, total holding time is 0 and the ANSI-off DECIMAL DIV
+    * yields a null `twap_micro` (a SQL engine with checked division
+    * would throw instead). Callers that must be engine-portable filter
+    * `twap_micro IS NOT NULL` — see q146.
+    *
     * @param df      input rows
     * @param keyCols grouping columns
     * @param usCol   epoch-microsecond long observation time
     * @param seqCol  unique tie-break column for equal timestamps
     * @param valCol  long-typed integral measure (cents-style)
     * @return one row per key: keys..., `twap_micro` (10⁻⁶ units of
-    *         valCol), `n_intervals` */
+    *         valCol; null when the key's holding time is 0),
+    *         `n_intervals` */
   def timeWeightedAvg(df: DataFrame, keyCols: Seq[String], usCol: String,
       seqCol: String, valCol: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)

@@ -264,6 +264,48 @@ object Streaming {
     out
   }
 
+  /** Streaming WATERMARK-BOUNDED key-distinct — the scale path that
+    * [[distinctKeyPairs]]'s scaladoc promises for unbounded key domains,
+    * here under the oracle gate: one (user, day) row per user-day seen
+    * in the stream, via `dropDuplicatesWithinWatermark`. Unlike
+    * `dropDuplicates`, state holds only keys seen WITHIN the watermark
+    * horizon of the current max event time and is dropped as the
+    * watermark passes — bounded by keys×horizon, never by stream
+    * history; the trade is that a key recurring beyond the horizon
+    * re-emits (at-least-once residue, thinned downstream).
+    *
+    * Batch-parity contract for the gate: `late` must cover the bounded
+    * input's full event-time span, so no state expires during the run
+    * and the output is EXACTLY the batch DISTINCT regardless of how the
+    * file source batches the input (with a shorter horizon the output
+    * would depend on micro-batch boundaries — real, but not oracle-
+    * checkable). Only the dedup keys are projected, so which in-stream
+    * occurrence won is invisible and the result is deterministic.
+    *
+    * TEST/ORACLE SHIM like its siblings: append-mode memory sink,
+    * bounded inputs; production swaps in the file/JDBC runners (the
+    * plan is [[dedupEventsToFiles]]'s, with a replay-window horizon). */
+  def dedupUserDaysWithinWatermark(spark: SparkSession, sfDir: String,
+      late: String = "3650 days"): DataFrame = {
+    val name = uniqueName("graft_stream_wm_distinct")
+    val q = eventsStream(spark, sfDir)
+      .withWatermark("ts", late)
+      .withColumn("day_idx", expr("unix_micros(ts) div 86400000000"))
+      .dropDuplicatesWithinWatermark(Seq("user_id", "day_idx"))
+      .select(col("user_id"), col("day_idx"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, 300000)
+    val out = spark.table(name)
+      .orderBy(col("user_id"), col("day_idx")).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** PRODUCTION sessionization: append-mode parquet sink with
     * watermark-bounded state — nothing ever materializes on the driver,
     * output lands as files partitioned work-stealing style by the sink.

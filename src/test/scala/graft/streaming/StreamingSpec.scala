@@ -182,6 +182,21 @@ class StreamingSpec extends SparkSpec {
     assert(labels.get("view").contains("passive"))
   }
 
+  test("dedupUserDaysWithinWatermark matches batch DISTINCT when the " +
+      "horizon covers the input span (q162 gate contract)") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Streaming.dedupUserDaysWithinWatermark(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = graft.core.Tables(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS day_idx")
+      .distinct().orderBy("user_id", "day_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+    // and the stream actually thinned something: raw rows > distinct keys
+    assert(graft.core.Tables(spark, sf, "events").count() > got.size)
+  }
+
   test("memory-sink query names are unique per invocation (no collision)") {
     val sf = "/root/testdata/sf0.001"
     val a = Streaming.hourlyEventCounts(spark, sf).count()

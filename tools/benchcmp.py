@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Calibration-normalized bench comparison (VERDICT r5 ask #2).
+
+The bench host's effective CPU speed swings ~3x with invisible host
+contention (verified 2026-08-12: identical-code totals of 35 s and 95 s an
+hour apart), so raw round-over-round deltas are mostly noise. Every
+`graft.Bench` JSON line carries `calib_sec` -- the wall time of a FIXED
+single-thread integer workload on the same host at the same moment -- and
+this tool compares two bench snapshots in calibrated units:
+
+    norm_time(q) = time(q) / calib_sec
+    ratio(q)     = norm_time_new(q) / norm_time_old(q)
+
+Usage:
+    benchcmp.py OLD.json NEW.json [--flag 1.5] [--label-old r5 --label-new r6]
+
+Exit code 1 iff any query's calibrated ratio exceeds --flag (default 1.5,
+the VERDICT threshold for a real regression). For cross-SCALE comparisons
+(e.g. sf0.1 vs sf1 at 10x data) pass the growth budget instead, e.g.
+--flag 15.
+
+Queries present on only one side are listed but never flagged (new queries
+have no baseline; removed ones no current cost).
+"""
+import argparse
+import json
+import re
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as fh:
+        txt = fh.read().strip()
+    # either one JSON line (graft.Bench stdout, possibly amid log lines)
+    # or a pretty-printed driver wrapper spanning the whole file
+    candidates = []
+    try:
+        candidates.append(json.loads(txt))
+    except json.JSONDecodeError:
+        pass
+    for line in txt.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            candidates.append(json.loads(line))
+        except json.JSONDecodeError:
+            continue
+    for d in candidates:
+        if "queries" in d:
+            return d
+    for d in candidates:
+        # driver wrapper: {"n":..,"rc":..,"tail":"<truncated bench line>",
+        # "parsed":null} -- salvage whatever (query, time) pairs and the
+        # calib_sec survived truncation; PARTIAL data, flagged as such.
+        if "tail" in d:
+            tail = d["tail"]
+            qs = {m.group(1): float(m.group(2)) for m in re.finditer(
+                r'"(q\w+)":([0-9][0-9.eE+-]*)', tail)}
+            calib = re.search(r'"calib_sec":([0-9][0-9.eE+-]*)', tail)
+            print(f"NOTE: {path} is a truncated driver wrapper; salvaged "
+                  f"{len(qs)} query timings from its tail", file=sys.stderr)
+            return {"queries": qs,
+                    "calib_sec": float(calib.group(1)) if calib else None}
+    raise SystemExit(f"{path}: no bench JSON line found")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--flag", type=float, default=1.5,
+                    help="flag calibrated ratios above this (default 1.5)")
+    ap.add_argument("--label-old", default="old")
+    ap.add_argument("--label-new", default="new")
+    args = ap.parse_args()
+
+    a, b = load(args.old), load(args.new)
+    ca, cb = a.get("calib_sec"), b.get("calib_sec")
+    if not ca or not cb:
+        print("WARNING: calib_sec missing on one side; comparing RAW times "
+              "(host noise uncorrected)", file=sys.stderr)
+        ca = cb = 1.0
+    qa, qb = a.get("queries", {}), b.get("queries", {})
+    common = sorted(set(qa) & set(qb))
+    only_a = sorted(set(qa) - set(qb))
+    only_b = sorted(set(qb) - set(qa))
+
+    rows = []
+    for q in common:
+        ta, tb = qa[q], qb[q]
+        if ta <= 0:  # degenerate timing; ratio meaningless
+            continue
+        ratio = (tb / cb) / (ta / ca)
+        rows.append((ratio, q, ta, tb))
+    rows.sort(reverse=True)
+
+    host = cb / ca if ca else 1.0
+    print(f"calib {args.label_old}={ca:.3f}s {args.label_new}={cb:.3f}s "
+          f"(host speed ratio {host:.2f}x -- raw times divided out)")
+    tot_a = sum(qa[q] for q in common)
+    tot_b = sum(qb[q] for q in common)
+    tot_ratio = (tot_b / cb) / (tot_a / ca) if tot_a > 0 else float("nan")
+    print(f"total over {len(common)} common queries: "
+          f"{tot_a:.1f}s -> {tot_b:.1f}s raw; calibrated ratio "
+          f"{tot_ratio:.2f}x (flag threshold {args.flag}x)")
+    print()
+
+    flagged = [r for r in rows if r[0] > args.flag]
+    print(f"{'calibrated':>10} {'raw ' + args.label_old:>10} "
+          f"{'raw ' + args.label_new:>10}  query")
+    for ratio, q, ta, tb in rows[:25]:
+        mark = " <-- FLAG" if ratio > args.flag else ""
+        print(f"{ratio:9.2f}x {ta:9.2f}s {tb:9.2f}s  {q}{mark}")
+    if len(rows) > 25:
+        print(f"  ... {len(rows) - 25} more (all below the top 25)")
+    def brief(names):
+        return ", ".join(names[:12]) + \
+            (f", ... {len(names) - 12} more" if len(names) > 12 else "")
+    if only_b:
+        print(f"\nonly in {args.label_new} ({len(only_b)}, no baseline): "
+              f"{brief(only_b)}")
+    if only_a:
+        print(f"only in {args.label_old} ({len(only_a)}, gone): "
+              f"{brief(only_a)}")
+
+    print(f"\n{len(flagged)} flagged of {len(rows)} compared "
+          f"(> {args.flag}x calibrated)")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

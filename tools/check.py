@@ -89,7 +89,9 @@ def main(sfdir: str, outdir: str) -> int:
         sql = oracle[name]
         res_dir = f"{outdir}/{name}"
         if name in errors:
-            print(f"err  {name}: Verify raised: {errors[name].splitlines()[0][:160]}")
+            # getMessage can be "" (not null) — splitlines() is then []
+            first = (errors[name].splitlines() or ["<empty message>"])[0]
+            print(f"err  {name}: Verify raised: {first[:160]}")
             n_fail += 1
             continue
         if not os.path.isdir(res_dir):
