@@ -14,6 +14,18 @@ object Bench {
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
+    // Target-SF JIT ramp (untimed): the sf0.001 warmup compiles codegen
+    // classes but C2 keeps profiling for the first ~2 min of at-scale
+    // execution, which inflated ALL THREE reps of the first ~12 queries
+    // in sort order (r6: q01-q09/q100/q101 read 1.8-4.7x their steady
+    // state; an Explain probe minutes later showed them back at r5
+    // levels). One untimed pass of the first 12 queries at the target SF
+    // absorbs the ramp before any timing starts.
+    SparkEntry.queries.toSeq.sortBy(_._1).take(12).foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
     // median of 3 reps per query: single-rep timings at local[32] showed
     // 10-20× first-touch GC/scheduling outliers (q08, round 1); the median
     // reflects steady-state execution and makes rounds comparable
@@ -24,7 +36,17 @@ object Bench {
     // timing (round 4: 40 broken queries "benched" at ~0.05 s and
     // contaminated the totals) — it goes under "errors" instead.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Host contention arrives in MID-RUN storms (r6: two same-code runs 8
+    // min apart showed 2-6× swings on time-adjacent query clusters while
+    // the end-of-run calib moved 3%), so one global calib constant cannot
+    // normalize per-query comparisons. Sample the fixed integer workload
+    // right before each query's reps (~0.13 s each, ~21 s per run) and
+    // emit it as calib_q; tools/benchcmp.py prefers it over the global
+    // constant when both sides carry it.
+    val calibQ = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    calibOnce(200000000L) // discard: compiles the probe loop itself
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      calibQ(name) = calibOnce(200000000L)
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop write materializes every row without driver collect
@@ -57,16 +79,24 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // fixed single-thread integer workload, timed — host/VM contention was
     // observed to swing identical-code query times 3×; this calibration
-    // constant lets rounds be compared speed-normalized
-    val calib = {
-      val t0 = System.nanoTime()
-      var s = 0L
-      var i = 0L
-      while (i < 400000000L) { s += i * i; i += 1 }
-      if (s == 42) print("") // keep the loop live
-      (System.nanoTime() - t0) / 1e9
-    }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","calib_sec":$calib}""")
+    // constant lets rounds be compared speed-normalized (calib_q above is
+    // the per-query refinement; this global stays for older snapshots)
+    val calib = calibOnce(400000000L)
+    val cqJson = calibQ.map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","calib_sec":$calib,"calib_q":$cqJson}""")
     spark.stop()
+  }
+
+  /** Wall time of `iters` iterations of a fixed single-thread integer
+    * loop — a host-speed probe immune to JIT state (the loop compiles on
+    * first use and stays compiled). */
+  private def calibOnce(iters: Long): Double = {
+    val t0 = System.nanoTime()
+    var s = 0L
+    var i = 0L
+    while (i < iters) { s += i * i; i += 1 }
+    if (s == 42) print("") // keep the loop live
+    (System.nanoTime() - t0) / 1e9
   }
 }

@@ -138,12 +138,18 @@ object ScaleUp {
   /** Write `df` as the SINGLE parquet file the testdata layout contract
     * requires (batch reads `<dir>/<t>.parquet` as a path; the streaming
     * source's `events*.parquet` glob would miss part-files nested in a
-    * directory of that name). Row groups keep the single file splittable,
-    * so scan parallelism survives; a real multi-file export would simply
-    * drop the coalesce. */
+    * directory of that name). Row groups are capped at 16 MB so the single
+    * file stays SPLITTABLE — Spark assigns byte ranges per scan task and a
+    * range only yields rows if a row-group midpoint falls inside it, so a
+    * one-group 100 MB file would serialize its whole scan on one core (the
+    * source sf0.1 files are one group each, which is fine at 11 MB but
+    * would measure layout, not operators, at 10×). A real multi-file
+    * export would simply drop the coalesce. */
   private def writeOne(df: DataFrame, dst: String): Unit = {
     val tmp = dst + "_tmp"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", (16L << 20).toString)
+      .parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .getOrElse(sys.error(s"no part file under $tmp"))

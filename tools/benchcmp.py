@@ -25,6 +25,7 @@ have no baseline; removed ones no current cost).
 import argparse
 import json
 import re
+import signal
 import sys
 
 
@@ -81,19 +82,30 @@ def main() -> int:
         print("WARNING: calib_sec missing on one side; comparing RAW times "
               "(host noise uncorrected)", file=sys.stderr)
         ca = cb = 1.0
+    # per-query calibration probes (sampled right before each query's reps)
+    # correct MID-RUN contention storms the single global constant cannot;
+    # prefer them whenever both sides carry a probe for the query
+    cqa, cqb = a.get("calib_q", {}), b.get("calib_q", {})
     qa, qb = a.get("queries", {}), b.get("queries", {})
     common = sorted(set(qa) & set(qb))
     only_a = sorted(set(qa) - set(qb))
     only_b = sorted(set(qb) - set(qa))
 
     rows = []
+    n_perq = 0
     for q in common:
         ta, tb = qa[q], qb[q]
         if ta <= 0:  # degenerate timing; ratio meaningless
             continue
-        ratio = (tb / cb) / (ta / ca)
+        if cqa.get(q) and cqb.get(q):
+            ratio = (tb / cqb[q]) / (ta / cqa[q])
+            n_perq += 1
+        else:
+            ratio = (tb / cb) / (ta / ca)
         rows.append((ratio, q, ta, tb))
     rows.sort(reverse=True)
+    if n_perq:
+        print(f"per-query calibration used for {n_perq}/{len(rows)} queries")
 
     host = cb / ca if ca else 1.0
     print(f"calib {args.label_old}={ca:.3f}s {args.label_new}={cb:.3f}s "
@@ -130,4 +142,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    # head-friendly: a closed stdout pipe is normal usage, not a crash
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
     sys.exit(main())
