@@ -5581,6 +5581,109 @@ object QueriesExt {
       |FROM events
       |ORDER BY user_id, day_idx""".stripMargin
 
+  // -------------------- dedup-aware per-source stats (q163)
+
+  /** Per-source duplication accounting — the curation dashboard number
+    * that decides which ingest feeds get throttled: for every `source`,
+    * total docs, docs DROPPED by near-dup corpus dedup (non-canonical
+    * members of a q48 cluster), and the resulting dup rate. Rides the
+    * SAME shared shingle table + pair detection + transitive closure as
+    * q31/q48/q56/q159 (paid once per session); on top it is one |dropped|
+    * broadcast-ish left join and one |sources| aggregate. The rate is a
+    * single division of two exact integers — bit-deterministic. The
+    * oracle re-derives membership with its independent recursive-CTE
+    * closure. */
+  private val q163: Q = (s, dir) => {
+    val dropped = graft.operators.NearDup.clusters(
+        graft.operators.NearDup.prefixJoinPairs(docShingles(s, dir), 0.8))
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id"), lit(1L).as("drp"))
+    t(s, dir, "documents")
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("drp"), lit(0L))).as("n_dropped"))
+      .withColumn("dup_rate",
+        col("n_dropped").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  private val q163Sql =
+    docHsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    """,
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |      WHERE len(list_intersect(a.hs, b.hs))
+      |            / len(list_distinct(a.hs || b.hs)) >= 0.8),
+      |e AS (SELECT doc_a AS n, doc_b AS m FROM p
+      |      UNION ALL SELECT doc_b, doc_a FROM p),
+      |r(n, l) AS (
+      |  SELECT n, n FROM e
+      |  UNION
+      |  SELECT r.n, e.m FROM r JOIN e ON e.n = r.l),
+      |lab AS (SELECT n, min(l) AS rep_id FROM r GROUP BY n),
+      |drp AS (SELECT n AS doc_id FROM lab WHERE rep_id <> n)
+      |SELECT d.source,
+      |       count(*) AS n_docs,
+      |       CAST(count(drp.doc_id) AS BIGINT) AS n_dropped,
+      |       CAST(count(drp.doc_id) AS DOUBLE) / count(*) AS dup_rate
+      |FROM documents d LEFT JOIN drp ON d.doc_id = drp.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  // ------------------------- n-gram novelty profile (q164)
+
+  /** Corpus novelty direction — per document, the fraction of its
+    * DISTINCT bigrams that first appear in it (no earlier doc_id contains
+    * them): ~1 means fresh content, ~0 means the document restates
+    * earlier corpus material. The ingest-order contamination readout a
+    * pretraining pipeline runs before train/holdout splitting (novelty
+    * by arrival order tells you which way content flowed — q53/q70
+    * decontamination's diagnostic sibling).
+    *
+    * Shape: one codegen'd tokenize+shingle map, one explode, one
+    * (hash → min doc) aggregate, one hash join back on the bigram hash —
+    * everything keyed/shuffled on the bigram hash, no pairwise anything;
+    * the join's fan-out is exactly the exploded table (linear in corpus
+    * token volume). The ratio is one exact-int division. */
+  private val q164: Q = (s, dir) => {
+    val bi = t(s, dir, "documents")
+      .select(col("doc_id"), Text.tokenHashes(col("text")).as("__th"))
+      .select(col("doc_id"),
+        Text.shingleHashesFromTokenHashes(col("__th"), 2).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val firstSeen = bi.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    bi.join(firstSeen, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q164Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |t AS (SELECT doc_id,
+      |        list_transform(w,
+      |          x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT)) AS th
+      |      FROM w),
+      |h AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(len(th) - 1),
+      |          i -> (th[i+1]*31 + th[i+2]) % 4294967296)) AS hs
+      |      FROM t WHERE len(th) >= 2),
+      |e AS (SELECT doc_id, unnest(hs) AS h FROM h),
+      |f AS (SELECT h, min(doc_id) AS first_doc FROM e GROUP BY h)
+      |SELECT e.doc_id, count(*) AS n_grams,
+      |       CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_novel,
+      |       CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+      |            AS DOUBLE) / count(*) AS novelty
+      |FROM e JOIN f USING (h)
+      |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -5717,6 +5820,8 @@ object QueriesExt {
     Entry("q159_dup_cluster_sizes", q159, Some(q159Sql)),
     Entry("q160_split_integrity", q160, Some(q160Sql)),
     Entry("q161_streaming_distinct", q161, Some(q161Sql)),
-    Entry("q162_streaming_wm_distinct", q162, Some(q162Sql))
+    Entry("q162_streaming_wm_distinct", q162, Some(q162Sql)),
+    Entry("q163_dedup_source_stats", q163, Some(q163Sql)),
+    Entry("q164_ngram_novelty", q164, Some(q164Sql))
   )
 }
