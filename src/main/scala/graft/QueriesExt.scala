@@ -491,13 +491,21 @@ object QueriesExt {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** The 8-plane sign-LSH bucket derivation, shared by q35 and q110. */
+  /** One md5-lattice hyperplane component: seed `s`, plane variable `p`,
+    * dim variable `d` — (int64(md5("s_p_d")[first 8 hex]) mod 2001) − 1000,
+    * the [[graft.plans.SignLshBucketExpr]] lattice stated in DuckDB. */
+  private def lshCoef(seed: Int): String =
+    s"(CAST(('0x' || substring(md5('${seed}_' || CAST(p AS VARCHAR) || '_' " +
+      "|| CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000)"
+
+  /** The 8-plane md5-lattice sign-LSH bucket derivation, shared by q35 and
+    * q110. */
   private val bkCte =
-    """bk AS (SELECT vec_id, qv, nsq,
+    s"""bk AS (SELECT vec_id, qv, nsq,
       |         list_reduce(list_prepend(0::BIGINT,
       |           list_transform(range(8), p ->
       |             CASE WHEN list_sum(list_transform(range(64), d ->
-      |                    ((p*73856093 + d*19349663) % 2001 - 1000) * qv[d+1])) >= 0
+      |                    ${lshCoef(0)} * qv[d+1])) >= 0
       |                  THEN 1::BIGINT ELSE 0::BIGINT END)),
       |           (a, b) -> a*2 + b) AS bucket
       |       FROM n)""".stripMargin
@@ -590,20 +598,27 @@ object QueriesExt {
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   /** Embedding-cosine near-dup detection with MULTI-REPETITION sign-LSH:
-    * two independent 8-plane lattices (seeds 0, 1), candidate pairs are the
-    * UNION of same-bucket pairs across repetitions, then exact quantized
-    * cosine ≥ τ verification (τ=0.4 here: the synthetic corpus has no true
-    * near-dups — max pairwise cosine ≈ 0.51 — so the threshold sits where
-    * the operator provably fires). The hot-bucket story at corpus scale:
-    * planes scale with corpus size ([[Vectors.adaptivePlanes]]) keeping
-    * per-bucket all-pairs work bounded, and the repetition union recovers
-    * the recall each fine bucketing loses — verification makes extra
-    * candidates only ever ADD true pairs. Smaller vec_id is the canonical
-    * representative. Same deterministic seeded lattice on both engines. */
+    * two independent [[Vectors.adaptivePlanes]]-sized lattices (seeds 0,
+    * 1), candidate pairs are the UNION of same-bucket pairs across
+    * repetitions, then exact quantized cosine ≥ τ verification (τ=0.4
+    * here: the synthetic corpus has no true near-dups — max pairwise
+    * cosine ≈ 0.51 — so the threshold sits where the operator provably
+    * fires). The hot-bucket story at corpus scale: the plane count GROWS
+    * with the corpus (⌈log2(n/64)⌉ clamped to [8,24] — the oracle states
+    * the same formula over count(*)), keeping per-bucket all-pairs work
+    * bounded, and the repetition union recovers the recall each fine
+    * bucketing loses — verification makes extra candidates only ever ADD
+    * true pairs. This scaling is REAL only because the md5 lattice's
+    * planes are independent: the 10× scale run measured the previous
+    * correlated lattice holding ~17 M candidates regardless of plane
+    * count, vs linear-in-n candidates here (SCALE.md round 6). Smaller
+    * vec_id is the canonical representative. Same deterministic seeded
+    * lattice on both engines. */
   private val q41: Q = (s, dir) => {
+    val planes = Vectors.adaptivePlanes(t(s, dir, "embeddings").count())
     val emb = quantizedEmb(s, dir)
-      .withColumn("b0", Vectors.lshBucketSeeded(col("qv"), 8, 0))
-      .withColumn("b1", Vectors.lshBucketSeeded(col("qv"), 8, 1))
+      .withColumn("b0", Vectors.lshBucketSeeded(col("qv"), planes, 0))
+      .withColumn("b1", Vectors.lshBucketSeeded(col("qv"), planes, 1))
       .cache() // quantize+buckets computed once, probed from both sides
     def pairsOn(b: String) = emb.as("a")
       .join(emb.as("b"),
@@ -623,21 +638,24 @@ object QueriesExt {
   }
 
   private val q41Sql = embCte +
-    """,
+    s""",
+      |c AS (SELECT greatest(8, least(24, CAST(ceil(log2(
+      |        greatest(count(*), 1) / 64.0)) AS BIGINT))) AS planes
+      |      FROM embeddings),
       |bk AS (SELECT vec_id, qv, nsq,
       |         list_reduce(list_prepend(0::BIGINT,
-      |           list_transform(range(8), p ->
+      |           list_transform(range(planes), p ->
       |             CASE WHEN list_sum(list_transform(range(64), d ->
-      |                    ((p*73856093 + d*19349663) % 2001 - 1000) * qv[d+1])) >= 0
+      |                    ${lshCoef(0)} * qv[d+1])) >= 0
       |                  THEN 1::BIGINT ELSE 0::BIGINT END)),
       |           (a, b) -> a*2 + b) AS b0,
       |         list_reduce(list_prepend(0::BIGINT,
-      |           list_transform(range(8), p ->
+      |           list_transform(range(planes), p ->
       |             CASE WHEN list_sum(list_transform(range(64), d ->
-      |                    ((p*73856093 + d*19349663 + 83492791) % 2001 - 1000) * qv[d+1])) >= 0
+      |                    ${lshCoef(1)} * qv[d+1])) >= 0
       |                  THEN 1::BIGINT ELSE 0::BIGINT END)),
       |           (a, b) -> a*2 + b) AS b1
-      |       FROM n),
+      |       FROM n CROSS JOIN c),
       |cand AS (
       |  SELECT a.vec_id AS rep_id, b.vec_id AS dup_id
       |  FROM bk a JOIN bk b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
@@ -1295,12 +1313,12 @@ object QueriesExt {
   }
 
   private val q59Sql = embCte +
-    """,
+    s""",
       |bk AS (SELECT vec_id, nsq,
       |         list_reduce(list_prepend(0::BIGINT,
       |           list_transform(range(8), p ->
       |             CASE WHEN list_sum(list_transform(range(64), d ->
-      |                    ((p*73856093 + d*19349663) % 2001 - 1000) * qv[d+1])) >= 0
+      |                    ${lshCoef(0)} * qv[d+1])) >= 0
       |                  THEN 1::BIGINT ELSE 0::BIGINT END)),
       |           (a, b) -> a*2 + b) AS bucket
       |       FROM n)

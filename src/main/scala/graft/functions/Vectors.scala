@@ -48,9 +48,14 @@ object Vectors {
 
   /** Sign-LSH (random-hyperplane) bucket id over `nPlanes` deterministic
     * integer hyperplanes: plane p, dim d has component
-    * ((p·73856093 + d·19349663) mod 2001) − 1000 — a fixed pseudo-random
-    * lattice, so bucketing is reproducible with no stored model. Bucket =
-    * Σ_p [dot(plane_p, v) ≥ 0]·2^p. (Charikar 2002 rounding hyperplanes.)
+    * (int64(md5("seed_p_d")[first 8 hex]) mod 2001) − 1000 — a fixed
+    * md5-derived lattice, so bucketing is reproducible with no stored
+    * model AND the planes are statistically independent (the property
+    * [[adaptivePlanes]] scaling depends on — a correlated lattice leaves
+    * candidate volume quadratic no matter the plane count; measured in
+    * SCALE.md round 6 and [[graft.plans.SignLshBucketExpr]]'s scaladoc).
+    * Bucket = Σ_p [dot(plane_p, v) ≥ 0]·2^p. (Charikar 2002 rounding
+    * hyperplanes.)
     *
     * At scale this is the map side of ANN: one shuffle on bucket id
     * co-locates candidates; queries only scan their own bucket instead of

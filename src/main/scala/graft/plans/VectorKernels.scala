@@ -149,15 +149,35 @@ object QuantizeExpr {
   }
 }
 
-/** Sign-LSH bucket id over the deterministic hyperplane lattice
-  * (graft.functions.Vectors.lshBucket semantics) as one codegen'd loop —
-  * plane components are regenerated arithmetically in-register, so no
-  * plane matrix is stored or broadcast.
+/** Sign-LSH bucket id over the deterministic md5-derived hyperplane
+  * lattice (graft.functions.Vectors.lshBucket semantics) as one codegen'd
+  * loop. Plane p, dim d, seed s has component
+  * `(int64(first 8 hex digits of md5("s_p_d")) mod 2001) − 1000` — the
+  * same portable integer-from-md5 primitive as the text kernels, so a SQL
+  * oracle can state the identical lattice. The matrix is precomputed once
+  * at expression construction and rides the generated code as a reference
+  * object (the NearestCentroidExpr pattern) — per-row cost is the same
+  * multiply-add loop as before.
+  *
+  * WHY md5 and not an arithmetic progression: plane INDEPENDENCE is what
+  * makes plane-count scaling work. The previous lattice
+  * ((p·A + d·B + s·C) mod 2001 − 1000) generates planes that are shifted
+  * arithmetic sequences of each other — strongly correlated — and the
+  * 10× scale run showed the consequence: on the 200 k-vector corpus,
+  * 8 planes admitted 17.6 M candidate pairs (~9 % of ALL pairs) and
+  * raising to 9/12/20 planes barely helped (16.9 M / 13.1 M / 4.1 M) —
+  * adding correlated planes does not split hot buckets, so candidate
+  * volume stayed quadratic no matter the plane count. The md5 lattice
+  * behaves like textbook independent random hyperplanes (collision
+  * probability (1 − θ/π)^planes, measured to match): 1.85 M candidates
+  * at 8 planes, 141 k at 12 — so `adaptivePlanes` really does bound
+  * per-bucket occupancy and candidate growth becomes linear in corpus
+  * size. Numbers: SCALE.md round 6.
   *
   * `seed` selects an independent lattice (multi-repetition LSH: several
   * fine-grained bucketings whose candidate union recovers the recall each
   * one loses — the hot-bucket control for near-dup at corpus scale);
-  * seed 0 is the original lattice.
+  * seed 0 is [[graft.functions.Vectors.lshBucket]]'s lattice.
   */
 case class SignLshBucketExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
     nPlanes: Int, seed: Int = 0)
@@ -167,27 +187,51 @@ case class SignLshBucketExpr(child: org.apache.spark.sql.catalyst.expressions.Ex
   override def prettyName: String = "graft_lsh_bucket"
   override def checkInputDataTypes(): TypeCheckResult =
     GraftTypeChecks.longArrays(prettyName, child)
+  @transient private lazy val coeffs: Array[Array[Long]] =
+    SignLshBucketExpr.planeMatrix(nPlanes, seed)
   override protected def nullSafeEval(v: Any): Any =
-    SignLshBucketExpr.compute(v.asInstanceOf[ArrayData], nPlanes, seed)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    SignLshBucketExpr.compute(v.asInstanceOf[ArrayData], coeffs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftLshPlanes", coeffs, "long[][]")
     defineCodeGen(ctx, ev, v =>
-      s"graft.plans.SignLshBucketExpr.compute($v, $nPlanes, $seed)")
+      s"graft.plans.SignLshBucketExpr.compute($v, $ref)")
+  }
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): SignLshBucketExpr =
     copy(child = newChild)
 }
 
 object SignLshBucketExpr {
-  def compute(qv: ArrayData, nPlanes: Int, seed: Int): Long = {
-    val n = qv.numElements()
+  /** Hyperplane components for (nPlanes, seed): row p, column d is
+    * `(int64(md5("seed_p_d")[0:8 hex]) mod 2001) − 1000`. Plane vectors
+    * are as independent as md5 — the property plane-count scaling needs.
+    * Dimension count is capped at 4096 (the quantized-embedding widths in
+    * play are ≤ a few hundred); bucketing longer vectors uses the first
+    * 4096 dims, which preserves the sign-LSH contract (any fixed
+    * projection of independent planes is itself an independent lattice). */
+  val MaxDims = 4096
+
+  def planeMatrix(nPlanes: Int, seed: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(MaxDims) { d =>
+        val digest = md.digest(s"${seed}_${p}_$d".getBytes("UTF-8"))
+        val hex = digest.take(4).map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+      }
+    }
+  }
+
+  def compute(qv: ArrayData, coeffs: Array[Array[Long]]): Long = {
+    val n = math.min(qv.numElements(), MaxDims)
     var bucket = 0L
     var p = 0
-    while (p < nPlanes) {
+    while (p < coeffs.length) {
+      val row = coeffs(p)
       var dot = 0L
       var d = 0
       while (d < n) {
-        dot += ((p * 73856093L + d * 19349663L + seed * 83492791L) % 2001L - 1000L) *
-          qv.getLong(d)
+        dot += row(d) * qv.getLong(d)
         d += 1
       }
       bucket = bucket * 2 + (if (dot >= 0) 1L else 0L)

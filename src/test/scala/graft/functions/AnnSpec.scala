@@ -24,6 +24,32 @@ class AnnSpec extends SparkSpec {
     assert(c / math.pow(2, Vectors.adaptivePlanes(c)).toLong <= 64)
   }
 
+  test("kernel bucket matches an independent re-derivation of the md5 lattice") {
+    // the same formula the DuckDB oracles state: plane p, dim d, seed s →
+    // (int64(first 8 hex of md5("s_p_d")) mod 2001) − 1000; bucket is the
+    // big-endian sign bit string. Recomputed here from scratch so the
+    // kernel, this spec, and the oracle SQL pin one another.
+    def coef(seed: Int, p: Int, d: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${seed}_${p}_$d".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+    def bucket(qv: Seq[Long], seed: Int, planes: Int): Long =
+      (0 until planes).foldLeft(0L) { (acc, p) =>
+        val dot = qv.indices.map(d => coef(seed, p, d) * qv(d)).sum
+        acc * 2 + (if (dot >= 0) 1L else 0L)
+      }
+    val rows = emb.limit(5).select($"qv",
+      Vectors.lshBucketSeeded($"qv", 8, 0).as("b0"),
+      Vectors.lshBucketSeeded($"qv", 11, 3).as("b3")).collect()
+    rows.foreach { r =>
+      val qv = r.getSeq[Long](0)
+      assert(r.getLong(1) == bucket(qv, 0, 8))
+      assert(r.getLong(2) == bucket(qv, 3, 11))
+    }
+  }
+
   test("seed 0 reproduces lshBucket; other seeds give an independent lattice") {
     val b = emb.select(
       Vectors.lshBucket($"qv", 8).as("b"),

@@ -21,9 +21,14 @@ hashes, and 6 red rows shipped silently):
   hasher serializes them engine-specifically. Pinned exceptions only via
   NESTED_ALLOWLIST (kept in sync with OutputContractSpec's allowlist).
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--oracle-timeout=SECS]
+
+--oracle-timeout bounds EACH DuckDB oracle query (for scale-factor runs
+where the deliberately brute-force twins — all-pairs Jaccard, recursive
+closures — are intractable); a timed-out oracle reports as an explicit
+`skip` line and is excluded from ok/fail, never silently passed.
 """
-import sys, os, glob, json
+import sys, os, glob, json, threading
 import decimal
 import duckdb
 import numpy as np
@@ -68,7 +73,7 @@ def unportable_cells(df: pd.DataFrame):
     return bad
 
 
-def main(sfdir: str, outdir: str) -> int:
+def main(sfdir: str, outdir: str, oracle_timeout: float = 0.0) -> int:
     con = duckdb.connect()
     for f in glob.glob(f"{sfdir}/*.parquet"):
         name = os.path.basename(f)[: -len(".parquet")]
@@ -84,7 +89,24 @@ def main(sfdir: str, outdir: str) -> int:
         with open(err_path) as fh:
             errors = json.load(fh)
 
-    n_ok = n_fail = 0
+    def oracle_df(sql):
+        """Run one oracle query; with --oracle-timeout, interrupt it after
+        the budget. Some oracle twins are DELIBERATELY brute-force
+        (all-pairs Jaccard, recursive-CTE closures) — independent
+        derivations that are quadratic/iterative by design and tractable
+        only at gate scale (sf<=0.1). At larger scale factors the SPARK
+        side is the measurement target and a timed-out oracle is reported
+        as an explicit skip, never as ok."""
+        if not oracle_timeout:
+            return con.sql(sql).df()
+        timer = threading.Timer(oracle_timeout, con.interrupt)
+        timer.start()
+        try:
+            return con.sql(sql).df()
+        finally:
+            timer.cancel()
+
+    n_ok = n_fail = n_skip = 0
     for name in sorted(oracle):
         sql = oracle[name]
         res_dir = f"{outdir}/{name}"
@@ -100,9 +122,20 @@ def main(sfdir: str, outdir: str) -> int:
             continue
         try:
             got = read_spark(res_dir)
-            exp = con.sql(sql).df()
+            exp = oracle_df(sql)
+        except duckdb.InterruptException:
+            print(f"skip {name}: oracle exceeded {oracle_timeout:g}s "
+                  "(brute-force twin; verified at gate scale)")
+            n_skip += 1
+            continue
         except Exception as e:
-            print(f"FAIL {name}: {str(e).splitlines()[0]}")
+            msg = str(e).splitlines()[0]
+            if "INTERRUPT" in msg.upper():
+                print(f"skip {name}: oracle exceeded {oracle_timeout:g}s "
+                      "(brute-force twin; verified at gate scale)")
+                n_skip += 1
+                continue
+            print(f"FAIL {name}: {msg}")
             n_fail += 1
             continue
 
@@ -179,9 +212,15 @@ def main(sfdir: str, outdir: str) -> int:
                              es[bad].head(3).add_suffix("_exp")], axis=1)
                   .to_string())
             n_fail += 1
-    print(f"\n{n_ok} ok, {n_fail} fail")
+    skip_note = f", {n_skip} oracle-skipped" if n_skip else ""
+    print(f"\n{n_ok} ok, {n_fail} fail{skip_note}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    timeout = 0.0
+    argv = [a for a in sys.argv[1:] if not a.startswith("--oracle-timeout")]
+    for a in sys.argv[1:]:
+        if a.startswith("--oracle-timeout="):
+            timeout = float(a.split("=", 1)[1])
+    sys.exit(main(argv[0], argv[1], timeout))
