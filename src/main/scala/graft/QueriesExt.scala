@@ -5702,6 +5702,76 @@ object QueriesExt {
       |FROM e JOIN f USING (h)
       |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
 
+  // ---------------- dedup threshold sensitivity sweep (q165)
+
+  /** Jaccard-threshold tuning readout: near-dup pair counts at τ = 0.70 /
+    * 0.80 / 0.90 from ONE pair-detection pass — the sweep a curation team
+    * runs before committing a dedup threshold (too low collapses the
+    * corpus, too high leaves templates). Detection runs once at the
+    * LOOSEST threshold (prefix filtering is complete for any τ' ≥ τ, so
+    * the 0.7-pass pair set contains every higher-threshold pair); the
+    * sweep itself is a 3-row broadcast theta-join + one aggregate over
+    * the already-tiny pair set. Threshold labels are strings so the
+    * output carries only hash-stable scalars. */
+  private val q165: Q = (s, dir) => {
+    val pairs = graft.operators.NearDup.prefixJoinPairs(docShingles(s, dir), 0.7)
+    val taus = Seq("0.70" -> 0.7, "0.80" -> 0.8, "0.90" -> 0.9)
+    pairs.select(explode(array(taus.map { case (lbl, t) =>
+        struct(lit(lbl).as("tau"), lit(t).as("t")) }: _*)).as("x"), col("jac"))
+      .filter(col("jac") >= col("x.t"))
+      .groupBy(col("x.tau").as("tau"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("tau"))
+  }
+
+  private val q165Sql = docHsCte +
+    """,
+      |p AS (SELECT len(list_intersect(a.hs, b.hs))
+      |             / len(list_distinct(a.hs || b.hs)) AS jac
+      |      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |      WHERE len(list_intersect(a.hs, b.hs))
+      |            / len(list_distinct(a.hs || b.hs)) >= 0.7),
+      |th AS (SELECT * FROM (VALUES ('0.70', 0.7), ('0.80', 0.8),
+      |                             ('0.90', 0.9)) t(tau, t))
+      |SELECT th.tau, count(*) AS n_pairs
+      |FROM p JOIN th ON p.jac >= th.t
+      |GROUP BY th.tau ORDER BY th.tau""".stripMargin
+
+  // ------------------- incremental ingest dedup (q166)
+
+  /** Incremental ingestion dedup — the production shape that AVOIDS
+    * re-clustering the standing corpus on every batch: the incoming batch
+    * (doc_id % 10 = 0 here) probes the corpus through
+    * [[graft.operators.NearDup.prefixJoinPairsAgainst]] (corpus postings
+    * prefix-filtered and joined against the BROADCAST batch postings —
+    * the corpus never shuffles), and each batch document reports how many
+    * corpus near-dups it hit and the best similarity, the drop/keep
+    * signal before append. Batch size, not corpus size, bounds the
+    * broadcast — exactly how ingest batches arrive in practice. */
+  private val q166: Q = (s, dir) => {
+    val sh = docShingles(s, dir)
+    val batch = sh.filter(col("doc_id") % 10 === 0)
+    val corpus = sh.filter(col("doc_id") % 10 =!= 0)
+    graft.operators.NearDup.prefixJoinPairsAgainst(corpus, batch, 0.8)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(count(lit(1)).as("n_corpus_dups"), max(col("jac")).as("top_jac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q166Sql = docHsCte +
+    """,
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        len(list_intersect(a.hs, b.hs))
+      |        / len(list_distinct(a.hs || b.hs)) AS jac
+      |      FROM h a JOIN h b
+      |        ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+      |       AND a.doc_id <> b.doc_id
+      |      WHERE len(list_intersect(a.hs, b.hs))
+      |            / len(list_distinct(a.hs || b.hs)) >= 0.8)
+      |SELECT doc_b AS doc_id, count(*) AS n_corpus_dups,
+      |       max(jac) AS top_jac
+      |FROM p GROUP BY doc_b ORDER BY doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -5840,6 +5910,8 @@ object QueriesExt {
     Entry("q161_streaming_distinct", q161, Some(q161Sql)),
     Entry("q162_streaming_wm_distinct", q162, Some(q162Sql)),
     Entry("q163_dedup_source_stats", q163, Some(q163Sql)),
-    Entry("q164_ngram_novelty", q164, Some(q164Sql))
+    Entry("q164_ngram_novelty", q164, Some(q164Sql)),
+    Entry("q165_dedup_threshold_sweep", q165, Some(q165Sql)),
+    Entry("q166_ingest_dedup", q166, Some(q166Sql))
   )
 }
