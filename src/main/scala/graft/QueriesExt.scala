@@ -5772,6 +5772,63 @@ object QueriesExt {
       |       max(jac) AS top_jac
       |FROM p GROUP BY doc_b ORDER BY doc_id""".stripMargin
 
+  // ------------- SimHash banded Hamming near-dup join (q167)
+
+  /** The SimHash DEDUP JOIN that completes q33's per-doc fingerprints
+    * (Manku, Jain, Das Sarma 2007 — the web-crawl dedup classic): pairs
+    * of documents whose 32-bit SimHashes differ in ≤ 3 bits. Pigeonhole
+    * banding makes it join-shaped: hamming ≤ 3 over 4 disjoint 8-bit
+    * bands forces AT LEAST ONE band to match exactly, so candidates come
+    * from 4 equi-joins on (band index, band value) — never an n² scan —
+    * and one codegen'd `bit_count(xor)` verifies each candidate.
+    *
+    * Scale shape: candidate volume is Σ band-group², linear while band
+    * groups stay bounded. The 32-bit/4-band geometry is pinned here for
+    * cross-engine oracle parity; at corpus scale the published config is
+    * a 64-bit fingerprint with d+1 bands of ≥ log2(n) bits each (ibid.),
+    * which keeps the random-collision background linear the same way
+    * [[Vectors.adaptivePlanes]] does for sign-LSH. */
+  private val q167: Q = (s, dir) => {
+    val sig = t(s, dir, "documents")
+      .select(col("doc_id"),
+        Text.simhash32Fused(Text.tokenHashes(col("text"))).as("sh"))
+      .filter(col("sh").isNotNull)
+    val bands = sig.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("bi"),
+        shiftright(col("sh"), 8 * i).bitwiseAND(lit(255L)).as("bv"))): _*))
+        .as("b"))
+      .select(col("doc_id"), col("sh"),
+        col("b.bi").as("bi"), col("b.bv").as("bv"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sa ^ sb) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q167Sql =
+    """WITH t AS (SELECT doc_id,
+      |             list_transform(string_split(text, ' '),
+      |               w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)) AS ths
+      |           FROM documents),
+      |s AS (SELECT doc_id,
+      |        CAST(list_sum(list_transform(range(32), j ->
+      |          CASE WHEN list_sum(list_transform(ths,
+      |                 h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+      |               THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sh
+      |      FROM t),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+      |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM p
+      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -5912,6 +5969,7 @@ object QueriesExt {
     Entry("q163_dedup_source_stats", q163, Some(q163Sql)),
     Entry("q164_ngram_novelty", q164, Some(q164Sql)),
     Entry("q165_dedup_threshold_sweep", q165, Some(q165Sql)),
-    Entry("q166_ingest_dedup", q166, Some(q166Sql))
+    Entry("q166_ingest_dedup", q166, Some(q166Sql)),
+    Entry("q167_simhash_hamming_join", q167, Some(q167Sql))
   )
 }
