@@ -3615,7 +3615,19 @@ object QueriesExt {
     * aggregate; the query term table (|queries|·|terms/doc| rows) joins df
     * and BROADCASTS onto tf — the corpus never shuffles on anything but
     * the one inherent (qid, doc) score aggregate, bounded by candidate
-    * matches, then a top-k window per query. */
+    * matches, then a top-k window per query.
+    *
+    * Known limit of the df gate (measured, SCALE.md round 6): it is
+    * GLOBAL, so on a multi-tenant/multi-lingual corpus of disjoint
+    * sub-vocabularies each tenant's stopwords sit far below any global
+    * cutoff and their |tenant|-sized postings re-enter the candidate set —
+    * a one-time step at the homogeneous→multi-tenant transition (linear
+    * growth resumes past it). The production lever for Zipf-heavy
+    * multi-tenant corpora is impact-ordered postings with WAND-style
+    * upper-bound pruning (Broder et al. 2003): per-term postings sorted by
+    * score contribution, candidates cut off once the residual upper bound
+    * cannot reach the current top-k floor. That changes candidate
+    * ENUMERATION only — the scoring arithmetic here stays the contract. */
   private val q120: Q = (s, dir) => {
     val tfc = termFreqs(s, dir)
     val scal = tfc.agg(sum(col("tf")).as("L"),
