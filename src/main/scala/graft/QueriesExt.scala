@@ -5841,6 +5841,35 @@ object QueriesExt {
       |SELECT doc_a, doc_b, hamming FROM p
       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------- streaming custom-state sessionization (q168)
+
+  /** §2.10 extension — the `flatMapGroupsWithState` CUSTOM-STATE API as a
+    * real streaming run ([[graft.streaming.Streaming
+    * .sessionizeCustomStateStream]]): per-user 30-min-gap sessions with
+    * explicitly managed one-open-session state, for session logic
+    * `session_window` can't express (per-event predicates, capped
+    * lengths, custom merges). The batch twin is classic lag/cumsum gap
+    * sessionization — streaming/batch parity on bounded input is the
+    * §2.10 contract, and the single-batch condition that makes it exact
+    * is documented on the shim. */
+  private val q168: Q = (s, dir) =>
+    graft.streaming.Streaming.sessionizeCustomStateStream(s, dir)
+
+  private val q168Sql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |x AS (SELECT user_id, us,
+      |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+      |                                     ORDER BY us) >= 1800000000
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM e),
+      |s AS (SELECT user_id, us,
+      |        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+      |                       ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM x)
+      |SELECT user_id, min(us) AS start_us, count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -5982,6 +6011,7 @@ object QueriesExt {
     Entry("q164_ngram_novelty", q164, Some(q164Sql)),
     Entry("q165_dedup_threshold_sweep", q165, Some(q165Sql)),
     Entry("q166_ingest_dedup", q166, Some(q166Sql)),
-    Entry("q167_simhash_hamming_join", q167, Some(q167Sql))
+    Entry("q167_simhash_hamming_join", q167, Some(q167Sql)),
+    Entry("q168_streaming_custom_sessions", q168, Some(q168Sql))
   )
 }

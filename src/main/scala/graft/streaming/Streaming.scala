@@ -306,6 +306,47 @@ object Streaming {
     out
   }
 
+  /** [[sessionizeCustomState]] as a REAL streaming run over the events
+    * source — the `flatMapGroupsWithState` custom-state API under the
+    * oracle gate (q168): 30-min-gap sessions per user, each emitted as
+    * (user, session start, event count).
+    *
+    * Batch-parity contract for the gate: the bounded input arrives as ONE
+    * AvailableNow micro-batch (single source file), so every user's
+    * events reach one fold invocation, which sorts them and replays the
+    * exact batch gap-split — output equals batch sessionization
+    * regardless of file-source task order. With multi-batch input the
+    * shim's end-of-batch flush would close trailing sessions at batch
+    * boundaries (real streaming uses the event-time timeout instead, as
+    * the operator scaladoc documents) — real, but not oracle-checkable.
+    *
+    * TEST/ORACLE SHIM like its siblings: append-mode memory sink, bounded
+    * inputs; production swaps in the file/JDBC runners. */
+  def sessionizeCustomStateStream(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val name = uniqueName("graft_stream_custom_sessions")
+    val ev = eventsStream(spark, sfDir)
+      .select(col("user_id").as("userId"),
+        expr("unix_micros(ts)").as("tsMicros"))
+      .as[SessionEvent]
+    val q = sessionizeCustomState(ev)
+      .toDF()
+      .select(col("userId").as("user_id"),
+        col("startMicros").as("start_us"), col("nEvents").as("n_events"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, 300000)
+    val out = spark.table(name)
+      .orderBy(col("user_id"), col("start_us")).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** PRODUCTION sessionization: append-mode parquet sink with
     * watermark-bounded state — nothing ever materializes on the driver,
     * output lands as files partitioned work-stealing style by the sink.
