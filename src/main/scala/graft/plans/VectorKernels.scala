@@ -163,7 +163,7 @@ object QuantizeExpr {
   * makes plane-count scaling work. The previous lattice
   * ((p·A + d·B + s·C) mod 2001 − 1000) generates planes that are shifted
   * arithmetic sequences of each other — strongly correlated — and the
-  * 10× scale run showed the consequence: on the 200 k-vector corpus,
+  * 10× scale run showed the consequence: on the 20 k-vector sf1 corpus,
   * 8 planes admitted 17.6 M candidate pairs (~9 % of ALL pairs) and
   * raising to 9/12/20 planes barely helped (16.9 M / 13.1 M / 4.1 M) —
   * adding correlated planes does not split hot buckets, so candidate

@@ -96,15 +96,41 @@ def main(sfdir: str, outdir: str, oracle_timeout: float = 0.0) -> int:
         derivations that are quadratic/iterative by design and tractable
         only at gate scale (sf<=0.1). At larger scale factors the SPARK
         side is the measurement target and a timed-out oracle is reported
-        as an explicit skip, never as ok."""
+        as an explicit skip, never as ok.
+
+        Timer-race discipline: the timer callback sets this query's
+        timed_out flag BEFORE interrupting. A cancel() that loses the race
+        (the timer fires between query completion and cancel) leaves a
+        stale interrupt pending in the connection, which would kill the
+        NEXT query; an interrupt arriving WITHOUT the flag set is therefore
+        treated as stale and the query re-runs once instead of being
+        misreported as an over-budget skip."""
         if not oracle_timeout:
             return con.sql(sql).df()
-        timer = threading.Timer(oracle_timeout, con.interrupt)
-        timer.start()
-        try:
-            return con.sql(sql).df()
-        finally:
-            timer.cancel()
+        for _ in range(2):  # at most one stale-interrupt retry
+            timed_out = threading.Event()
+
+            def fire():
+                timed_out.set()
+                con.interrupt()
+
+            timer = threading.Timer(oracle_timeout, fire)
+            timer.start()
+            try:
+                return con.sql(sql).df()
+            except duckdb.InterruptException:
+                if timed_out.is_set():
+                    raise
+                continue  # stale interrupt from a previous query's timer
+            except Exception as e:
+                if "INTERRUPT" in str(e).splitlines()[0].upper() \
+                        and not timed_out.is_set():
+                    continue
+                raise
+            finally:
+                timer.cancel()
+        # unreachable: one pending stale interrupt at most, consumed above
+        raise RuntimeError("interrupted twice without the timeout flag set")
 
     n_ok = n_fail = n_skip = 0
     for name in sorted(oracle):
@@ -218,9 +244,14 @@ def main(sfdir: str, outdir: str, oracle_timeout: float = 0.0) -> int:
 
 
 if __name__ == "__main__":
-    timeout = 0.0
-    argv = [a for a in sys.argv[1:] if not a.startswith("--oracle-timeout")]
-    for a in sys.argv[1:]:
-        if a.startswith("--oracle-timeout="):
-            timeout = float(a.split("=", 1)[1])
-    sys.exit(main(argv[0], argv[1], timeout))
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="local replica of the driver's DuckDB correctness gate")
+    ap.add_argument("sfdir", help="testdata scale-factor directory")
+    ap.add_argument("outdir", help="graft.Verify output directory")
+    ap.add_argument("--oracle-timeout", type=float, default=0.0,
+                    metavar="SECS",
+                    help="budget per DuckDB oracle query; over-budget "
+                         "queries report as explicit skips")
+    ns = ap.parse_args()  # unknown flags / extra positionals: usage error
+    sys.exit(main(ns.sfdir, ns.outdir, ns.oracle_timeout))
