@@ -124,14 +124,17 @@ object QueriesExt {
     * corpus statistic behind retrieval: q89 builds postings lists from it,
     * q120 scores BM25 over it. One tokenize + one (doc, term) shuffle for
     * the family; at 100 TB the exploded tf aggregate IS the dominant cost,
-    * so it must not run once per consumer. */
+    * so it must not run once per consumer. The document's `source` rides
+    * along (functionally dependent on doc_id — an extra grouping column,
+    * not extra cardinality) so q120's per-tenant df gate can aggregate
+    * (source, term) document frequencies without a second corpus pass. */
   private def termFreqs(s: SparkSession, dir: String): DataFrame =
     shared(s, dir, "termFreqs") {
       t(s, dir, "documents")
-        .select(col("doc_id"), Text.tokens(col("text")).as("w"))
-        .select(col("doc_id"), size(col("w")).as("dl"),
+        .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("w"))
+        .select(col("doc_id"), col("source"), size(col("w")).as("dl"),
           explode(col("w")).as("term"))
-        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .groupBy(col("doc_id"), col("source"), col("dl"), col("term"))
         .agg(count(lit(1)).as("tf"))
     }
 
@@ -3659,25 +3662,42 @@ object QueriesExt {
     * the one inherent (qid, doc) score aggregate, bounded by candidate
     * matches, then a top-k window per query.
     *
-    * Known limit of the df gate (measured, SCALE.md round 6): it is
-    * GLOBAL, so on a multi-tenant/multi-lingual corpus of disjoint
-    * sub-vocabularies each tenant's stopwords sit far below any global
-    * cutoff and their |tenant|-sized postings re-enter the candidate set —
-    * a one-time step at the homogeneous→multi-tenant transition (linear
-    * growth resumes past it). The production lever for Zipf-heavy
-    * multi-tenant corpora is impact-ordered postings with WAND-style
-    * upper-bound pruning (Broder et al. 2003): per-term postings sorted by
-    * score contribution, candidates cut off once the residual upper bound
-    * cannot reach the current top-k floor. That changes candidate
-    * ENUMERATION only — the scoring arithmetic here stays the contract. */
+    * The df gate is two-level — GLOBAL and PER-TENANT (`source`) — because
+    * the 10× scale run measured the global-only form failing on
+    * multi-tenant corpora (SCALE.md round 6, VERDICT r6 #4): with 10
+    * disjoint sub-vocabularies, each tenant's stopwords sit at ~10% GLOBAL
+    * df, pass any global cutoff, and flood |tenant|-sized postings into
+    * the candidate set (1,494 → 44.8 M candidate rows at 10× data). A
+    * query term must now also clear the 75% cutoff WITHIN the query
+    * document's own source (df_src·4 ≤ 3·n_src — tenant-local stopword
+    * pruning), which costs one extra vocabulary-sized (source, term)
+    * aggregate and one |sources|-row aggregate over the already-shared
+    * [[termFreqs]] scan — no additional corpus pass. The remaining
+    * production lever for Zipf-heavy corpora is impact-ordered postings
+    * with WAND-style upper-bound pruning (Broder et al. 2003): per-term
+    * postings sorted by score contribution, candidates cut off once the
+    * residual upper bound cannot reach the current top-k floor. Gates
+    * change candidate ENUMERATION only — the scoring arithmetic stays the
+    * contract. */
   private val q120: Q = (s, dir) => {
     val tfc = termFreqs(s, dir)
     val scal = tfc.agg(sum(col("tf")).as("L"),
       countDistinct(col("doc_id")).as("n"))
     val dfreq = tfc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // per-tenant vocabulary stats: (source, term) df + docs per source
+    val dfs = tfc.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("df_src"))
+    val ns = tfc.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_src"))
     val qterms = tfc.filter(col("doc_id") % 100 === 0)
-      .select(col("doc_id").as("qid"), col("term"))
-    val qdf = dfreq.join(broadcast(qterms), Seq("term"))
+      .select(col("doc_id").as("qid"), col("source"), col("term"))
+    // tenant-local stopword gate: query terms broadcast onto the
+    // vocabulary-sized (source, term) df table; sources table broadcast
+    val qlocal = dfs.join(broadcast(qterms), Seq("source", "term"))
+      .join(broadcast(ns), Seq("source"))
+      .filter(col("df_src") * 4 <= col("n_src") * 3)
+      .select(col("qid"), col("term"))
+    val qdf = dfreq.join(broadcast(qlocal), Seq("term"))
       .crossJoin(broadcast(scal.select(col("n").as("gf_n"))))
       .filter(col("df") * 4 <= col("gf_n") * 3)
       .drop("gf_n")
@@ -3701,15 +3721,23 @@ object QueriesExt {
   }
 
   private val q120Sql =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |tfu AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t),
-      |tfc AS (SELECT doc_id, dl, term, count(*) AS tf FROM tfu GROUP BY 1, 2, 3),
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+      |           FROM documents),
+      |tfu AS (SELECT doc_id, source, len(w) AS dl, unnest(w) AS term FROM t),
+      |tfc AS (SELECT doc_id, source, dl, term, count(*) AS tf
+      |        FROM tfu GROUP BY 1, 2, 3, 4),
       |sc AS (SELECT CAST(sum(tf) AS BIGINT) AS L, count(DISTINCT doc_id) AS n
       |       FROM tfc),
       |dfq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+      |dfs AS (SELECT source, term, count(*) AS df_src FROM tfc GROUP BY 1, 2),
+      |nsrc AS (SELECT source, count(DISTINCT doc_id) AS n_src
+      |         FROM tfc GROUP BY 1),
       |q AS (SELECT tfc.doc_id AS qid, tfc.term
       |      FROM tfc JOIN dfq ON tfc.term = dfq.term CROSS JOIN sc
-      |      WHERE tfc.doc_id % 100 = 0 AND dfq.df * 4 <= sc.n * 3),
+      |      JOIN dfs ON dfs.source = tfc.source AND dfs.term = tfc.term
+      |      JOIN nsrc ON nsrc.source = tfc.source
+      |      WHERE tfc.doc_id % 100 = 0 AND dfq.df * 4 <= sc.n * 3
+      |        AND dfs.df_src * 4 <= nsrc.n_src * 3),
       |cand AS (
       |  SELECT q.qid, tfc.doc_id,
       |         (CAST(22000000 AS HUGEINT) * sc.L * tfc.tf

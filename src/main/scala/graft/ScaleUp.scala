@@ -125,6 +125,12 @@ object ScaleUp {
           regexp_replace(col("text"), "(\\S+)", "$1x" + k))
         .withColumn("n_chars", length(col("text")).cast("long"))
         .withColumn("doc_id", col("doc_id") + lit(k * sDoc))
+        // each copy IS a new tenant (its vocabulary is disjoint by the
+        // token suffix above), so its tenant marker must be new too — a
+        // real multi-tenant 10× arrives with new source ids, and the
+        // per-source statistics (q120's tenant df gate, q157/q163 source
+        // matrices) see 10× sources, not 10 copies hiding behind one id
+        .withColumn("source", concat_ws("-", col("source"), lit(k)))
     }, s"$dstDir/documents.parquet")
 
     writeOne(copies("embeddings") { (d, k) =>
