@@ -5856,29 +5856,49 @@ object QueriesExt {
 
   // ------------- SimHash banded Hamming near-dup join (q167)
 
-  /** The SimHash DEDUP JOIN that completes q33's per-doc fingerprints
-    * (Manku, Jain, Das Sarma 2007 — the web-crawl dedup classic): pairs
-    * of documents whose 32-bit SimHashes differ in ≤ 3 bits. Pigeonhole
-    * banding makes it join-shaped: hamming ≤ 3 over 4 disjoint 8-bit
-    * bands forces AT LEAST ONE band to match exactly, so candidates come
-    * from 4 equi-joins on (band index, band value) — never an n² scan —
-    * and one codegen'd `bit_count(xor)` verifies each candidate.
+  /** The SimHash DEDUP JOIN (Manku, Jain, Das Sarma 2007 — the web-crawl
+    * dedup classic): pairs of documents whose 64-bit SimHashes differ in
+    * ≤ 3 bits, found by PIGEONHOLE BLOCK-COMBINATION banding. The
+    * fingerprint splits into B blocks; since k=3 differing bits touch at
+    * most 3 blocks, every qualifying pair matches exactly on ALL blocks
+    * of at least one of the C(B, B−3) combinations that retain B−3
+    * blocks — so candidates come from C(B, B−3) equi-joins on
+    * (combination id, retained-block values), never an n² scan, and one
+    * codegen'd `bit_count(xor)` verifies each candidate.
     *
-    * Scale shape: candidate volume is Σ band-group², linear while band
-    * groups stay bounded. The 32-bit/4-band geometry is pinned here for
-    * cross-engine oracle parity; at corpus scale the published config is
-    * a 64-bit fingerprint with d+1 bands of ≥ log2(n) bits each (ibid.),
-    * which keeps the random-collision background linear the same way
-    * [[Vectors.adaptivePlanes]] does for sign-LSH. */
+    * B is ADAPTIVE — [[Text.adaptiveSimhashBlocks]]: the smallest block
+    * count whose retained-key width ⌊64(B−3)/B⌋ ≥ ⌈log2(n)⌉ + 4, so each
+    * table's random-collision background n²/2^width stays ≤ n/32 — linear
+    * at every corpus size, where the previous pinned 32-bit/4×8-bit
+    * geometry measured a quadratic n²/128 background (14.04× at 10× data,
+    * SCALE.md round 6). This is the q41/`adaptivePlanes` precedent: the
+    * GATE checks the scaling policy, because the oracle re-derives the
+    * identical ⌈log2⌉-driven B (integer-exact, no floating log) and the
+    * per-pair table-collision count `n_bands` — which Spark produces by
+    * COUNTING banded-join hits and DuckDB computes analytically as
+    * C(#matching blocks, B−3) from its brute-force pair scan. Row
+    * equality is therefore both a losslessness proof (every brute-force
+    * pair surfaced by some band) and a policy pin (any drift in B, block
+    * boundaries, or combination enumeration breaks n_bands). */
   private val q167: Q = (s, dir) => {
+    val blocks = Text.adaptiveSimhashBlocks(sharedCount(s, dir, "documents"))
+    val retain = blocks - 3
+    def lo(i: Int): Int = 64 * i / blocks
+    def wd(i: Int): Int = 64 * (i + 1) / blocks - lo(i)
+    val combos = (0 until (1 << blocks))
+      .filter(m => Integer.bitCount(m) == retain)
+    def bandKey(m: Int): Column = concat_ws("-",
+      (0 until blocks).filter(i => ((m >> i) & 1) == 1).map { i =>
+        shiftrightunsigned(col("sh"), lo(i))
+          .bitwiseAND(lit((1L << wd(i)) - 1)).cast("string")
+      }: _*)
     val sig = t(s, dir, "documents")
       .select(col("doc_id"),
-        Text.simhash32Fused(Text.tokenHashes(col("text"))).as("sh"))
+        Text.simhash64Fused(Text.tokenHashes64(col("text"))).as("sh"))
       .filter(col("sh").isNotNull)
     val bands = sig.select(col("doc_id"), col("sh"),
-      explode(array((0 until 4).map(i => struct(lit(i).as("bi"),
-        shiftright(col("sh"), 8 * i).bitwiseAND(lit(255L)).as("bv"))): _*))
-        .as("b"))
+      explode(array(combos.map(m =>
+        struct(lit(m).as("bi"), bandKey(m).as("bv"))): _*)).as("b"))
       .select(col("doc_id"), col("sh"),
         col("b.bi").as("bi"), col("b.bv").as("bv"))
     bands.as("a")
@@ -5886,30 +5906,56 @@ object QueriesExt {
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sa"), col("b.sh").as("sb"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        expr("CAST(bit_count(sa ^ sb) AS INT)").as("hamming"))
+        expr("CAST(bit_count(a.sh ^ b.sh) AS INT)").as("hamming"))
+      .groupBy(col("doc_a"), col("doc_b"), col("hamming"))
+      .agg(count(lit(1)).as("n_bands"))
       .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("n_bands"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val q167Sql =
     """WITH t AS (SELECT doc_id,
       |             list_transform(string_split(text, ' '),
-      |               w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)) AS ths
+      |               w -> CAST(('0x' || substring(md5(w), 1, 16)) AS UBIGINT)) AS ths
       |           FROM documents),
+      |sr AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(64), j ->
+      |           CASE WHEN list_sum(list_transform(ths,
+      |                  h -> CASE WHEN ((h >> CAST(j AS UBIGINT)) & 1::UBIGINT) = 1
+      |                            THEN 1 ELSE -1 END)) >= 0
+      |                THEN CAST(power(2, j) AS HUGEINT)
+      |                ELSE 0::HUGEINT END)) AS HUGEINT) AS fp
+      |       FROM t),
       |s AS (SELECT doc_id,
-      |        CAST(list_sum(list_transform(range(32), j ->
-      |          CASE WHEN list_sum(list_transform(ths,
-      |                 h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
-      |               THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sh
-      |      FROM t),
-      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |        CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
-      |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
-      |SELECT doc_a, doc_b, hamming FROM p
-      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+      |        CAST(fp - CASE WHEN fp >= 9223372036854775808::HUGEINT
+      |                       THEN 18446744073709551616::HUGEINT
+      |                       ELSE 0::HUGEINT END AS BIGINT) AS sh
+      |      FROM sr),
+      |c AS (SELECT count(*) AS n FROM documents),
+      |lg AS (SELECT (SELECT min(j) FROM range(0, 63) t(j)
+      |               WHERE (1::BIGINT << CAST(j AS INTEGER)) >= greatest(n, 1)) AS clog
+      |       FROM c),
+      |blk AS (SELECT coalesce((SELECT min(b) FROM range(4, 9) t(b)
+      |          WHERE (64*(b-3))//b >= clog + 4), 8) AS bb FROM lg),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, xor(a.sh, b.sh) AS xr
+      |      FROM s a JOIN s b ON a.doc_id < b.doc_id),
+      |ph AS (SELECT doc_a, doc_b, CAST(bit_count(xr) AS INTEGER) AS hamming,
+      |         CAST(xr AS HUGEINT) + CASE WHEN xr < 0
+      |           THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS uxr
+      |       FROM p WHERE bit_count(xr) <= 3),
+      |pm AS (SELECT doc_a, doc_b, hamming, bb,
+      |         len(list_filter(range(bb), i ->
+      |           (uxr // CAST(power(2, (64*i)//bb) AS HUGEINT))
+      |             % CAST(power(2, (64*(i+1))//bb - (64*i)//bb) AS HUGEINT)
+      |           = 0)) AS mb
+      |       FROM ph CROSS JOIN blk)
+      |SELECT doc_a, doc_b, hamming,
+      |       CAST(factorial(CAST(mb AS INTEGER))
+      |            // (factorial(CAST(bb - 3 AS INTEGER))
+      |                * factorial(CAST(mb - (bb - 3) AS INTEGER))) AS BIGINT)
+      |         AS n_bands
+      |FROM pm ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------- streaming custom-state sessionization (q168)
 

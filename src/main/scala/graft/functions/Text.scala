@@ -266,6 +266,48 @@ object Text {
     toCol(graft.plans.Simhash32Expr(toExpr(tokenHashes)))
   }
 
+  /** Tokenize + 64-bit md5 hash (first 16 hex chars per token) as ONE
+    * codegen'd kernel — [[tokenHashes]] widened for the 64-bit SimHash
+    * ([[simhash64Fused]]). */
+  def tokenHashes64(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
+    toCol(graft.plans.TokenHashes64Expr(toExpr(text)))
+  }
+
+  /** 64-bit SimHash as ONE codegen'd per-row kernel over 64-bit token
+    * hashes — [[simhash32Fused]]'s shape with 64 bit counters. The wider
+    * fingerprint is what makes banded Hamming dedup scale: band keys must
+    * carry ≥ log2(corpus) bits for the random-collision background to stay
+    * linear (Manku, Jain, Das Sarma 2007), and a 32-bit sketch cannot
+    * yield such bands past ~10⁵ documents. Bit semantics (NULL token → −1
+    * every bit; empty array → NULL) match the 32-bit kernel. */
+  def simhash64Fused(tokenHashes: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
+    toCol(graft.plans.Simhash64Expr(toExpr(tokenHashes)))
+  }
+
+  /** Manku-banding block count scaled to corpus size, the
+    * [[graft.functions.Vectors.adaptivePlanes]] move for SimHash dedup:
+    * a 64-bit fingerprint split into B blocks finds all pairs within
+    * Hamming distance k via the C(B, B−k) combination tables that each
+    * retain B−k blocks (the k differing bits hit ≤ k blocks, so some
+    * retained set matches exactly — pigeonhole, Manku et al. 2007 §3).
+    * Each table's key carries ⌊64·(B−k)/B⌋ bits, so its random-collision
+    * background is n²/2^width: B is the SMALLEST block count in
+    * [k+1, 8] whose key width ≥ ⌈log2(n)⌉ + marginBits, making expected
+    * random collisions per table ≤ n/2^(marginBits+1) — linear with a
+    * 1/32 constant at the default margin. Integer-exact (no floating
+    * log), so a SQL oracle states the identical derivation:
+    * ⌈log2(n)⌉ = min j with 2^j ≥ n. Larger corpora pay more tables
+    * (C(5,2)=10 vs C(4,1)=4) — candidate generation cost, traded against
+    * quadratic background. */
+  def adaptiveSimhashBlocks(corpusSize: Long, k: Int = 3,
+      marginBits: Int = 4): Int = {
+    val n = math.max(corpusSize, 1L)
+    val clog = (0 to 62).find(j => (1L << j) >= n).getOrElse(63)
+    (k + 1 to 8).find(b => 64 * (b - k) / b >= clog + marginBits).getOrElse(8)
+  }
+
   /** Rolling polynomial fingerprint over token hashes:
     * fold(acc = 0; acc = (acc·31 + h) mod 1_000_000_007) — order-sensitive,
     * so equal fingerprints mean equal token sequences (modulo collisions),

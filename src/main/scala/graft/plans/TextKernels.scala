@@ -345,3 +345,121 @@ object NgramHashesExpr {
     }
   }
 }
+
+/** 64-bit sibling of [[TokenHashesExpr]]: split on single spaces and take
+  * the FIRST 16 md5 hex chars (first 8 digest bytes, big-endian) of every
+  * token as an unsigned 64-bit value carried in a signed long — the same
+  * engine-portable integer-from-md5 primitive (`CAST('0x' || substring(
+  * md5(w), 1, 16) AS UBIGINT)` states it in DuckDB), one reused digest
+  * per row. 64-bit token hashes feed the 64-bit SimHash ([[Simhash64Expr]])
+  * whose banded Hamming join needs more key entropy than the 32-bit
+  * sketch offers at corpus scale (Manku et al. 2007; q167's geometry). */
+case class TokenHashes64Expr(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_hashes64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    TokenHashes64Expr.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.plans.TokenHashes64Expr.compute($v)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenHashes64Expr =
+    copy(child = newChild)
+}
+
+object TokenHashes64Expr {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(text: UTF8String): ArrayData = {
+    // exactly Spark's split(text, " "): Java regex split, limit -1
+    val tokens = text.toString.split(" ", -1)
+    val md = mdLocal.get()
+    val out = new Array[Long](tokens.length)
+    var i = 0
+    while (i < tokens.length) {
+      md.reset()
+      val d = md.digest(tokens(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 16 hex chars = first 8 bytes, big-endian; the unsigned
+      // 64-bit value's bit pattern carried in a signed long
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** 64-bit SimHash over 64-bit token hashes as one codegen'd per-row kernel
+  * — [[Simhash32Expr]]'s conditional-sum shape widened to 64 bit counters:
+  * bit j of the result is set iff Σ_tokens (bit_j(h) ? +1 : −1) ≥ 0, a
+  * NULL token hash contributes −1 to EVERY bit, an empty array yields
+  * NULL. Bit 63 rides the long's sign bit — the fingerprint is the
+  * unsigned 64-bit SimHash's bit pattern; consumers compare bits (xor /
+  * bit_count / unsigned-shift band extraction), never magnitudes.
+  * TextSpec pins bit-equality against the higher-order SQL form the
+  * DuckDB oracle states. */
+case class Simhash64Expr(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.longArrays(prettyName, child)
+
+  override protected def nullSafeEval(v: Any): Any =
+    Simhash64Expr.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("simH64")
+      s"""
+         |java.lang.Long $r = graft.plans.Simhash64Expr.compute($v);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64Expr =
+    copy(child = newChild)
+}
+
+object Simhash64Expr {
+  def compute(ths: ArrayData): java.lang.Long = {
+    val n = ths.numElements()
+    if (n == 0) return null
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (ths.isNullAt(i)) {
+        var j = 0
+        while (j < 64) { counts(j) -= 1; j += 1 }
+      } else {
+        val h = ths.getLong(i)
+        var j = 0
+        while (j < 64) {
+          counts(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) >= 0) out |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(out)
+  }
+}

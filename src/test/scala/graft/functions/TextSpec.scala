@@ -399,4 +399,64 @@ class TextSpec extends SparkSpec {
     val twice = once.map(_.toString).toDF("text")
     assert(col0(twice.select(Text.normalize($"text"))) == once)
   }
+
+  test("tokenHashes64 kernel is bit-identical to the two-half md5 reference form") {
+    // reference: first 16 md5 hex chars = (first 8 as hi) << 32 | (next 8
+    // as lo) — each half parses inside a signed long, so the composition
+    // is overflow-free and bit-exact for the full unsigned 64-bit pattern
+    def half(w: org.apache.spark.sql.Column, from: Int) =
+      conv(substring(md5(w), from, 8), 16, 10).cast("long")
+    val edges = Seq("", " ", "a", "a b", " a", "a ", "a  b", "héllo wörld 你好")
+      .toDF("text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").unionByName(edges)
+    val cmp = corpus.select(
+      Text.tokenHashes64($"text").as("fast"),
+      transform(Text.tokens($"text"),
+        w => shiftleft(half(w, 1), 32).bitwiseOR(half(w, 9))).as("slow"))
+    assert(cmp.filter(not($"fast" <=> $"slow")).isEmpty,
+      "64-bit token-hash kernel diverged from the reference form")
+  }
+
+  test("simhash64 fused kernel is bit-identical to the 64-lane conditional-sum form") {
+    val edgy = Seq(
+      Option(Seq(Option(1L), Option.empty[Long], Option(-1L))), // null token
+      Option(Seq.empty[Option[Long]]), // empty array -> NULL
+      Option(Seq(Option(Long.MinValue), Option(Long.MaxValue))))
+      .map(Tuple1(_)).toDF("ths")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Text.tokenHashes64($"text").as("ths"))
+      .unionByName(edgy.select($"ths".cast("array<bigint>")))
+    // the higher-order reference: 64 conditional sums, sign bits OR'd —
+    // bit 63 composes via bitwiseOR so no additive overflow
+    val bits = (0 until 64).map { j =>
+      when(aggregate($"ths", lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1, lit(1L))
+          .otherwise(lit(-1L))) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    val ref = when(size($"ths") > 0, bits.reduce(_.bitwiseOR(_)))
+    val cmp = corpus.select(
+      Text.simhash64Fused($"ths").as("fast"), ref.as("slow"))
+    assert(cmp.filter(not($"fast" <=> $"slow")).isEmpty,
+      "64-bit simhash kernel diverged from the reference form")
+  }
+
+  test("adaptiveSimhashBlocks widens the banded key with the corpus") {
+    // width(B) = floor(64(B-3)/B): 16, 25, 32, 36, 40 for B = 4..8;
+    // need ceil(log2 n) + 4 bits
+    assert(Text.adaptiveSimhashBlocks(1) == 4)
+    assert(Text.adaptiveSimhashBlocks(500) == 4) // 9 + 4 <= 16
+    assert(Text.adaptiveSimhashBlocks(4096) == 4) // 12 + 4 = 16 (boundary)
+    assert(Text.adaptiveSimhashBlocks(4097) == 5) // 13 + 4 > 16
+    assert(Text.adaptiveSimhashBlocks(50000) == 5) // 16 + 4 <= 25
+    assert(Text.adaptiveSimhashBlocks(1L << 28) == 6) // 28 + 4 = 32
+    assert(Text.adaptiveSimhashBlocks(1L << 40) == 8) // past every width: clamp
+    // per-table background n^2 / 2^width stays <= n/16 (sublinear constant)
+    for (n <- Seq(1L, 1000L, 100000L, 1L << 30)) {
+      val b = Text.adaptiveSimhashBlocks(n)
+      val width = 64 * (b - 3) / b
+      assert(b == 8 || (BigInt(n) * n / BigInt(2).pow(width)) <= BigInt(n) / 16,
+        s"background superlinear at n=$n, B=$b")
+    }
+  }
 }
