@@ -348,6 +348,50 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q163-q167: round-6/7 queries shuffle exactly where inherent") {
+    // the round-5 pinned-exchange discipline extended to the round-6
+    // additions (VERDICT r6 ask #5). q162/q168 are REAL streaming runs
+    // (the q24/q25/q107/q161 class): building them executes the stream
+    // and the visible plan is the post-run memory-table projection, so
+    // there is no batch plan to pin — StreamingSpec pins their behavior.
+    def counts(q: String): (Int, Int) = {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q pairwise join:\n$p")
+      ("Exchange hashpartitioning".r.findAllIn(p).size,
+        "BroadcastHashJoin".r.findAllIn(p).size +
+          "SortMergeJoin".r.findAllIn(p).size +
+          "ShuffledHashJoin".r.findAllIn(p).size)
+    }
+    // q163 reads the SHARED closure (fixpoint ran eagerly at construction,
+    // the q48 class): visible plan is dropped-members derivation + the
+    // documents left join + the |sources| aggregate — 3 hash exchanges,
+    // 1 join. A regression that re-derives pairs/closure per consumer
+    // would add the detection exchanges here.
+    assert(counts("q163_dedup_source_stats") == (3, 1))
+    // q164: bigram explode → (hash → min doc) aggregate → join back on
+    // the bigram hash → per-doc aggregate: exactly the 2 inherent hash
+    // exchanges (first-seen agg + per-doc agg) and 1 join
+    assert(counts("q164_ngram_novelty") == (2, 1))
+    // q165: ONE detection pass at the loosest τ over the shared shingle
+    // table (prefix postings agg + verify-join exchanges are inside the
+    // shared derivation), then a 3-row broadcast sweep + one aggregate —
+    // 2 hash exchanges; the sweep join is the explode, not a join node
+    assert(counts("q165_dedup_threshold_sweep")._1 == 2)
+    // q166: the corpus postings NEVER shuffle for the probe — batch
+    // postings broadcast (the explicit hint in prefixJoinPairsAgainst),
+    // so only the posting aggregates' 2 hash exchanges remain
+    val (h166, j166) = counts("q166_ingest_dedup")
+    assert(h166 == 2 && j166 >= 1)
+    assert(plan("q166_ingest_dedup").contains("BroadcastHashJoin"),
+      "q166 batch postings must broadcast onto the corpus postings")
+    // q167: band explode is a pure map; ONE equi self-join on (combo,
+    // band value) + the per-pair collision-count aggregate — 1 hash
+    // exchange, 1 join, and NEVER a pairwise scan
+    assert(counts("q167_simhash_hamming_join") == (1, 1))
+    spark.catalog.clearCache()
+  }
+
   test("q120: query terms broadcast onto the corpus; only the 1-row scale scalar nested-loops") {
     val p = plan("q120_bm25_retrieval")
     assert(!p.contains("CartesianProduct"), s"q120 cartesian:\n$p")
