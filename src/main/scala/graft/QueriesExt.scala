@@ -3678,7 +3678,17 @@ object QueriesExt {
     * postings sorted by score contribution, candidates cut off once the
     * residual upper bound cannot reach the current top-k floor. Gates
     * change candidate ENUMERATION only — the scoring arithmetic stays the
-    * contract. */
+    * contract.
+    *
+    * Round-7 note — WAND/MaxScore was measured VACUOUS on this corpus
+    * and deliberately not implemented: the synthetic vocabulary is ~31
+    * uniformly common tokens, so no query term is rare enough to anchor
+    * an essential set (zero terms at df ≤ 5% of the corpus at every SF;
+    * the analytic per-term bound ub = ⌈2.2e6·(2N−2df+1)/(2df+1)⌉ then
+    * never clears the top-k floor) — every query would take the
+    * full-scoring fallback and the gate would be checking dead code. On
+    * corpora where ALL terms are common, df gates (global + per-tenant,
+    * above) are the candidate bound; WAND only pays on a Zipf tail. */
   private val q120: Q = (s, dir) => {
     val tfc = termFreqs(s, dir)
     val scal = tfc.agg(sum(col("tf")).as("L"),
@@ -5986,6 +5996,160 @@ object QueriesExt {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, start_us""".stripMargin
 
+  // --------------- int8-quantized ANN with recall readout (q169)
+
+  /** Int8 scalar quantization of the embedding corpus + the recall@5
+    * readout against the exact fixed-point baseline — the promotion gate
+    * a 100 TB vector store runs BEFORE swapping its serving corpus from
+    * fp32 to int8 (4× less memory and scan bandwidth; int8 dot products
+    * are the SIMD fast path on every modern ISA).
+    *
+    * Quantization is symmetric per vector: scale m = max|x_i| over the
+    * fixed-point components, i8_i = ⌊127·x_i / m⌋ ∈ [−127, 127]. The
+    * floor-division is EXACT INTEGER arithmetic on both engines via the
+    * same (a − pmod(a, m))/m construction — NEITHER engine's native
+    * integral division floors (Spark's `div` and DuckDB's `//` both
+    * truncate toward zero, disagreeing with floor below zero), so both
+    * sides subtract the nonnegative remainder first, making the numerator
+    * an exact multiple whose quotient every division rounding agrees on.
+    * The quantized corpus is therefore bit-identical cross-engine and the
+    * gate hashes it transitively through the rankings.
+    *
+    * Both rankings share the ONE fixed 256-vector [[probeSet]]
+    * (md5-priority top-k — the q34/q110 bounded-broadcast discipline), so
+    * the exact side is O(n·k) and the int8 side strictly cheaper; output
+    * is per-probe hits@5 / recall@5 — 256 rows at ANY scale factor.
+    * At 100 TB the exact side runs on the same bounded probe set, so the
+    * readout stays a linear corpus scan; the int8 corpus it validates is
+    * the artifact you then bucket with [[Vectors.lshBucket]] (q35) or IVF
+    * (q42). */
+  private val q169: Q = (s, dir) => {
+    val emb = quantizedEmb(s, dir)
+    val i8 = emb
+      .withColumn("m", array_max(transform(col("qv"), x => abs(x))))
+      .withColumn("i8", when(col("m") === 0,
+        transform(col("qv"), _ => lit(0L)))
+        .otherwise(transform(col("qv"),
+          x => ((x * 127 - pmod(x * 127, col("m"))) / col("m")).cast("long"))))
+      .select(col("vec_id"), col("i8"))
+      .withColumn("nsq8", Vectors.dotQ(col("i8"), col("i8")))
+    val probeIds = probeSet(emb).select(col("vec_id"))
+    val exQ = probeSet(emb)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("nsq").as("qnsq"))
+    val apQ = i8.join(broadcast(probeIds), Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("i8").as("qi8"), col("nsq8").as("qnsq8"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val exact = emb.join(broadcast(exQ), col("vec_id") =!= col("qid"))
+      .withColumn("cos", Vectors.cosineFromParts(
+        Vectors.dotQ(col("qqv"), col("qv")), col("qnsq"), col("nsq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor"))
+    val approx = i8.join(broadcast(apQ), col("vec_id") =!= col("qid"))
+      .withColumn("cos", Vectors.cosineFromParts(
+        Vectors.dotQ(col("qi8"), col("i8")), col("qnsq8"), col("nsq8")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor"), lit(1L).as("hit"))
+    exact.join(broadcast(approx), Seq("qid", "neighbor"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("qid"), col("hits"), (col("hits") * 20).as("recall_pct"))
+      .orderBy(col("qid"))
+  }
+
+  private val q169Sql = embCte + ",\n" + probeCte +
+    """,
+      |i8m AS (SELECT vec_id, qv,
+      |          list_max(list_transform(qv, x -> abs(x))) AS m FROM n),
+      |i8v AS (SELECT vec_id,
+      |          CASE WHEN m = 0 THEN list_transform(qv, x -> CAST(0 AS BIGINT))
+      |               ELSE list_transform(qv, x ->
+      |                 (x*127 - ((x*127 % m) + m) % m) // m) END AS i8
+      |        FROM i8m),
+      |n8 AS (SELECT vec_id, i8,
+      |         list_sum(list_transform(i8, x -> x*x)) AS nsq8 FROM i8v),
+      |ex AS (SELECT qid, neighbor FROM (
+      |  SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+      |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |           CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+      |             s -> s[1]*s[2])) AS DOUBLE)
+      |           / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))
+      |             DESC, b.vec_id) AS rank
+      |  FROM n a JOIN pq ON a.vec_id = pq.vec_id
+      |  JOIN n b ON b.vec_id <> a.vec_id) WHERE rank <= 5),
+      |ap AS (SELECT qid, neighbor FROM (
+      |  SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+      |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |           CAST(list_sum(list_transform(list_zip(a.i8, b.i8),
+      |             s -> s[1]*s[2])) AS DOUBLE)
+      |           / (sqrt(CAST(a.nsq8 AS DOUBLE)) * sqrt(CAST(b.nsq8 AS DOUBLE)))
+      |             DESC, b.vec_id) AS rank
+      |  FROM n8 a JOIN pq ON a.vec_id = pq.vec_id
+      |  JOIN n8 b ON b.vec_id <> a.vec_id) WHERE rank <= 5)
+      |SELECT ex.qid,
+      |       CAST(count(ap.neighbor) AS BIGINT) AS hits,
+      |       CAST(count(ap.neighbor) * 20 AS BIGINT) AS recall_pct
+      |FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.neighbor = ap.neighbor
+      |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin
+
+  // ------------------- temperature-sampled mixture weights (q170)
+
+  /** Data-mixing allocation: per-source (tenant / domain) token counts →
+    * α = 0.5 temperature-sampling weights and effective epoch factors —
+    * the multinomial the training loader draws from, with the temperature
+    * flattening Zipf-headed source distributions so small high-quality
+    * domains are not drowned by the web crawl (the multilingual-sampling
+    * move, α-weighted w_s ∝ tokens_s^α).
+    *
+    * All arithmetic is exact cross-engine: per-source isq = ⌊√tokens⌋
+    * (one correctly-rounded IEEE sqrt per SOURCE — never a float SUM, so
+    * no ordering sensitivity), weights in ppm and epochs in milli by
+    * DECIMAL(38,0) integer division (the q120 micro-unit discipline;
+    * HUGEINT on the DuckDB side). Epoch factor = w_s · B / tokens_s at a
+    * budget of B = one corpus pass, i.e. how many times source s is
+    * (re)visited when the mixture runs for Σtokens total tokens.
+    *
+    * Scale shape: one (source, term)-grain scan of the shared
+    * [[termFreqs]] table into a |sources|-row aggregate, one 1-row total,
+    * and a 1-row broadcast back onto |sources| rows — nothing here grows
+    * with the corpus except the single shared scan. */
+  private val q170: Q = (s, dir) => {
+    val src = termFreqs(s, dir)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), sum(col("tf")).as("tokens"))
+      .withColumn("isq", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+    val tot = src.agg(sum(col("isq")).as("ssum"), sum(col("tokens")).as("ttot"))
+    src.crossJoin(broadcast(tot))
+      .withColumn("weight_ppm", expr(
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * isq DIV ssum AS BIGINT)"))
+      .withColumn("epochs_milli", expr(
+        """CAST((CAST(1000 AS DECIMAL(38,0)) * ttot * isq)
+          |  DIV (CAST(ssum AS DECIMAL(38,0)) * tokens) AS BIGINT)""".stripMargin))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("weight_ppm"), col("epochs_milli"))
+      .orderBy(col("source"))
+  }
+
+  private val q170Sql =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+      |           FROM documents),
+      |tfu AS (SELECT doc_id, source, unnest(w) AS term FROM t),
+      |tfc AS (SELECT doc_id, source, term, count(*) AS tf
+      |        FROM tfu GROUP BY 1, 2, 3),
+      |src AS (SELECT source, count(DISTINCT doc_id) AS n_docs,
+      |          CAST(sum(tf) AS BIGINT) AS tokens FROM tfc GROUP BY 1),
+      |e AS (SELECT source, n_docs, tokens,
+      |        CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS isq
+      |      FROM src),
+      |tot AS (SELECT CAST(sum(isq) AS BIGINT) AS ssum,
+      |          CAST(sum(tokens) AS BIGINT) AS ttot FROM e)
+      |SELECT source, n_docs, tokens,
+      |       CAST(CAST(1000000 AS HUGEINT) * isq // ssum AS BIGINT) AS weight_ppm,
+      |       CAST((CAST(1000 AS HUGEINT) * ttot * isq)
+      |            // (CAST(ssum AS HUGEINT) * tokens) AS BIGINT) AS epochs_milli
+      |FROM e CROSS JOIN tot ORDER BY source""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -6128,6 +6292,8 @@ object QueriesExt {
     Entry("q165_dedup_threshold_sweep", q165, Some(q165Sql)),
     Entry("q166_ingest_dedup", q166, Some(q166Sql)),
     Entry("q167_simhash_hamming_join", q167, Some(q167Sql)),
-    Entry("q168_streaming_custom_sessions", q168, Some(q168Sql))
+    Entry("q168_streaming_custom_sessions", q168, Some(q168Sql)),
+    Entry("q169_int8_ann_recall", q169, Some(q169Sql)),
+    Entry("q170_mixture_weights", q170, Some(q170Sql))
   )
 }

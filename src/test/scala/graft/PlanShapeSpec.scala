@@ -301,7 +301,12 @@ class PlanShapeSpec extends SparkSpec {
       // q140 cross-joins the 1-row dataset-max-date scalar (the q55/q69
       // broadcast-scalar class); its quintile maps join as broadcasts
       // over |distinct metric values|-row histograms
-      "q140_rfm_segments")
+      "q140_rfm_segments",
+      // q169 embeds TWO q34-class bounded-broadcast probe nested loops
+      // (exact + int8 rankings share the fixed 256-probe set); q170
+      // cross-joins the 1-row (ssum, ttot) mixture-total scalar (the
+      // q55 broadcast-scalar class) — dedicated pins below
+      "q169_int8_ann_recall", "q170_mixture_weights")
     Queries.queries.keys.filterNot(excluded).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")
@@ -389,6 +394,37 @@ class PlanShapeSpec extends SparkSpec {
     // band value) + the per-pair collision-count aggregate — 1 hash
     // exchange, 1 join, and NEVER a pairwise scan
     assert(counts("q167_simhash_hamming_join") == (1, 1))
+    spark.catalog.clearCache()
+  }
+
+  test("q169/q170: round-7 queries shuffle exactly where inherent") {
+    // q169: the ONLY nested loops are the two bounded 256-probe broadcast
+    // joins (exact + int8 ranking, the q34 class); the probe-id lookup
+    // and the recall join are broadcast EQUI joins; the two per-probe
+    // rank windows are the only hash exchanges (the recall aggregate
+    // reuses the exact window's qid partitioning). A regression that
+    // shuffles the corpus for a probe join or re-partitions for the
+    // recall aggregate lands here.
+    val p169 = plan("q169_int8_ann_recall")
+    assert(!p169.contains("CartesianProduct"), s"q169 cartesian:\n$p169")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p169).size == 2,
+      s"q169: exactly the two bounded probe broadcasts:\n$p169")
+    assert("BroadcastHashJoin".r.findAllIn(p169).size == 2,
+      s"q169: probe-id lookup + recall join must broadcast:\n$p169")
+    assert("Exchange hashpartitioning".r.findAllIn(p169).size == 2,
+      s"q169: only the two rank windows hash-shuffle:\n$p169")
+    // q170: the per-source aggregate's countDistinct(doc_id) expands to
+    // the (source, doc_id) + (source) exchange pair, and the 1-row totals
+    // branch re-reads the MATERIALIZED shared termFreqs table for its own
+    // pruned (source)-aggregate (the q55/q120 broadcast-scalar class —
+    // the second pass is a stored-table re-read, never a re-tokenize):
+    // 3 hash exchanges, and the totals row is the only nested loop
+    val p170 = plan("q170_mixture_weights")
+    assert(!p170.contains("CartesianProduct"), s"q170 cartesian:\n$p170")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p170).size == 1,
+      s"q170: only the 1-row totals broadcast:\n$p170")
+    assert("Exchange hashpartitioning".r.findAllIn(p170).size == 3,
+      s"q170: distinct-doc expand + pruned totals branch only:\n$p170")
     spark.catalog.clearCache()
   }
 
