@@ -3778,7 +3778,11 @@ object QueriesExt {
     * model broadcast as literals; scoring is a pure codegen map over one
     * corpus scan — no shuffle at all. The sigmoid is monotone, so
     * thresholding the logit IS thresholding the probability. */
-  private val q121: Q = (s, dir) => {
+  /** The q121 feature map + milli-logit as a reusable frame — q171's
+    * curriculum ordering bins on the same learned-quality score, and the
+    * two must never drift (one derivation, two consumers). Pure codegen
+    * map over one corpus scan. */
+  private def qualityLogits(s: SparkSession, dir: String): DataFrame = {
     val stop = Text.LangProfiles.flatMap(_._2)
     t(s, dir, "documents")
       .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("w"))
@@ -3796,9 +3800,12 @@ object QueriesExt {
       .withColumn("logit_milli", expr(
         "-1700 + 8 * least(n_tok, 200) + 5 * stop_pm" +
           " - 3 * nonalpha_pm + 2 * distinct_pm"))
+  }
+
+  private val q121: Q = (s, dir) =>
+    qualityLogits(s, dir)
       .withColumn("kept", col("logit_milli") >= 0)
       .orderBy(col("doc_id"))
-  }
 
   private val q121Sql = {
     // interpolate the stop list from the SAME source the Scala side reads
@@ -6150,6 +6157,85 @@ object QueriesExt {
       |            // (CAST(ssum AS HUGEINT) * tokens) AS BIGINT) AS epochs_milli
       |FROM e CROSS JOIN tot ORDER BY source""".stripMargin
 
+  // ----------------------- quality-curriculum corpus order (q171)
+
+  /** Curriculum ordering: every document gets a deterministic GLOBAL
+    * training-stream position — quality bins first (highest [[qualityLogits]]
+    * milli-logit band leads), stable md5 shuffle within each bin (the
+    * [[graft.operators.Sampling]] hash discipline — no RNG state, any
+    * engine re-derives the same permutation), doc_id as the final
+    * tiebreak. This is the "easy/clean data first" loader order, computed
+    * once over the corpus instead of at batch-serving time.
+    *
+    * The global rank is the SCALE point: the naive
+    * `row_number().over(Window.orderBy(...))` collapses 100 TB into one
+    * window partition. Here the composite (bin, h32, doc_id) order is
+    * packed into one unique DECIMAL key and ranked with
+    * [[graft.operators.Packing.globalCumSum]] — range-bucket, per-bucket
+    * window, driver-side offsets over B bucket totals — so the
+    * permutation materializes with bounded parallelism at any corpus
+    * size (bit-identical to the single-partition form; PackingSpec pins
+    * the invariance). Fixed logit thresholds (not quantiles) keep bin
+    * membership a pure per-row map. */
+  private val q171: Q = (s, dir) => {
+    val keyed = qualityLogits(s, dir)
+      .select(col("doc_id"), col("logit_milli"))
+      .withColumn("bin",
+        when(col("logit_milli") >= 500, 0)
+          .when(col("logit_milli") >= 0, 1)
+          .when(col("logit_milli") >= -500, 2)
+          .otherwise(3))
+      .withColumn("h32",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      // unique numeric composite: bin · 10^20 + h32 · 10^10 + doc_id
+      // (h32 < 2^32 < 10^10; doc_id < 10^10 at any testable SF) — range
+      // boundaries only balance the buckets, the within-bucket DECIMAL
+      // comparison is exact
+      .withColumn("key", expr(
+        """CAST(bin AS DECIMAL(38,0)) * 100000000000000000000
+          |  + CAST(h32 AS DECIMAL(38,0)) * 10000000000 + doc_id""".stripMargin))
+      .withColumn("one", lit(1L))
+    Packing.globalCumSum(keyed, "key", "one", "rank")
+      .select(col("doc_id"), col("bin"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  private val q171Sql = {
+    val stopList = Text.LangProfiles.flatMap(_._2).map("'" + _ + "'")
+      .mkString(", ")
+    s"""WITH f AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |         length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g'))
+      |           AS n_na,
+      |         length(text) AS n_chars
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tok,
+      |         1000 * len(list_filter(w, x -> x IN ($stopList)))
+      |           // len(w) AS stop_pm,
+      |         1000 * n_na // n_chars AS nonalpha_pm,
+      |         1000 * len(list_distinct(w)) // len(w) AS distinct_pm
+      |  FROM f),
+      |l AS (
+      |  SELECT doc_id,
+      |         -1700 + 8 * least(n_tok, 200) + 5 * stop_pm
+      |           - 3 * nonalpha_pm + 2 * distinct_pm AS logit_milli
+      |  FROM g),
+      |b AS (
+      |  SELECT doc_id,
+      |         CASE WHEN logit_milli >= 500 THEN 0
+      |              WHEN logit_milli >= 0 THEN 1
+      |              WHEN logit_milli >= -500 THEN 2
+      |              ELSE 3 END AS bin,
+      |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |              AS BIGINT) AS h32
+      |  FROM l)
+      |SELECT doc_id, bin,
+      |       row_number() OVER (ORDER BY bin, h32, doc_id) AS rank
+      |FROM b ORDER BY rank""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -6294,6 +6380,7 @@ object QueriesExt {
     Entry("q167_simhash_hamming_join", q167, Some(q167Sql)),
     Entry("q168_streaming_custom_sessions", q168, Some(q168Sql)),
     Entry("q169_int8_ann_recall", q169, Some(q169Sql)),
-    Entry("q170_mixture_weights", q170, Some(q170Sql))
+    Entry("q170_mixture_weights", q170, Some(q170Sql)),
+    Entry("q171_curriculum_order", q171, Some(q171Sql))
   )
 }

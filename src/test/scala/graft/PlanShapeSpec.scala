@@ -425,6 +425,16 @@ class PlanShapeSpec extends SparkSpec {
       s"q170: only the 1-row totals broadcast:\n$p170")
     assert("Exchange hashpartitioning".r.findAllIn(p170).size == 3,
       s"q170: distinct-doc expand + pruned totals branch only:\n$p170")
+    // q171: the logit/bin/hash/key derivation is a pure map and the
+    // global rank is the Packing two-phase scan — ONE per-bucket window
+    // exchange (hash on the range bucket), never a single-partition
+    // global window, and no join anywhere
+    val p171 = plan("q171_curriculum_order")
+    assert(!p171.contains("Join"), s"q171 must not join:\n$p171")
+    assert("Exchange hashpartitioning".r.findAllIn(p171).size == 1,
+      s"q171: only the per-bucket rank window hash-shuffles:\n$p171")
+    assert(!p171.contains("Exchange SinglePartition"),
+      s"q171: global rank must not collapse to one partition:\n$p171")
     spark.catalog.clearCache()
   }
 

@@ -90,4 +90,31 @@ class QuantMixSpec extends SparkSpec {
     got.filter(_.getLong(2) < avg / 2).foreach(r =>
       assert(r.getLong(4) > 1000, s"${r.getString(0)} small source must repeat"))
   }
+
+  test("q171 rank is the exact (bin, md5, doc_id) permutation") {
+    // independent twin of the SHUFFLE + DISTRIBUTED RANK (the logit
+    // formula itself is pinned by q121's oracle): recompute the md5
+    // priority in plain JVM code, sort, and demand the globalCumSum rank
+    // reproduce the single-machine permutation bit-for-bit
+    val rows = Queries.queries("q171_curriculum_order")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def h32(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).take(8), 16)
+    val expected = rows.map { case (id, bin, _) => (id, bin) }
+      .sortBy { case (id, bin) => (bin, h32(id), id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+      "rank must be a 1..N permutation")
+    rows.foreach { case (id, _, rank) =>
+      assert(rank == expected(id), s"doc $id rank")
+    }
+    // curriculum shape: all of a better bin precedes any worse bin
+    val maxByBin = rows.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    maxByBin.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(maxByBin(a) < rows.filter(_._2 == b).map(_._3).min,
+          s"bin $a must fully precede bin $b")
+      case _ =>
+    }
+  }
 }
