@@ -2761,11 +2761,23 @@ object QueriesExt {
     * [[graft.operators.TimeSeries.intervalUnion]]: each order opens a
     * 31-day closed activity window, overlapping windows merge sweep-line
     * style (one window pass, no self-join), and the merged islands
-    * aggregate to windows-per-customer + total covered days. */
+    * aggregate to windows-per-customer + total covered days.
+    *
+    * The interval set is DEDUPED before the sweep (both engines): union
+    * is set semantics, and duplicate (s, e) rows are exactly the ties the
+    * sweep's `ROWS ... 1 PRECEDING` frame is sensitive to in engines with
+    * parallel window execution. Found at the round-7 sf1 gate: two
+    * same-connection DuckDB runs of the un-deduped oracle disagreed with
+    * each other on one customer holding a duplicate order date (429 vs
+    * 503 covered days; the hand-computed union says 429 — Spark's answer,
+    * whose sequential per-partition windows are order-stable, was
+    * correct). After dedup, (s, e) is unique per customer, the window
+    * order is total, and no engine has a tie to mis-order. */
   private val q98: Q = (s, dir) => {
     val iv = t(s, dir, "orders").select(col("o_custkey"),
       to_date(col("o_orderdate")).as("s"),
       date_add(to_date(col("o_orderdate")), 30).as("e"))
+      .distinct()
     graft.operators.TimeSeries.intervalUnion(iv, "o_custkey", "s", "e")
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_windows"),
@@ -2775,7 +2787,7 @@ object QueriesExt {
 
   private val q98Sql =
     """WITH iv AS (
-      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS s,
+      |  SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS s,
       |         CAST(o_orderdate AS DATE) + 30 AS e
       |  FROM orders),
       |w1 AS (
