@@ -91,8 +91,12 @@ object Bench {
     // shortened to the qNN prefix, times at 0.1 ms, no calib_q — ~2.5 KB,
     // so any tail capture contains one parseable record. Local tooling
     // (tools/benchcmp.py) still prefers the full line when both survive.
+    // Locale.ROOT: f"$v%.4f" uses the JVM default locale, and a comma
+    // decimal separator would make the compact twin invalid JSON —
+    // defeating the tail-capture fix it exists for (ADVICE r7)
     val qsCompact = results.toSeq.sortBy(_._1).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.4f"
+      "\"" + k.takeWhile(_ != '_') + "\":" +
+        String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     }.mkString("{", ",", "}")
     val head =
       try {

@@ -86,8 +86,17 @@ object Streaming {
     * So across any batching of the same bounded input, emitted sessions
     * equal the batch twin's for every user whose trailing session the
     * final watermark has expired; later-arriving events within the
-    * watermark extend open sessions correctly. State size: one entry per
-    * user with an open session inside the watermark horizon.
+    * watermark extend open sessions correctly — merging takes
+    * min(start)/max(end), so an out-of-order event never rewinds the
+    * session's reach or misplaces its start. Full batch parity for
+    * out-of-order arrivals requires `late` ≤ gap (the production shape:
+    * gap in minutes, allowed lateness in seconds): then any in-window
+    * event lands within `gap` of the open session's end, so merging is
+    * exactly what the batch sort would do. With `late` > gap, an event
+    * more than `gap` before the open session's START would belong in its
+    * own retroactive session; this operator merges it instead. State
+    * size: one entry per user with an open session inside the watermark
+    * horizon.
     *
     * The timeout timestamp is clamped to `watermark + 1 ms` when the gap
     * deadline is already past (Spark rejects timeouts at or before the
@@ -112,8 +121,15 @@ object Streaming {
         val closed = Seq.newBuilder[SessionOut]
         sorted.foreach { e =>
           open match {
+            // min/max, not blind overwrite: an out-of-order event that
+            // arrives in a LATER micro-batch (but inside the watermark) can
+            // precede the session's current end — or even its start. Taking
+            // e.tsMicros as the new end would REWIND the session's reach
+            // and split subsequent events the batch twin merges; min() also
+            // extends the start downward exactly as the batch sort would.
             case Some(s) if e.tsMicros - s.lastMicros < gapMicros =>
-              open = Some(SessionState(s.startMicros, e.tsMicros, s.n + 1))
+              open = Some(SessionState(math.min(s.startMicros, e.tsMicros),
+                math.max(s.lastMicros, e.tsMicros), s.n + 1))
             case Some(s) =>
               closed += SessionOut(userId, s.startMicros, s.n)
               open = Some(SessionState(e.tsMicros, e.tsMicros, 1))
@@ -123,7 +139,10 @@ object Streaming {
         }
         open.foreach { s =>
           state.update(s)
-          val deadlineMs = s.lastMicros / 1000 + gapMicros / 1000
+          // ceil to ms: flooring both terms could fire the timeout ~2 ms
+          // BEFORE the exact microsecond gap deadline, closing a session
+          // an in-window event would still extend in the batch twin
+          val deadlineMs = (s.lastMicros + gapMicros + 999) / 1000
           state.setTimeoutTimestamp(
             math.max(deadlineMs, state.getCurrentWatermarkMs() + 1))
         }

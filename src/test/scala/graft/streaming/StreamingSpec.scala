@@ -279,6 +279,61 @@ class StreamingSpec extends SparkSpec {
       "u1's boundary-spanning session was split")
   }
 
+  test("custom-state sessions: an out-of-order event in a later batch " +
+      "extends the open session instead of rewinding it") {
+    // ADVICE r7 (medium): the merge branch used to overwrite lastMicros
+    // with the incoming event's time unconditionally, so a late event
+    // EARLIER than the session's current end rewound its reach (splitting
+    // subsequent events the batch twin merges) and a late event before
+    // the session's start left startMicros wrong. Force the exact shape:
+    // batch 1 opens u1 [1000 s, 1400 s]; batch 2 delivers u1 at 900 s
+    // (inside the 600 s watermark allowance, BEFORE the session start)
+    // then u1 at 1800 s — within gap (500 s) of the true end 1400 but NOT
+    // of the rewound end 900. Buggy fold: emits (start=1000, n=3) and
+    // opens a second session at 1800. Correct fold: one session
+    // (start=900, n=4), closed by u99's watermark push.
+    val dir = java.nio.file.Files.createTempDirectory("stream_ooo").toString
+    new java.io.File(s"$dir/src").mkdirs()
+    val baseUs = 1700000000L * 1000000L
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val gapS = 500L
+    val file1 = Seq(1L -> 1000L, 1L -> 1400L)
+    val file2 = Seq(1L -> 900L, 1L -> 1800L, 99L -> 10000L)
+    def write(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = s"$dir/tmp_$name"
+      rows.reverse.map { case (u, s) => (u, ts(s)) }.toDF("user_id", "ts")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/src/$name"))
+    }
+    write("e1.parquet", file1)
+    write("e2.parquet", file2)
+    val schema = spark.read.parquet(s"$dir/src/e1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+    val q = Streaming.sessionizeCustomStateEventTime(stream,
+        gapMicros = gapS * 1000000L, late = "600 seconds")
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("graft_custom_ooo")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(300000), "stream did not finish")
+    q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "input did not span at least two micro-batches")
+    val got = spark.table("graft_custom_ooo").as[SessionOut].collect().toSet
+    spark.catalog.dropTempView("graft_custom_ooo")
+    val twin = Streaming.sessionizeCustomState(
+      (file1 ++ file2).map { case (u, s) => SessionEvent(u, baseUs + s * 1000000L) }
+        .toDS(), gapS * 1000000L).collect().toSet
+    assert(got == twin.filter(_.userId != 99L),
+      s"got $got\nexpected ${twin.filter(_.userId != 99L)}")
+    assert(got.exists(s => s.userId == 1L && s.nEvents == 4L
+        && s.startMicros == baseUs + 900L * 1000000L),
+      s"u1's out-of-order event did not extend the session: $got")
+  }
+
   test("q74 batch sessionization agrees with streaming session_window") {
     // backfill/live parity: the batch window program and the streaming
     // session_window must carve identical sessions from the same events

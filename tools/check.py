@@ -123,8 +123,10 @@ def main(sfdir: str, outdir: str, oracle_timeout: float = 0.0) -> int:
                     raise
                 continue  # stale interrupt from a previous query's timer
             except Exception as e:
-                if "INTERRUPT" in str(e).splitlines()[0].upper() \
-                        and not timed_out.is_set():
+                # splitlines() is [] on an empty message — guard, or the
+                # IndexError would replace the original oracle error
+                first = (str(e).splitlines() or [""])[0]
+                if "INTERRUPT" in first.upper() and not timed_out.is_set():
                     continue
                 raise
             finally:
@@ -155,7 +157,7 @@ def main(sfdir: str, outdir: str, oracle_timeout: float = 0.0) -> int:
             n_skip += 1
             continue
         except Exception as e:
-            msg = str(e).splitlines()[0]
+            msg = (str(e).splitlines() or ["<empty message>"])[0]
             if "INTERRUPT" in msg.upper():
                 print(f"skip {name}: oracle exceeded {oracle_timeout:g}s "
                       "(brute-force twin; verified at gate scale)")
