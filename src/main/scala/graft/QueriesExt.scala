@@ -285,6 +285,12 @@ object QueriesExt {
     graft.operators.NearDup.prefixJoinPairs(docShingles(s, dir), 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** q31's prefix candidate pairs — accounting seam (CandidateBudgetSpec);
+    * the same [[graft.operators.NearDup.prefixCandidates]] set q31
+    * verifies, on the same shared shingle table. */
+  private[graft] def q31Candidates(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDup.prefixCandidates(docShingles(s, dir), 0.8)
+
   /** DuckDB mirror derives the same pairs by brute force (fine at oracle
     * scale) — an independent derivation of the same semantics. */
   private val docHsCte =
@@ -363,26 +369,32 @@ object QueriesExt {
     * rows, bucket-join on band keys, exact-Jaccard verification of
     * candidates. The shuffle moves (doc, band-key) pairs — linear in corpus
     * size — instead of any pairwise structure; that is the 100 TB path. */
-  private val q32: Q = (s, dir) => {
-    val docs = docShingles(s, dir)
+  /** q32's banded candidate pairs before exact-Jaccard verification — the
+    * accounting seam for the candidate-budget gate (CandidateBudgetSpec);
+    * the query itself consumes this same derivation. */
+  private[graft] def q32Candidates(s: SparkSession, dir: String): DataFrame = {
     // Fused per-row minhash kernel: the whole signature is a pure map over
     // the shingle sets (docShingles guarantees them non-empty), so the
     // signature stage has NO shuffle at all — banding then runs over the
     // compact signature array.
-    val bands = docs
+    val bands = docShingles(s, dir)
       .select(col("doc_id"), Text.minhashSignatureFused(col("hs")).as("sig"))
       .withColumn("bands", Text.lshBandKeys(col("sig")))
     // cache the band postings: the self-join would otherwise run the whole
     // minhash aggregation once per side
     val e = bands.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
       .cache()
-    val cand = e.as("a")
+    e.as("a")
       .join(e.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
+  }
+
+  private val q32: Q = (s, dir) => {
+    val docs = docShingles(s, dir)
+    q32Candidates(s, dir)
       .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hsa")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hsb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), Text.jaccard(col("hsa"), col("hsb")).as("jac"))
@@ -658,18 +670,33 @@ object QueriesExt {
     * count, vs linear-in-n candidates here (SCALE.md round 6). Smaller
     * vec_id is the canonical representative. Same deterministic seeded
     * lattice on both engines. */
-  private val q41: Q = (s, dir) => {
+  /** Quantized embeddings with both seeded lattice buckets, materialized
+    * once per (session, dataset): q41's candidate join probes it from both
+    * sides and its verify join twice more. */
+  private def q41Emb(s: SparkSession, dir: String): DataFrame = {
     val planes = Vectors.adaptivePlanes(sharedCount(s, dir, "embeddings"))
-    val emb = quantizedEmb(s, dir)
-      .withColumn("b0", Vectors.lshBucketSeeded(col("qv"), planes, 0))
-      .withColumn("b1", Vectors.lshBucketSeeded(col("qv"), planes, 1))
-      .cache() // quantize+buckets computed once, probed from both sides
+    shared(s, dir, "q41emb") {
+      quantizedEmb(s, dir)
+        .withColumn("b0", Vectors.lshBucketSeeded(col("qv"), planes, 0))
+        .withColumn("b1", Vectors.lshBucketSeeded(col("qv"), planes, 1))
+    }
+  }
+
+  /** q41's lattice candidate pairs before cosine verification — the
+    * accounting seam for the candidate-budget gate (CandidateBudgetSpec);
+    * the query itself consumes this same derivation. */
+  private[graft] def q41Candidates(s: SparkSession, dir: String): DataFrame = {
+    val emb = q41Emb(s, dir)
     def pairsOn(b: String) = emb.as("a")
       .join(emb.as("b"),
         col(s"a.$b") === col(s"b.$b") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("rep_id"), col("b.vec_id").as("dup_id"))
-    val cand = pairsOn("b0").unionByName(pairsOn("b1")).distinct()
-    cand
+    pairsOn("b0").unionByName(pairsOn("b1")).distinct()
+  }
+
+  private val q41: Q = (s, dir) => {
+    val emb = q41Emb(s, dir)
+    q41Candidates(s, dir)
       .join(emb.select(col("vec_id").as("rep_id"), col("qv").as("qa"),
         col("nsq").as("na")), Seq("rep_id"))
       .join(emb.select(col("vec_id").as("dup_id"), col("qv").as("qb"),
@@ -3715,10 +3742,15 @@ object QueriesExt {
     * full-scoring fallback and the gate would be checking dead code. On
     * corpora where ALL terms are common, df gates (global + per-tenant,
     * above) are the candidate bound; WAND only pays on a Zipf tail. */
-  private val q120: Q = (s, dir) => {
+  /** q120's post-gate candidate rows (one row per surviving (query term,
+    * posting) match, BEFORE scoring) — the accounting seam for the
+    * candidate-budget gate (CandidateBudgetSpec): the two-level df gate
+    * bounds THIS row count (the 44.8 M-row tenant flood of SCALE.md round
+    * 6 is visible here and nowhere cheaper); the query itself consumes
+    * this same derivation. Carries doc_id/qid/tf/dl/df for scoring. */
+  private[graft] def q120Candidates(s: SparkSession, dir: String): DataFrame = {
     val tfc = termFreqs(s, dir)
-    val scal = tfc.agg(sum(col("tf")).as("L"),
-      countDistinct(col("doc_id")).as("n"))
+    val nGlobal = tfc.agg(countDistinct(col("doc_id")).as("gf_n"))
     val dfreq = tfc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // per-tenant vocabulary stats: (source, term) df + docs per source
     val dfs = tfc.groupBy(col("source"), col("term"))
@@ -3734,11 +3766,29 @@ object QueriesExt {
       .filter(col("df_src") * 4 <= col("n_src") * 3)
       .select(col("qid"), col("term"))
     val qdf = dfreq.join(broadcast(qlocal), Seq("term"))
-      .crossJoin(broadcast(scal.select(col("n").as("gf_n"))))
+      .crossJoin(broadcast(nGlobal))
       .filter(col("df") * 4 <= col("gf_n") * 3)
       .drop("gf_n")
-    val cand = tfc.join(broadcast(qdf), Seq("term"))
+    tfc.join(broadcast(qdf), Seq("term"))
       .filter(col("doc_id") =!= col("qid"))
+  }
+
+  /** The UNGATED q120 candidate volume — every query-term posting match
+    * with NO df gate at all. Consumed only by CandidateBudgetSpec as the
+    * denominator proving the two-level gate does real work on a
+    * multi-tenant corpus; never part of a query plan. */
+  private[graft] def q120CandidatesUngated(s: SparkSession, dir: String): DataFrame = {
+    val tfc = termFreqs(s, dir)
+    val qterms = tfc.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"), col("term"))
+    tfc.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+  }
+
+  private val q120: Q = (s, dir) => {
+    val scal = termFreqs(s, dir).agg(sum(col("tf")).as("L"),
+      countDistinct(col("doc_id")).as("n"))
+    val cand = q120Candidates(s, dir)
       .crossJoin(broadcast(scal))
       .withColumn("s", expr(
         """CAST(CAST(22000000 AS DECIMAL(38,0)) * L * tf * (2*n - 2*df + 1)
@@ -5924,8 +5974,15 @@ object QueriesExt {
     * C(#matching blocks, B−3) from its brute-force pair scan. Row
     * equality is therefore both a losslessness proof (every brute-force
     * pair surfaced by some band) and a policy pin (any drift in B, block
-    * boundaries, or combination enumeration breaks n_bands). */
-  private val q167: Q = (s, dir) => {
+    * boundaries, or combination enumeration breaks n_bands).
+    *
+    * [[q167Candidates]] is the banded-join collision row set (one row per
+    * band collision, BEFORE the per-pair aggregate and the Hamming
+    * filter) — the accounting seam for the candidate-budget gate
+    * (CandidateBudgetSpec): adaptive banding bounds THIS row count at
+    * ≲ n·(#combos)/32 collision background plus true near-dup collisions;
+    * the query consumes the same derivation. */
+  private[graft] def q167Candidates(s: SparkSession, dir: String): DataFrame = {
     val blocks = Text.adaptiveSimhashBlocks(sharedCount(s, dir, "documents"))
     val retain = blocks - 3
     def lo(i: Int): Int = 64 * i / blocks
@@ -5952,6 +6009,10 @@ object QueriesExt {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("CAST(bit_count(a.sh ^ b.sh) AS INT)").as("hamming"))
+  }
+
+  private val q167: Q = (s, dir) => {
+    q167Candidates(s, dir)
       .groupBy(col("doc_a"), col("doc_b"), col("hamming"))
       .agg(count(lit(1)).as("n_bands"))
       .filter(col("hamming") <= 3)

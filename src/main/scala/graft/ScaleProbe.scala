@@ -36,8 +36,27 @@ object ScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try { probeQ41(spark, dir); probeQ120(spark, dir) }
+    try { probeCandidates(spark, dir); probeQ41(spark, dir); probeQ120(spark, dir) }
     finally spark.stop()
+  }
+
+  /** Candidate cardinalities from the PRODUCTION seams (the exact
+    * derivations the queries consume — `QueriesExt.q*Candidates`), per
+    * scale factor: the structural quantities CandidateBudgetSpec asserts
+    * in CI and SCALE.md cites. Unlike wall-time ratios these are
+    * deterministic on any host. */
+  private def probeCandidates(spark: SparkSession, dir: String): Unit = {
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val nEmb = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    for ((name, df) <- Seq(
+        "q31_prefix" -> QueriesExt.q31Candidates(spark, dir),
+        "q32_lsh" -> QueriesExt.q32Candidates(spark, dir),
+        "q41_lattice" -> QueriesExt.q41Candidates(spark, dir),
+        "q167_bands" -> QueriesExt.q167Candidates(spark, dir),
+        "q120_postgate" -> QueriesExt.q120Candidates(spark, dir))) {
+      val (n, t0) = time(df.count())
+      println(f"[cand] sf=$dir%s docs=$nDocs%d emb=$nEmb%d $name%s=$n%d (${t0}%.1fs)")
+    }
   }
 
   private def time[A](f: => A): (A, Double) = {

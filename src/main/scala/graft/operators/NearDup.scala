@@ -27,7 +27,15 @@ object NearDup {
 
   /** Skew-robust default: prefix-filtered candidates + fused-kernel verify. */
   def prefixJoinPairs(docs: DataFrame, tau: Double): DataFrame =
-    verify(docs, candidatesFromPostings(prefixPostings(docs, tau)), tau)
+    verify(docs, prefixCandidates(docs, tau), tau)
+
+  /** The τ-prefix candidate PAIRS before verification — the accounting
+    * seam for the candidate-budget gate (CandidateBudgetSpec): this is the
+    * set whose cardinality the prefix filter bounds by prefix-df², so a
+    * policy regression moves this count deterministically. Exactly the
+    * pairs [[prefixJoinPairs]] verifies. */
+  def prefixCandidates(docs: DataFrame, tau: Double): DataFrame =
+    candidatesFromPostings(prefixPostings(docs, tau))
 
   /** Cross-corpus near-dup pairs (the R-S join form of [[prefixJoinPairs]]):
     * corpus documents within Jaccard τ of ANY probe document — near-dup

@@ -1,0 +1,124 @@
+package graft
+
+import graft.functions.Vectors
+
+/** Pinned candidate-count budgets — the wall-time-independent scale
+  * assertions (VERDICT r7 ask #3): SCALE.md's growth conclusions rest on
+  * calibrated wall-clock pairs, and the four-run spread showed those swing
+  * ±3× under host contention. The STRUCTURAL quantities behind them do
+  * not: each dedup/ANN/retrieval family's candidate cardinality is a
+  * deterministic function of the data and the pruning policy, so a policy
+  * regression (a lost gate, a degenerate band, a correlated lattice) moves
+  * these counts by orders of magnitude on any host.
+  *
+  * Scale axis: [[ScaleUp]] copies of sf0.001. Copy 0 is verbatim and
+  * copies are disjoint-vocabulary tenants (ScaleUpSpec pins the
+  * invariants), so each budget below is derived from its family's CLAIMED
+  * asymptote on that structure — not from a wall clock:
+  *  - q31/q32/q167: linear in copies (disjoint vocabularies ⇒ candidate
+  *    structure replicates per copy; band/prefix membership is hash-order
+  *    dependent, so copies are statistical redraws — slack 3 covers that,
+  *    while the failure modes (lost prefix filter, degenerate band key,
+  *    fixed band geometry) are ≥ k× over).
+  *  - q41: the ANALYTIC two-table collision background of the adaptive
+  *    lattice, 2·n²/2^planes(n) — the exact quantity
+  *    [[Vectors.adaptivePlanes]] exists to bound (round 6's correlated
+  *    lattice held candidates ~n²/22 regardless of plane count: ≥ 6× over
+  *    this budget already at 2 000 vectors).
+  *  - q120: per-copy candidate rate CONSTANT beyond the first tenant step
+  *    (adding disjoint tenants dilutes every tenant's terms below the
+  *    global 75% cutoff — a documented ONE-TIME step, q120 scaladoc — so
+  *    the k = 1 → 2 ratio is not linear, but k = 2 → 4 must be), plus the
+  *    gate must cut the ungated posting volume by ≥ 4× (a lost tenant
+  *    gate reverts to ungated stopword floods: the measured 1,494 → 44.8M
+  *    step at 10 tenants).
+  *
+  * The counts come from the PRODUCTION seams (`QueriesExt.q*Candidates`)
+  * — the queries consume the same derivations, so the spec cannot drift
+  * from the shipped policy.
+  */
+class CandidateBudgetSpec extends SparkSpec {
+
+  private val base = "/root/testdata/sf0.001"
+  private val slack = 3.0
+
+  private def scaleTo(k: Int): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_cand_x$k")
+      .toString
+    ScaleUp.run(spark, base, d, k)
+    d
+  }
+  private lazy val x2 = scaleTo(2)
+  private lazy val x4 = scaleTo(4)
+
+  private def linearBudget(name: String, k: Int,
+      cand: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Unit = {
+    val c1 = cand(spark, base).count()
+    val ck = cand(spark, x4).count()
+    info(s"$name: base=$c1 x$k=$ck (linear would be ${k * c1})")
+    assert(c1 > 0, s"$name: the base candidate set is empty — the budget " +
+      "would be vacuous (data or derivation changed?)")
+    // copy 0 is verbatim: every base candidate must survive
+    assert(ck >= c1, s"$name: scaled candidates $ck < base $c1 — the " +
+      "scaled corpus lost the verbatim copy's structure")
+    assert(ck <= slack * k * c1,
+      s"$name: candidates grew ${ck.toDouble / c1}x at ${k}x data — " +
+        s"over the linear budget ${slack * k * c1} (pruning policy regression?)")
+  }
+
+  test("q31 prefix-join candidates stay in the linear band") {
+    linearBudget("q31_prefix", 4, QueriesExt.q31Candidates)
+  }
+
+  test("q32 MinHash-LSH candidates stay in the linear band") {
+    linearBudget("q32_lsh", 4, QueriesExt.q32Candidates)
+  }
+
+  test("q167 banded-Hamming collision rows stay in the linear band") {
+    linearBudget("q167_bands", 4, QueriesExt.q167Candidates)
+  }
+
+  test("q41 lattice candidates stay under the analytic collision background") {
+    // candidates ≈ true pairs + the two seeded tables' random background
+    // n²/2^planes each; adaptivePlanes raises planes with n so the
+    // background is ≤ 64n asymptotically. At these n the 8-plane floor
+    // binds and the tight form is n²/256 — assert against the policy's own
+    // analytic bound, which the correlated lattice (round 6) violated 6×
+    // at 2,000 vectors and 220× at 20,000.
+    for ((dir, label) <- Seq(base -> "base", x4 -> "x4")) {
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val planes = Vectors.adaptivePlanes(n)
+      val budget = (2.5 * 2 * n.toDouble * n.toDouble /
+        math.pow(2, planes)).toLong
+      val c = QueriesExt.q41Candidates(spark, dir).count()
+      info(s"q41_lattice[$label]: n=$n planes=$planes cand=$c budget=$budget")
+      assert(c > 0, s"q41[$label]: empty candidate set — vacuous budget")
+      assert(c <= budget,
+        s"q41[$label]: $c candidates exceed the analytic lattice " +
+          s"background $budget — independent-hyperplane scaling broken?")
+    }
+  }
+
+  test("q120 post-gate candidates: constant per-copy rate past the tenant step") {
+    val c2 = QueriesExt.q120Candidates(spark, x2).count()
+    val c4 = QueriesExt.q120Candidates(spark, x4).count()
+    info(s"q120_postgate: x2=$c2 x4=$c4 (linear from x2 would be ${2 * c2})")
+    assert(c2 > 0, "q120: empty x2 candidate set — vacuous budget")
+    // beyond the one-time global-dilution step, disjoint tenants must add
+    // candidates linearly: each new tenant brings its own queries matching
+    // only its own gated vocabulary
+    assert(c4 <= slack * 2 * c2,
+      s"q120: x2→x4 candidates grew ${c4.toDouble / c2}x at 2x tenants — " +
+        "per-tenant candidate rate is not constant (tenant gate regression?)")
+  }
+
+  test("q120 two-level gate cuts the ungated posting volume by ≥ 4x") {
+    val gated = QueriesExt.q120Candidates(spark, x4).count()
+    val ungated = QueriesExt.q120CandidatesUngated(spark, x4).count()
+    info(s"q120_gate: gated=$gated ungated=$ungated (${ungated / math.max(gated, 1)}x cut)")
+    assert(gated * 4 <= ungated,
+      s"q120: the df gates keep $gated of $ungated posting matches — " +
+        "the tenant-stopword flood is not being pruned")
+  }
+}
