@@ -44,9 +44,19 @@ object Bench {
     // emit it as calib_q; tools/benchcmp.py prefers it over the global
     // constant when both sides carry it.
     val calibQ = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Parallel twin (VERDICT r7 ask #5): the 1-thread probe reads HEALTHY
+    // during whole-window core theft (one thread still gets a full core
+    // while 31 are stolen), which is exactly the contention signature the
+    // four-run sf1 spread showed on parallel-CPU-bound queries. calib_pq
+    // times the same loop on `cpus` threads at once — its degradation
+    // relative to calib_q is the lost-core signal tools/benchcmp.py uses
+    // to separate host windows from real regressions.
+    val calibPq = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     calibOnce(200000000L) // discard: compiles the probe loop itself
+    calibParOnce(100000000L, cpus) // discard: thread-pool warmup
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       calibQ(name) = calibOnce(200000000L)
+      calibPq(name) = calibParOnce(100000000L, cpus)
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop write materializes every row without driver collect
@@ -82,9 +92,12 @@ object Bench {
     // constant lets rounds be compared speed-normalized (calib_q above is
     // the per-query refinement; this global stays for older snapshots)
     val calib = calibOnce(400000000L)
+    val calibPar = calibParOnce(100000000L, cpus)
     val cqJson = calibQ.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","calib_sec":$calib,"calib_q":$cqJson}""")
+    val cpqJson = calibPq.map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","calib_sec":$calib,"calib_par":$calibPar,"calib_q":$cqJson,"calib_pq":$cpqJson}""")
     // Compact twin as the FINAL stdout line (VERDICT r6 ask #7): the
     // driver archives only a ~4 KB stdout tail, which truncated the full
     // line above mid-map in round 6 (BENCH_r06.json `parsed: null`). Keys
@@ -98,6 +111,7 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" +
         String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     }.mkString("{", ",", "}")
+    val calibPar2 = calibParOnce(100000000L, cpus)
     val head =
       try {
         val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
@@ -105,7 +119,7 @@ object Bench {
         val out = new String(p.getInputStream.readAllBytes()).trim
         if (p.waitFor() == 0) out else "unknown"
       } catch { case _: Throwable => "unknown" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsCompact,"n_errors":${errors.size},"sf":"$sfDir","calib_sec":$calib,"head":${jstr(head)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsCompact,"n_errors":${errors.size},"sf":"$sfDir","calib_sec":$calib,"calib_par":$calibPar2,"head":${jstr(head)}}""")
     spark.stop()
   }
 
@@ -118,6 +132,29 @@ object Bench {
     var i = 0L
     while (i < iters) { s += i * i; i += 1 }
     if (s == 42) print("") // keep the loop live
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Wall time for `threads` concurrent copies of the same loop to ALL
+    * finish — the whole-machine twin of [[calibOnce]]. On a healthy host
+    * this is ≈ the single-thread time (every thread gets a core); during
+    * core theft it rises with the lost-core fraction, which the 1-thread
+    * probe is structurally blind to. */
+  private def calibParOnce(itersPerThread: Long, threads: Int): Double = {
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { _ =>
+      val t = new Thread(() => {
+        var s = 0L
+        var i = 0L
+        while (i < itersPerThread) { s += i * i; i += 1 }
+        sink.addAndGet(s) // keep the loop live across JIT
+      })
+      t.start()
+      t
+    }
+    ts.foreach(_.join())
+    if (sink.get() == 42) print("")
     (System.nanoTime() - t0) / 1e9
   }
 }

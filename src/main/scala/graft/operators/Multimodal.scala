@@ -7,9 +7,16 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
   * struct, with decode / frame-sample / resize / feature-extract as
   * partition-level transforms.
   *
-  * Real codec libraries are not available in this environment, so the DECODE
-  * step is an injectable function with a deterministic stub default — but
-  * everything Spark-side is real and load-bearing at 100 TB:
+  * The DECODE step is an injectable function. For IMAGES it is real:
+  * [[imageIoDecoder]] decodes PNG/BMP/GIF bytes through the JDK's
+  * `javax.imageio` (no external codec libraries needed), and
+  * [[encodePng]] is its lossless write-side twin — MultimodalSpec drives
+  * real PNG bytes through decode → resize → histogram bit-exactly. Video
+  * and audio codecs are NOT in the JDK and this environment cannot
+  * resolve external ones, so multi-frame payloads keep the deterministic
+  * [[stubDecoder]] default (swap in a JNI/FFmpeg-backed factory in a real
+  * deployment). Everything Spark-side is identical either way and
+  * load-bearing at 100 TB:
   *  - typed schemas (`MediaRow` / `Frame` / `MediaFeature`) with case-class
   *    Encoders, so columnar pruning and codegen apply around the seam;
   *  - `mapPartitions` batching: the decoder is instantiated ONCE per
@@ -63,6 +70,86 @@ object Multimodal {
       }
       Frame(row.mediaId, f, row.meta.width, row.meta.height, px)
     }
+  }
+
+  /** REAL image decode for the seam — JDK-native `javax.imageio` (PNG /
+    * BMP / GIF readers ship with the JRE; no external codec libraries,
+    * which this environment cannot resolve). One still frame per payload:
+    * frameIdx 0, ACTUAL decoded dimensions (meta carries the intended
+    * shape; a real pipeline validates or resizes downstream), pixels
+    * row-major 8-bit luminance via the integer BT.601 weights
+    * (299·R + 587·G + 114·B) / 1000 — deterministic across JVMs, unlike
+    * `ColorConvertOp`, whose ICC colorimetric path is platform-tuned.
+    *
+    * Undecodable payloads yield NO frame rather than a poison-pill
+    * exception: at 100 TB corrupt bytes are data, not bugs — count them
+    * with an `observe` on the upstream scan if the drop rate matters.
+    *
+    * The factory body runs once per partition ([[decodeFrames]]'s
+    * contract): it disables ImageIO's disk cache there (otherwise every
+    * image round-trips a temp file) before the row loop. MultimodalSpec
+    * drives real PNG bytes through decode → resize → histogram and checks
+    * the pixels exactly; [[stubDecoder]] stays as the deterministic twin
+    * for partition-invariance and video (multi-frame) shapes.
+    */
+  val imageIoDecoder: DecoderFactory = () => {
+    javax.imageio.ImageIO.setUseCache(false) // once per partition
+    row => {
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.content))
+        catch { case _: java.io.IOException => null }
+      if (img == null) Iterator.empty
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Byte](w * h)
+        if (img.getColorModel.getNumColorComponents == 1) {
+          // single-component (grayscale) images: read raster samples
+          // directly — getRGB would run the gray→sRGB colorspace
+          // conversion, which is NOT identity, breaking the lossless
+          // decode(encode(px)) == px round-trip
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(y * w + x) = img.getRaster.getSample(x, y, 0).toByte
+              x += 1
+            }
+            y += 1
+          }
+        } else {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              px(y * w + x) = ((299 * ((rgb >> 16) & 0xFF)
+                + 587 * ((rgb >> 8) & 0xFF)
+                + 114 * (rgb & 0xFF)) / 1000).toByte
+              x += 1
+            }
+            y += 1
+          }
+        }
+        Iterator.single(Frame(row.mediaId, 0, w, h, px))
+      }
+    }
+  }
+
+  /** Write-side twin of [[imageIoDecoder]]: row-major grayscale pixels →
+    * PNG bytes (lossless, so decode(encode(px)) == px exactly — the spec's
+    * round-trip proof). Fixture generation and sink-side materialization
+    * of derived frames both use it; JDK-native like the decoder. */
+  def encodePng(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height,
+      s"pixels ${pixels.length} != $width x $height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, height, pixels)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   implicit val frameEnc: Encoder[Frame] = Encoders.product[Frame]

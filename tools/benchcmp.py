@@ -86,6 +86,11 @@ def main() -> int:
     # correct MID-RUN contention storms the single global constant cannot;
     # prefer them whenever both sides carry a probe for the query
     cqa, cqb = a.get("calib_q", {}), b.get("calib_q", {})
+    # parallel (all-cores) probe twins: the 1-thread probe reads healthy
+    # during whole-window core theft, so per query we also compute how much
+    # the PARALLEL probe degraded beyond the single-thread one -- queries
+    # whose swing tracks that degradation are host windows, not regressions
+    pqa, pqb = a.get("calib_pq", {}), b.get("calib_pq", {})
     qa, qb = a.get("queries", {}), b.get("queries", {})
     common = sorted(set(qa) & set(qb))
     only_a = sorted(set(qa) - set(qb))
@@ -102,8 +107,12 @@ def main() -> int:
             n_perq += 1
         else:
             ratio = (tb / cb) / (ta / ca)
-        rows.append((ratio, q, ta, tb))
-    rows.sort(reverse=True)
+        par_deg = None
+        if all((pqa.get(q), pqb.get(q), cqa.get(q), cqb.get(q))):
+            # lost-core factor: parallel slowdown beyond single-thread
+            par_deg = (pqb[q] / pqa[q]) / (cqb[q] / cqa[q])
+        rows.append((ratio, q, ta, tb, par_deg))
+    rows.sort(key=lambda r: r[0], reverse=True)
     if n_perq:
         print(f"per-query calibration used for {n_perq}/{len(rows)} queries")
 
@@ -121,11 +130,28 @@ def main() -> int:
     flagged = [r for r in rows if r[0] > args.flag]
     print(f"{'calibrated':>10} {'raw ' + args.label_old:>10} "
           f"{'raw ' + args.label_new:>10}  query")
-    for ratio, q, ta, tb in rows[:25]:
-        mark = " <-- FLAG" if ratio > args.flag else ""
+    n_suspect = 0
+    for ratio, q, ta, tb, par_deg in rows[:25]:
+        mark = ""
+        if ratio > args.flag:
+            mark = " <-- FLAG"
+            # a flagged query measured while the parallel probe showed the
+            # host down >=1.3x beyond single-thread speed is a host-window
+            # suspect: divide its ratio by the lost-core factor mentally
+            # before believing it
+            if par_deg and par_deg >= 1.3:
+                mark += f" [host-window suspect: parallel probe {par_deg:.2f}x degraded]"
+                n_suspect += 1
         print(f"{ratio:9.2f}x {ta:9.2f}s {tb:9.2f}s  {q}{mark}")
     if len(rows) > 25:
         print(f"  ... {len(rows) - 25} more (all below the top 25)")
+    pars = [r[4] for r in rows if r[4]]
+    if pars:
+        print(f"\nparallel probe coverage: {len(pars)}/{len(rows)} queries; "
+              f"median lost-core factor "
+              f"{sorted(pars)[len(pars) // 2]:.2f}x"
+              + (f"; {n_suspect} flagged queries are host-window suspects"
+                 if n_suspect else ""))
     def brief(names):
         return ", ".join(names[:12]) + \
             (f", ... {len(names) - 12} more" if len(names) > 12 else "")
