@@ -94,47 +94,60 @@ object Multimodal {
     */
   val imageIoDecoder: DecoderFactory = () => {
     javax.imageio.ImageIO.setUseCache(false) // once per partition
-    row => {
-      val img =
-        try javax.imageio.ImageIO.read(
+    row =>
+      // NonFatal around decode AND pixel copy: JDK ImageIO readers throw
+      // RuntimeExceptions (ArrayIndexOutOfBounds, IllegalArgument,
+      // NegativeArraySize…) on malformed/truncated payloads, not just
+      // IOException — catching only the latter left a task-killing poison
+      // pill for adversarial bytes (ADVICE r8). Corrupt payloads are data
+      // at 100 TB: drop the frame, count drops upstream if the rate matters.
+      try {
+        val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(row.content))
-        catch { case _: java.io.IOException => null }
-      if (img == null) Iterator.empty
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val px = new Array[Byte](w * h)
-        if (img.getColorModel.getNumColorComponents == 1) {
-          // single-component (grayscale) images: read raster samples
-          // directly — getRGB would run the gray→sRGB colorspace
-          // conversion, which is NOT identity, breaking the lossless
-          // decode(encode(px)) == px round-trip
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              px(y * w + x) = img.getRaster.getSample(x, y, 0).toByte
-              x += 1
+        if (img == null) Iterator.empty
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = new Array[Byte](w * h)
+          val cm = img.getColorModel
+          if (cm.getNumColorComponents == 1) {
+            // single-component (grayscale) images: read raster samples
+            // directly — getRGB would run the gray→sRGB colorspace
+            // conversion, which is NOT identity, breaking the lossless
+            // decode(encode(px)) == px round-trip. Samples wider than
+            // 8 bits (16-bit gray PNG) scale down by their extra depth —
+            // a bare .toByte would keep the LOW bits (garbage luminance,
+            // ADVICE r8)
+            val shift = math.max(0, cm.getComponentSize(0) - 8)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                px(y * w + x) =
+                  (img.getRaster.getSample(x, y, 0) >> shift).toByte
+                x += 1
+              }
+              y += 1
             }
-            y += 1
-          }
-        } else {
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              px(y * w + x) = ((299 * ((rgb >> 16) & 0xFF)
-                + 587 * ((rgb >> 8) & 0xFF)
-                + 114 * (rgb & 0xFF)) / 1000).toByte
-              x += 1
+          } else {
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                px(y * w + x) = ((299 * ((rgb >> 16) & 0xFF)
+                  + 587 * ((rgb >> 8) & 0xFF)
+                  + 114 * (rgb & 0xFF)) / 1000).toByte
+                x += 1
+              }
+              y += 1
             }
-            y += 1
           }
+          Iterator.single(Frame(row.mediaId, 0, w, h, px))
         }
-        Iterator.single(Frame(row.mediaId, 0, w, h, px))
+      } catch {
+        case scala.util.control.NonFatal(_) => Iterator.empty
       }
-    }
   }
 
   /** Write-side twin of [[imageIoDecoder]]: row-major grayscale pixels →

@@ -127,6 +127,51 @@ class MultimodalSpec extends SparkSpec {
       "corrupt payload must yield no frame, good payloads must survive")
   }
 
+  test("imageIoDecoder: truncated PNG headers (reader RuntimeExceptions) drop, not poison") {
+    import spark.implicits._
+    // JDK ImageIO readers throw RUNTIME exceptions (not IOException) on
+    // some malformed payloads — e.g. a valid PNG signature with a
+    // truncated/corrupted chunk stream. Such bytes must drop like any
+    // other corrupt payload, never kill the task (ADVICE r8: the catch
+    // used to cover IOException only).
+    val intact = Multimodal.encodePng(8, 6, pattern(1, 8, 6))
+    val cases = Seq(
+      intact.take(12), // signature + partial IHDR length
+      intact.take(intact.length / 2), // mid-stream truncation
+      {
+        val b = intact.clone() // corrupt the IHDR payload, keep the CRC
+        b(17) = 0xFF.toByte; b(18) = 0xFF.toByte; b
+      })
+    val media = cases.zipWithIndex.map { case (bytes, i) =>
+      Multimodal.MediaRow(100L + i, bytes, Multimodal.MediaMeta("png", 8, 6, 1))
+    }.toDS().union(pngMedia(2))
+    val frames = decodeFrames(media, decoder = Multimodal.imageIoDecoder)
+      .collect()
+    assert(frames.map(_.mediaId).sorted.toSeq == Seq(1L, 2L),
+      "malformed payloads must yield no frame; intact payloads must survive")
+  }
+
+  test("imageIoDecoder: 16-bit gray PNGs scale to 8-bit luminance, not low bits") {
+    // TYPE_USHORT_GRAY samples span 0..65535; keeping the LOW 8 bits is
+    // garbage luminance (ADVICE r8). The decoder shifts by the extra
+    // component depth: sample >> 8.
+    val w = 4; val h = 3
+    val samples = Array.tabulate(w * h)(j => (j * 5003 + 257) % 65536)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    samples.zipWithIndex.foreach { case (v, j) =>
+      img.getRaster.setSample(j % w, j / w, 0, v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val media = fromBinary(spark,
+      spark.createDataset(Seq((11L, out.toByteArray))), "png", w, h, 1)
+    val f = decodeFrames(media, decoder = Multimodal.imageIoDecoder)
+      .collect().head
+    assert(f.pixels.toSeq == samples.map(v => (v >> 8).toByte).toSeq,
+      "16-bit gray must scale down by the extra depth, not truncate")
+  }
+
   test("real PNGs: decode → resize → histogram end-to-end, distributed") {
     // the full production pipeline over real bytes, multiple partitions;
     // histogram checked against a driver-side reference on the SAME
