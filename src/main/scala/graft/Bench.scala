@@ -6,9 +6,19 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional query filter (comma-separated qNN prefixes or full names) —
+    // the sf10 watch-family runs (SCALE.md) bench a handful of queries on a
+    // 100× corpus, where a full-corpus run would be hours. Matching is by
+    // name or by the qNN prefix before the first '_'.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    def selected(name: String): Boolean =
+      only.isEmpty || only(name) || only(name.takeWhile(_ != '_'))
+    val queries = SparkEntry.queries.filter(e => selected(e._1))
     // Warm the JVM/codegen once on the smallest SF so measured times reflect
     // execution, not first-call classloading.
-    SparkEntry.queries.values.foreach { fn =>
+    queries.values.foreach { fn =>
       try fn(spark, "/root/testdata/sf0.001").write
         .format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -21,7 +31,7 @@ object Bench {
     // state; an Explain probe minutes later showed them back at r5
     // levels). One untimed pass of the first 12 queries at the target SF
     // absorbs the ramp before any timing starts.
-    SparkEntry.queries.toSeq.sortBy(_._1).take(12).foreach { case (_, fn) =>
+    queries.toSeq.sortBy(_._1).take(12).foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
@@ -54,7 +64,7 @@ object Bench {
     val calibPq = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     calibOnce(200000000L) // discard: compiles the probe loop itself
     calibParOnce(100000000L, cpus) // discard: thread-pool warmup
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val results = queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       calibQ(name) = calibOnce(200000000L)
       calibPq(name) = calibParOnce(100000000L, cpus)
       val times = (1 to reps).flatMap { _ =>

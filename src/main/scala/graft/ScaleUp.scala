@@ -151,7 +151,7 @@ object ScaleUp {
     * source sf0.1 files are one group each, which is fine at 11 MB but
     * would measure layout, not operators, at 10×). A real multi-file
     * export would simply drop the coalesce. */
-  private def writeOne(df: DataFrame, dst: String): Unit = {
+  private[graft] def writeOne(df: DataFrame, dst: String): Unit = {
     val tmp = dst + "_tmp"
     df.coalesce(1).write.mode("overwrite")
       .option("parquet.block.size", (16L << 20).toString)

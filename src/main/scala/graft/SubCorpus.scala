@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sampled-oracle corpus: a testdata directory whose `documents` table is
+  * a FIXED-SIZE, stable-hash subcorpus of the source's, every other table
+  * hardlinked verbatim.
+  *
+  * Why it exists (VERDICT r7 ask #6 / r8 ask #3): nine of the dedup
+  * queries' DuckDB oracle twins are DELIBERATELY brute-force — all-pairs
+  * Jaccard, recursive closures — quadratic by design so that hash equality
+  * proves the blocked/banded Spark plans lossless. At sf1 (50 k docs →
+  * 2.5 G pairs) those twins exceed any sane timeout and the scale check
+  * reports bare `skip` rows: the Spark side is then unverified at exactly
+  * the scale where a blocking bug would first appear. Running BOTH sides
+  * on the same ~2 k-doc subcorpus of the sf1 data bounds the oracle at
+  * ~2 M pairs (seconds) while the documents it sees are genuine sf1 rows —
+  * suffixed tokens, per-copy tenants, cross-copy disjoint vocabulary — so
+  * the comparison exercises the at-scale data shapes, not the gate's.
+  *
+  * Selection is the first `nDocs` doc_ids in `md5(cast(doc_id as string))`
+  * order: deterministic across regenerations and machines (no RNG, no
+  * timestamp), unbiased w.r.t. every generator attribute (copy number,
+  * source, length — md5 of the key correlates with none of them), and
+  * CONSTANT-SIZED as the corpus grows, which is what keeps the oracle's
+  * quadratic cost bounded at any scale factor. Both engines then read the
+  * SAME materialized parquet, so no hash function has to agree across
+  * Spark and DuckDB — determinism lives in the artifact.
+  *
+  * Scale shape: the md5 top-k is a 1-column sort of the doc-id table
+  * (model-sized output, `limit` is driver-bounded at `nDocs` rows) and the
+  * subset join broadcasts the kept-id list; nothing here scans more than
+  * the documents table once.
+  *
+  * Usage: `runMain graft.SubCorpus <srcDir> <dstDir> <nDocs>` — then run
+  * Verify + tools/check.py against `<dstDir>` for the brute-force-oracle
+  * query names (SCALE.md documents the round-9 invocation).
+  */
+object SubCorpus {
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, dstDir, nS) = args
+    val n = nS.toInt
+    require(n >= 1, s"nDocs must be >= 1, got $n")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, srcDir, dstDir, n)
+    finally spark.stop()
+  }
+
+  def run(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String, nDocs: Int): Unit = {
+    val dst = new java.io.File(dstDir)
+    dst.mkdirs()
+    val files = Option(new java.io.File(srcDir).listFiles()).getOrElse(
+      sys.error(s"source dir $srcDir unreadable"))
+    files.filter(f => f.getName.endsWith(".parquet")
+        && f.getName != "documents.parquet").foreach { f =>
+      val t = new java.io.File(dst, f.getName)
+      if (t.exists()) t.delete()
+      // hardlink when the filesystem allows (zero-copy); fall back to copy
+      try java.nio.file.Files.createLink(t.toPath, f.toPath)
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(f.toPath, t.toPath)
+      }
+    }
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val keep = docs
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("__h"))
+      .orderBy(col("__h")).limit(nDocs).select("doc_id")
+    ScaleUp.writeOne(
+      docs.join(broadcast(keep), Seq("doc_id"))
+        .select(docs.columns.map(col).toIndexedSeq: _*),
+      s"$dstDir/documents.parquet")
+  }
+}

@@ -73,7 +73,8 @@ def unportable_cells(df: pd.DataFrame):
     return bad
 
 
-def main(sfdir: str, outdir: str, oracle_timeout: float = 0.0) -> int:
+def main(sfdir: str, outdir: str, oracle_timeout: float = 0.0,
+         subset_label: str = "") -> int:
     con = duckdb.connect()
     for f in glob.glob(f"{sfdir}/*.parquet"):
         name = os.path.basename(f)[: -len(".parquet")]
@@ -230,7 +231,13 @@ def main(sfdir: str, outdir: str, oracle_timeout: float = 0.0) -> int:
         try:
             pd.testing.assert_frame_equal(gs, es, check_dtype=False,
                                           check_exact=True)
-            print(f"ok   {name} ({len(gs)} rows)")
+            if subset_label:
+                # sampled-oracle pass (VERDICT r8 ask #3): both sides ran on
+                # the same stable-hash subcorpus; distinguishable from a
+                # full-corpus ok so a reader can't mistake the coverage
+                print(f"subset-ok {name} ({len(gs)} rows; {subset_label})")
+            else:
+                print(f"ok   {name} ({len(gs)} rows)")
             n_ok += 1
         except AssertionError:
             print(f"FAIL {name}: value mismatch")
@@ -255,5 +262,9 @@ if __name__ == "__main__":
                     metavar="SECS",
                     help="budget per DuckDB oracle query; over-budget "
                          "queries report as explicit skips")
+    ap.add_argument("--subset-label", default="", metavar="TEXT",
+                    help="mark passing rows as subset-ok with this "
+                         "provenance note (sampled-oracle runs where both "
+                         "sides read a graft.SubCorpus directory)")
     ns = ap.parse_args()  # unknown flags / extra positionals: usage error
-    sys.exit(main(ns.sfdir, ns.outdir, ns.oracle_timeout))
+    sys.exit(main(ns.sfdir, ns.outdir, ns.oracle_timeout, ns.subset_label))
