@@ -334,6 +334,70 @@ class StreamingSpec extends SparkSpec {
       s"u1's out-of-order event did not extend the session: $got")
   }
 
+  test("custom-state sessions, late > gap: retroactive sessions and late " +
+      "bridges match the batch twin") {
+    // VERDICT r8 ask #8: with allowed lateness LARGER than the session gap
+    // (backfill/repair shape), gap evidence alone no longer proves closure
+    // — through round 8 this was a documented precondition, now the
+    // operator holds each session until the watermark passes end + gap.
+    // Two shapes the eager single-session fold gets wrong:
+    //  - u1: batch 1 opens [5000 s, 5400 s]; batch 2 delivers 3000 s —
+    //    2000 s before the open session's START (> gap 500) but inside
+    //    the 3000 s lateness window. Batch twin: its own retroactive
+    //    session (3000, n=1) plus (5000, n=2). The old fold merged it
+    //    (3000 − 5400 < gap trivially) into one (3000, n=3).
+    //  - u2: batch 1 proves a gap between [2600] and [3400] (800 ≥ 500);
+    //    batch 2's 3000 s lands within gap of BOTH — the twin merges all
+    //    three into one session. Early emission on gap evidence would
+    //    have irrevocably shipped (2600, n=1).
+    val dir = java.nio.file.Files.createTempDirectory("stream_retro").toString
+    new java.io.File(s"$dir/src").mkdirs()
+    val baseUs = 1700000000L * 1000000L
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val gapS = 500L
+    val file1 = Seq(1L -> 5000L, 1L -> 5400L, 2L -> 2600L, 2L -> 3400L)
+    // watermark after batch 1 = 5400 − 3000 = 2400 s: every batch-2 event
+    // is above it (accepted), u99 then pushes the final watermark past
+    // every deadline (20000 − 3000 = 17000 ≥ 5900)
+    val file2 = Seq(1L -> 3000L, 2L -> 3000L, 99L -> 20000L)
+    def write(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = s"$dir/tmp_$name"
+      rows.reverse.map { case (u, s) => (u, ts(s)) }.toDF("user_id", "ts")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/src/$name"))
+    }
+    write("e1.parquet", file1)
+    write("e2.parquet", file2)
+    val schema = spark.read.parquet(s"$dir/src/e1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+    val q = Streaming.sessionizeCustomStateEventTime(stream,
+        gapMicros = gapS * 1000000L, late = "3000 seconds")
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("graft_custom_retro")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(300000), "stream did not finish")
+    q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "input did not span at least two micro-batches")
+    val got = spark.table("graft_custom_retro").as[SessionOut].collect().toSet
+    spark.catalog.dropTempView("graft_custom_retro")
+    val twin = Streaming.sessionizeCustomState(
+      (file1 ++ file2).map { case (u, s) => SessionEvent(u, baseUs + s * 1000000L) }
+        .toDS(), gapS * 1000000L).collect().toSet
+    assert(got == twin.filter(_.userId != 99L),
+      s"got $got\nexpected ${twin.filter(_.userId != 99L)}")
+    assert(got.exists(s => s.userId == 1L && s.nEvents == 1L
+        && s.startMicros == baseUs + 3000L * 1000000L),
+      s"u1's late event did not form its own retroactive session: $got")
+    assert(got.exists(s => s.userId == 2L && s.nEvents == 3L
+        && s.startMicros == baseUs + 2600L * 1000000L),
+      s"u2's late bridge event did not merge the gap-separated sessions: $got")
+  }
+
   test("q74 batch sessionization agrees with streaming session_window") {
     // backfill/live parity: the batch window program and the streaming
     // session_window must carve identical sessions from the same events
