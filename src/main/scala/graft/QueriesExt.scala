@@ -1609,19 +1609,24 @@ object QueriesExt {
         col("l_quantity"))
       .persist()
     val probes = (1 until 32).map(_.toDouble / 32).toArray
-    // one probe job for both phases; it also populates the cache
-    val Array(qtyBnds, okeyBnds) = base.stat
-      .approxQuantile(Array("l_quantity", "l_orderkey"), probes, 0.001)
+    // one probe job for the ntile phase; it also populates the cache. The
+    // rank-family phase needs no boundaries: its stats table is 3 flags ×
+    // ≤50 integer quantities, so it uses the bounded-model collect
+    // (collectModel) instead of the bucketed distributed derivation
+    val Array(okeyBnds) = base.stat
+      .approxQuantile(Array("l_orderkey"), probes, 0.001)
     val ranked = Ranking.withRankFamily(base, flag, "l_quantity",
-      nCol = Some("__n"), buckets = 32, boundaries = Some(qtyBnds))
+      nCol = Some("__n"), collectModel = true)
     Ranking.groupRowNumber(ranked, flag,
         Seq("l_orderkey", "l_linenumber", "l_quantity"),
         rnCol = "__rn", buckets = 32, boundaries = Some(okeyBnds))
       .withColumn("quartile", Ranking.ntileCol("__rn", "__n", 4))
+      // no final orderBy: the gate comparator row-sorts both sides, and the
+      // range-partitioner sample for a global sort would re-execute the
+      // whole broadcast-join chain (no shuffle boundary to sample from)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"), col("rnk"), col("drnk"), col("prank"),
         col("cdist"), col("quartile"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   private val q63Sql =

@@ -72,9 +72,64 @@ object Ranking {
     * model-sized side tables (offs: |group × buckets| rows, ntot: |group|
     * rows) — set it false when the GROUP space itself is data-sized and
     * let shuffle joins co-locate them instead (ADVICE r8). */
+  /** Driver-side twin of the distributed stats derivation, for callers that
+    * can PROMISE the (group × distinct value) space is model-sized (q63:
+    * 3 flags × 50 integer quantities). One aggregate collapses the data to
+    * that table, ONE collect brings it to the driver, and the prefix/ntile
+    * bookkeeping — which the distributed form pays ~4 tiny AQE exchanges
+    * for (offs agg, two prefix windows, ntot agg, their broadcasts) — is a
+    * sort + running sum over an in-memory array, re-broadcast as a literal
+    * frame. Same bounded-model-collect precedent as [[Packing]]'s bucket
+    * offsets and the IVF centroid table; NOT legal when distinct values
+    * grow with the data (use the distributed form — it exists for exactly
+    * that case). */
+  private def rankStatsCollected(df: DataFrame, partCols: Seq[String],
+      orderCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = partCols.map(col)
+    val cnt = df.groupBy((parts :+ col(orderCol)): _*)
+      .agg(count(lit(1)).as("__rk_cnt"))
+    val rows = cnt.collect()
+    val k = partCols.size
+    val ordNum: Ordering[Any] = Ordering.fromLessThan { (a, b) =>
+      java.lang.Double.compare(
+        a.asInstanceOf[Number].doubleValue(),
+        b.asInstanceOf[Number].doubleValue()) < 0
+    }
+    val out = rows.groupBy(r => (0 until k).map(r.get).toIndexedSeq)
+      .valuesIterator.flatMap { grp =>
+        val sorted = grp.sortBy(_.get(k))(ordNum)
+        val n = sorted.map(_.getLong(k + 1)).sum
+        var cb = 0L
+        sorted.zipWithIndex.map { case (r, i) =>
+          val c = r.getLong(k + 1)
+          val row = org.apache.spark.sql.Row.fromSeq(
+            r.toSeq.take(k + 1) ++ Seq(c, cb, i + 1L, n))
+          cb += c
+          row
+        }
+      }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(
+      cnt.schema.fields.take(k + 1) ++ Seq(
+        org.apache.spark.sql.types.StructField("__rk_cnt",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__rk_cb",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__rk_dnk",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__rk_n",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    // LocalRelation, not parallelize: the literal table broadcasts straight
+    // from the driver without an extra 1-partition RDD job
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*), schema)
+  }
+
   def rankStats(df: DataFrame, partCols: Seq[String], orderCol: String,
       buckets: Int = 64, boundaries: Option[Array[Double]] = None,
-      broadcastModel: Boolean = true): DataFrame = {
+      broadcastModel: Boolean = true,
+      collectModel: Boolean = false): DataFrame = {
+    if (collectModel) return rankStatsCollected(df, partCols, orderCol)
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val parts = partCols.map(col)
     val cnt = df.groupBy((parts :+ col(orderCol)): _*)
@@ -128,9 +183,10 @@ object Ranking {
       prankCol: String = "prank", cdistCol: String = "cdist",
       nCol: Option[String] = None, buckets: Int = 64,
       broadcastStats: Boolean = true,
-      boundaries: Option[Array[Double]] = None): DataFrame = {
+      boundaries: Option[Array[Double]] = None,
+      collectModel: Boolean = false): DataFrame = {
     val stats0 = rankStats(df, partCols, orderCol, buckets, boundaries,
-      broadcastModel = broadcastStats)
+      broadcastModel = broadcastStats, collectModel = collectModel)
     val stats = if (broadcastStats) broadcast(stats0) else stats0
     val joined = df.join(stats, partCols :+ orderCol)
       .withColumn(rnkCol, (col("__rk_cb") + 1).cast("int"))

@@ -41,6 +41,24 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("collectModel stats equal the distributed form and the built-ins") {
+    // the bounded-model collect (driver-side prefix bookkeeping over the
+    // |group × distinct v| table) must be bit-identical to both the
+    // distributed two-phase derivation and the naive windows
+    val df = sample(400).toDF("g", "v", "id")
+    val expect = naive(df).withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("g"))))
+      .select("g", "v", "id", "rnk", "drnk", "prank", "cdist", "n")
+      .collect().map(_.toSeq).toSet
+    for (p <- Seq(1, 32)) {
+      val got = Ranking.withRankFamily(df.repartition(p), Seq("g"), "v",
+          nCol = Some("n"), collectModel = true)
+        .select("g", "v", "id", "rnk", "drnk", "prank", "cdist", "n")
+        .collect().map(_.toSeq).toSet
+      assert(got == expect, s"partitions=$p: collectModel diverged")
+    }
+  }
+
   test("withRankFamily is invariant under input partitioning and surfaces n") {
     val df = sample(150).toDF("g", "v", "id")
     val expect = naive(df).withColumn("n",
