@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // GC logging for the isolated scale-bench harness (VERDICT r9 ask #1):
+  // SPARK_GRAFT_GC_LOG=/path.log turns on unified GC logging in the forked
+  // run JVM. Read at sbt LOAD time — set it on a cold `sbt`, not --client.
+  sys.env.get("SPARK_GRAFT_GC_LOG")
+    .map(p => s"-Xlog:gc*:file=$p:time,uptime,level,tags").toSeq

@@ -4,7 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
+    // Partition-count experiments (the sf10 spill hypothesis, SCALE.md)
+    // plug in HERE, not in the shared session builder — a leftover export
+    // must never reach Verify / tests / SubCorpus (ADVICE r9; the knob
+    // also now follows the SPARK_GRAFT_* naming every other env uses)
+    val b0 = graft.core.Sessions.builder(s"local[$cpus]", cpus)
+    val spark = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .fold(b0)(p => b0.config("spark.sql.shuffle.partitions", p))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional query filter (comma-separated qNN prefixes or full names) —
     // the sf10 watch-family runs (SCALE.md) bench a handful of queries on a
@@ -121,6 +128,17 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" +
         String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     }.mkString("{", ",", "}")
+    // Contamination self-identification (VERDICT r9 missing #2): the
+    // driver archives only this tail line, which truncates calib_q/
+    // calib_pq out — so when a mid-run host storm hits (r9: q47-q71 read
+    // 5-60× in BENCH_r09.json and only judge re-runs could adjudicate
+    // it), the one surviving artifact must carry the verdict itself.
+    // Signal: each query's calib_pq/calib_q ratio (parallel-probe
+    // degradation — the lost-core signature the 1-thread probe is blind
+    // to) against the run's median; >2× median flags the query.
+    // Consecutive flagged queries in execution order compress to
+    // "q47-q71" ranges so the field stays tail-sized even in a long storm.
+    val (contended, contendMax) = contentionSummary(calibQ, calibPq)
     val calibPar2 = calibParOnce(100000000L, cpus)
     val head =
       try {
@@ -129,8 +147,44 @@ object Bench {
         val out = new String(p.getInputStream.readAllBytes()).trim
         if (p.waitFor() == 0) out else "unknown"
       } catch { case _: Throwable => "unknown" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsCompact,"n_errors":${errors.size},"sf":"$sfDir","calib_sec":$calib,"calib_par":$calibPar2,"head":${jstr(head)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsCompact,"n_errors":${errors.size},"sf":"$sfDir","calib_sec":$calib,"calib_par":$calibPar2,"contended":${jstr(contended)},"contend_max":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(contendMax))},"head":${jstr(head)}}""")
     spark.stop()
+  }
+
+  /** ("q47-q71,q103" range-compressed flagged queries, max ratio/median).
+    * Flag = a query whose pre-rep parallel-probe degradation
+    * (calib_pq / calib_q) exceeds 2× the run median — the whole-window
+    * core-theft signature. Empty string = no contention detected. Maps
+    * iterate in insertion = execution order (LinkedHashMap). */
+  private[graft] def contentionSummary(
+      calibQ: scala.collection.Map[String, Double],
+      calibPq: scala.collection.Map[String, Double]): (String, Double) = {
+    val ratios = calibQ.keysIterator.toSeq.flatMap { name =>
+      for (q <- calibQ.get(name); pq <- calibPq.get(name); if q > 0)
+        yield name -> pq / q
+    }
+    if (ratios.size < 2) return ("", 1.0)
+    val sortedR = ratios.map(_._2).sorted
+    val med = sortedR(sortedR.size / 2)
+    if (med <= 0) return ("", 1.0)
+    val flaggedIdx = ratios.zipWithIndex.collect {
+      case ((_, r), i) if r > 2 * med => i
+    }
+    val short = (i: Int) => ratios(i)._1.takeWhile(_ != '_')
+    // compress consecutive execution-order indices to "first-last"
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var run = List.empty[Int]
+    def flush(): Unit = run match {
+      case Nil =>
+      case one :: Nil => parts += short(one); run = Nil
+      case _ => parts += s"${short(run.last)}-${short(run.head)}"; run = Nil
+    }
+    flaggedIdx.foreach { i =>
+      if (run.nonEmpty && i != run.head + 1) flush()
+      run = i :: run
+    }
+    flush()
+    (parts.mkString(","), ratios.map(_._2).max / med)
   }
 
   /** Wall time of `iters` iterations of a fixed single-thread integer

@@ -53,17 +53,17 @@ object SubCorpus {
       dstDir: String, nDocs: Int): Unit = {
     val dst = new java.io.File(dstDir)
     dst.mkdirs()
+    // dst == src would delete each source entry before linking it —
+    // reject up front on CANONICAL paths (ADVICE r9)
+    require(dst.getCanonicalFile != new java.io.File(srcDir).getCanonicalFile,
+      s"subcorpus destination must differ from the source: $srcDir")
     val files = Option(new java.io.File(srcDir).listFiles()).getOrElse(
       sys.error(s"source dir $srcDir unreadable"))
     files.filter(f => f.getName.endsWith(".parquet")
         && f.getName != "documents.parquet").foreach { f =>
       val t = new java.io.File(dst, f.getName)
-      if (t.exists()) t.delete()
-      // hardlink when the filesystem allows (zero-copy); fall back to copy
-      try java.nio.file.Files.createLink(t.toPath, f.toPath)
-      catch { case _: Exception =>
-        java.nio.file.Files.copy(f.toPath, t.toPath)
-      }
+      deleteRecursively(t)
+      copyEntry(f, t)
     }
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val keep = docs
@@ -74,4 +74,29 @@ object SubCorpus {
         .select(docs.columns.map(col).toIndexedSeq: _*),
       s"$dstDir/documents.parquet")
   }
+
+  /** One source-table entry → destination: hardlink a regular file when
+    * the filesystem allows (zero-copy), fall back to a byte copy; a
+    * DIRECTORY entry (the standard Spark `part-*` output layout, which
+    * `createLink` rejects) copies recursively. The round-9 form only
+    * handled single-file entries: the copy fallback on a directory
+    * created an EMPTY dir — a silently corrupt subcorpus (ADVICE r9). */
+  private def copyEntry(src: java.io.File, dst: java.io.File): Unit =
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty)
+        .foreach(c => copyEntry(c, new java.io.File(dst, c.getName)))
+    } else {
+      try java.nio.file.Files.createLink(dst.toPath, src.toPath)
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(src.toPath, dst.toPath)
+      }
+    }
+
+  private def deleteRecursively(f: java.io.File): Unit =
+    if (f.exists()) {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+      f.delete()
+    }
 }

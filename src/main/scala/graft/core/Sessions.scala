@@ -25,17 +25,16 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** Local shuffle parallelism: cores by default. `GRAFT_SHUFFLE_PARTITIONS`
-    * overrides it for scale-factor experiments — 32 partitions are sized for
-    * the sf0.1 bench base, and at sf10 (100× base on one JVM) a uniform
-    * shuffle's per-partition volume is 100× too, past the in-memory working
-    * set; with AQE coalescing enabled, erring HIGH costs only task overhead
-    * (the same reasoning [[cluster]] documents for real deployments). */
+  /** Local shuffle parallelism: cores, unconditionally. The sf10
+    * partition-count experiments override this through the BENCH
+    * entrypoint only (`SPARK_GRAFT_SHUFFLE_PARTITIONS`, read in
+    * [[graft.Bench]]) — reading an override env var here would let a
+    * leftover shell export from a bench experiment silently change
+    * Verify, tests, and SubCorpus runs too (ADVICE r9). */
   def builder(master: String, cores: Int): SparkSession.Builder =
     semantics(SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", cores.toString))
+      .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.ui.enabled", "false"))
 
   /** Production-cluster builder: [[builder]]'s engine semantics plus the

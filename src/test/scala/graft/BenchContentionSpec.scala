@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable.LinkedHashMap
+
+/** [[Bench.contentionSummary]] — the compact twin's contamination
+  * self-identification (VERDICT r9 missing #2): a mid-run host storm must
+  * be readable from the ~4 KB archived stdout tail alone, as a
+  * range-compressed list of the queries whose parallel-probe degradation
+  * (calib_pq / calib_q) exceeded 2× the run median.
+  */
+class BenchContentionSpec extends AnyFunSuite {
+
+  private def names(n: Int) = (1 to n).map(i => f"q$i%02d_some_query")
+
+  test("a healthy run reports no contention") {
+    val ns = names(10)
+    val cq = LinkedHashMap(ns.map(_ -> 0.10): _*)
+    val cpq = LinkedHashMap(ns.map(_ -> 0.12): _*)
+    val (flag, mx) = Bench.contentionSummary(cq, cpq)
+    assert(flag == "")
+    assert(mx < 2.0)
+  }
+
+  test("a mid-run storm compresses to execution-order ranges") {
+    val ns = names(10)
+    val cq = LinkedHashMap(ns.map(_ -> 0.10): _*)
+    val cpq = LinkedHashMap(ns.map(_ -> 0.12): _*)
+    // storm over q04-q06 plus an isolated hit on q09 (the r9 shape:
+    // BENCH_r09.json's q47-q71 block)
+    cpq(ns(3)) = 1.0
+    cpq(ns(4)) = 0.9
+    cpq(ns(5)) = 0.8
+    cpq(ns(8)) = 0.7
+    val (flag, mx) = Bench.contentionSummary(cq, cpq)
+    assert(flag == "q04-q06,q09", s"got '$flag'")
+    assert(mx > 5.0, s"max ratio should reflect the worst query, got $mx")
+  }
+
+  test("degenerate inputs (one query, zero probes) stay quiet") {
+    assert(Bench.contentionSummary(LinkedHashMap("q01_x" -> 0.1),
+      LinkedHashMap("q01_x" -> 5.0)) == (("", 1.0)))
+    assert(Bench.contentionSummary(LinkedHashMap.empty[String, Double],
+      LinkedHashMap.empty[String, Double]) == (("", 1.0)))
+  }
+}

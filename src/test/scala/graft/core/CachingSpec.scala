@@ -1,0 +1,45 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Caching.unpersistAfterFirstAction]] — the cache-lifecycle contract
+  * that lets q63/q140 compose into pipelines without leaking storage
+  * memory (VERDICT r9 "What's wrong" #3): the cached base survives until
+  * the first action that consumes the returned plan, then releases.
+  */
+class CachingSpec extends SparkSpec {
+
+  private def awaitRelease(df: org.apache.spark.sql.DataFrame): Boolean = {
+    // the listener bus delivers asynchronously
+    val deadline = System.nanoTime() + 15L * 1000000000L
+    while (df.storageLevel.useMemory && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    !df.storageLevel.useMemory
+  }
+
+  test("the cached base releases after the consuming action, not before") {
+    val base = spark.range(1000).toDF("id").persist()
+    base.count()
+    assert(base.storageLevel.useMemory, "persist did not take")
+    val out = Caching.unpersistAfterFirstAction(
+      base.groupBy().agg(sum(col("id")).as("s")), base)
+    // an UNRELATED action must not release it
+    spark.range(7).count()
+    Thread.sleep(300)
+    assert(base.storageLevel.useMemory,
+      "an unrelated action released the cache")
+    out.collect()
+    assert(awaitRelease(base), "the consuming action did not release the cache")
+  }
+
+  test("a write command wrapping the plan also counts as the consumer") {
+    val base = spark.range(500).toDF("id").persist()
+    base.count()
+    val out = Caching.unpersistAfterFirstAction(
+      base.select((col("id") * 2).as("d")), base)
+    out.write.format("noop").mode("overwrite").save()
+    assert(awaitRelease(base),
+      "a write action on the wrapped plan did not release the cache")
+  }
+}

@@ -398,6 +398,64 @@ class StreamingSpec extends SparkSpec {
       s"u2's late bridge event did not merge the gap-separated sessions: $got")
   }
 
+  test("custom-state sessions, late == gap boundary: eager emission is off " +
+      "and parity holds") {
+    // ADVICE r9: the parity proof of the eager regime is STRICT — with
+    // late == gap an accepted event can land in the exactly-gap-wide
+    // seam between two state sessions and bridge them, so gap evidence
+    // is not final and the boundary case must take the watermark-held
+    // path. Construction (gap = late = 500 s):
+    //  - batch 1: u1 at 5000 and 5500 — exactly gap apart, two sessions;
+    //    watermark after the batch = 5500 − 500 = 5000. The old
+    //    `late <= gap` eager test would emit (5000, n=1) HERE.
+    //  - batch 2: u1 at 5200 — strictly above the watermark (accepted,
+    //    no boundary-acceptance ambiguity), within gap of BOTH sessions.
+    //    The batch twin merges all three into one (5000, n=3); an eager
+    //    first batch has already shipped (5000, n=1) irrevocably.
+    //    u99 at 6600 pushes the final watermark past 5500 + 500.
+    val dir = java.nio.file.Files.createTempDirectory("stream_edge").toString
+    new java.io.File(s"$dir/src").mkdirs()
+    val baseUs = 1700000000L * 1000000L
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val gapS = 500L
+    val file1 = Seq(1L -> 5000L, 1L -> 5500L)
+    val file2 = Seq(1L -> 5200L, 99L -> 6600L)
+    def write(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = s"$dir/tmp_$name"
+      rows.map { case (u, s) => (u, ts(s)) }.toDF("user_id", "ts")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/src/$name"))
+    }
+    write("e1.parquet", file1)
+    write("e2.parquet", file2)
+    val schema = spark.read.parquet(s"$dir/src/e1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+    val q = Streaming.sessionizeCustomStateEventTime(stream,
+        gapMicros = gapS * 1000000L, late = "500 seconds")
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("graft_custom_edge")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(300000), "stream did not finish")
+    q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "input did not span at least two micro-batches")
+    val got = spark.table("graft_custom_edge").as[SessionOut].collect().toSet
+    spark.catalog.dropTempView("graft_custom_edge")
+    val twin = Streaming.sessionizeCustomState(
+      (file1 ++ file2).map { case (u, s) =>
+        SessionEvent(u, baseUs + s * 1000000L) }
+        .toDS(), gapS * 1000000L).collect().toSet
+    assert(got == twin.filter(_.userId != 99L),
+      s"got $got\nexpected ${twin.filter(_.userId != 99L)}")
+    assert(got.exists(s => s.userId == 1L && s.nEvents == 3L
+        && s.startMicros == baseUs + 5000L * 1000000L),
+      s"the bridge event did not merge the exactly-gap-separated sessions: $got")
+  }
+
   test("q74 batch sessionization agrees with streaming session_window") {
     // backfill/live parity: the batch window program and the streaming
     // session_window must carve identical sessions from the same events

@@ -59,10 +59,17 @@ def load(path: str) -> dict:
             qs = {m.group(1): float(m.group(2)) for m in re.finditer(
                 r'"(q\w+)":([0-9][0-9.eE+-]*)', tail)}
             calib = re.search(r'"calib_sec":([0-9][0-9.eE+-]*)', tail)
+            cont = re.search(r'"contended":"([^"]*)"', tail)
+            cmax = re.search(r'"contend_max":([0-9][0-9.eE+-]*)', tail)
             print(f"NOTE: {path} is a truncated driver wrapper; salvaged "
                   f"{len(qs)} query timings from its tail", file=sys.stderr)
-            return {"queries": qs,
-                    "calib_sec": float(calib.group(1)) if calib else None}
+            out = {"queries": qs,
+                   "calib_sec": float(calib.group(1)) if calib else None}
+            if cont:
+                out["contended"] = cont.group(1)
+            if cmax:
+                out["contend_max"] = float(cmax.group(1))
+            return out
     raise SystemExit(f"{path}: no bench JSON line found")
 
 
@@ -77,6 +84,16 @@ def main() -> int:
     args = ap.parse_args()
 
     a, b = load(args.old), load(args.new)
+    # the compact tail twin self-identifies mid-run host storms (r10:
+    # "contended" = range-compressed queries whose parallel-probe
+    # degradation exceeded 2x the run median) -- surface it FIRST, because
+    # a stormed side invalidates every per-query conclusion below
+    for side, d, label in (("old", a, args.label_old), ("new", b, args.label_new)):
+        if d.get("contended"):
+            print(f"WARNING: {label} ({side}) self-reports host contention "
+                  f"during {d['contended']} (max probe degradation "
+                  f"{d.get('contend_max', '?')}x median) -- its timings for "
+                  f"those queries are contaminated, not code", file=sys.stderr)
     ca, cb = a.get("calib_sec"), b.get("calib_sec")
     if not ca or not cb:
         print("WARNING: calib_sec missing on one side; comparing RAW times "
