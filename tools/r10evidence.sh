@@ -12,17 +12,24 @@
 set -euo pipefail
 cd /root/repo
 
-echo "=== leg 1: q85 sf1 (iso, gc-logged)"
+# Each timed leg starts only when the host-health gate passes (round-10
+# lesson: leg 1's first attempt started inside a neighbor-contention
+# window — calib_pq read 4x its r9 norm and q85 sf1 read 74.5 s vs the
+# 10.8 s clean comparable). If the gate gives up, the leg still runs —
+# its own in-run probes adjudicate — but the giving-up is logged.
+gate() { bash tools/hostgate.sh "$1" || echo "GATE GAVE UP before $1 (leg runs anyway; judge by its probes)"; }
+
+gate leg1; echo "=== leg 1: q85 sf1 (iso, gc-logged)"
 bash tools/isobench.sh q85 /root/repo/.scale/sf1 3 BENCH_r10_sf1_iso_q85
-echo "=== leg 2: q85 sf10 (iso, gc-logged)"
+gate leg2; echo "=== leg 2: q85 sf10 (iso, gc-logged)"
 bash tools/isobench.sh q85 /root/repo/.scale/sf10 3 BENCH_r10_sf10_iso_q85
-echo "=== leg 3: q120 sf10 (iso, gc-logged)"
+gate leg3; echo "=== leg 3: q120 sf10 (iso, gc-logged)"
 bash tools/isobench.sh q120 /root/repo/.scale/sf10 3 BENCH_r10_sf10_iso_q120
-echo "=== leg 4: q169 sf10 (iso, gc-logged)"
+gate leg4; echo "=== leg 4: q169 sf10 (iso, gc-logged)"
 bash tools/isobench.sh q169 /root/repo/.scale/sf10 3 BENCH_r10_sf10_iso_q169
-echo "=== leg 5: q168 sf0.1 (iso)"
+gate leg5; echo "=== leg 5: q168 sf0.1 (iso)"
 bash tools/isobench.sh q168 /root/testdata/sf0.1 3 BENCH_r10_sf0.1_iso_q168
-echo "=== leg 6: q168 sf1 (iso)"
+gate leg6; echo "=== leg 6: q168 sf1 (iso)"
 bash tools/isobench.sh q168 /root/repo/.scale/sf1 3 BENCH_r10_sf1_iso_q168
 
 echo "=== leg 7: sf10 subset correctness"
