@@ -9,8 +9,17 @@ object Bench {
     // must never reach Verify / tests / SubCorpus (ADVICE r9; the knob
     // also now follows the SPARK_GRAFT_* naming every other env uses)
     val b0 = graft.core.Sessions.builder(s"local[$cpus]", cpus)
-    val spark = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    val b1 = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
       .fold(b0)(p => b0.config("spark.sql.shuffle.partitions", p))
+    // Off-heap Tungsten pages for large-heap scale legs (round-10 q85
+    // diagnosis: at 48g heap, G1 young evacuation of the join's page
+    // arrays cost 6-16 s PER PAUSE — q85 sf1 went 10.8 s @8g -> 47 s
+    // @48g with zero host contention; moving execution memory off-heap
+    // removes those arrays from the collector's copy set entirely).
+    // SPARK_GRAFT_OFFHEAP=24g etc.; production twin: Sessions.cluster.
+    val spark = sys.env.get("SPARK_GRAFT_OFFHEAP")
+      .fold(b1)(sz => b1.config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", sz))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional query filter (comma-separated qNN prefixes or full names) —

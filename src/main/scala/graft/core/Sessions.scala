@@ -51,6 +51,16 @@ object Sessions {
     *    static salting (`Relational.skewJoin`).
     *  - zstd parquet: ~30% smaller than snappy at similar scan cost —
     *    at 100 TB that is I/O, not CPU.
+    *  - OFF-HEAP Tungsten memory: execution pages (join hash tables,
+    *    sort buffers) live outside the Java heap. Measured here (round
+    *    10, q85 triangle join): with a 48 GB heap and on-heap pages, G1
+    *    young evacuation of the page byte[]s cost 6–16 s PER PAUSE and
+    *    made the same query 4.3× slower than at 8 GB — the exact failure
+    *    mode a 100 TB deployment's 64 GB+ executors would hit on every
+    *    shuffle-heavy stage. The 16 GB default is a placeholder shape:
+    *    size it to ~40-50% of executor memory at submit (and shrink
+    *    `--executor-memory` correspondingly — the sum is what the
+    *    container pays).
     *  - shuffle partitions stay UNSET here deliberately: size to
     *    2-3× total executor cores at submit time (`--conf
     *    spark.sql.shuffle.partitions=...`); with AQE coalescing, erring
@@ -63,6 +73,8 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (256L << 20).toString)
       .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", (16L << 30).toString)
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()
