@@ -6454,6 +6454,61 @@ object QueriesExt {
       |JOIN cs ON cs.doc_id = ids.doc_id
       |ORDER BY media_id, bin""".stripMargin
 
+  /** Real-codec multimodal COMPOSITION gate (VERDICT r9 polish #8: q172
+    * proved encode→decode bit-exact; this row puts the downstream
+    * transforms under the same oracle). Deterministic 16×8 grayscale PNGs
+    * — px(j) = (doc_id·37 + 7j + j²) mod 256 — run the production
+    * pipeline end to end: [[graft.operators.Multimodal.encodePng]] →
+    * [[graft.operators.Multimodal.imageIoDecoder]] (real `javax.imageio`
+    * bytes, actual decoded dimensions) →
+    * [[graft.operators.Multimodal.resize]] (nearest-neighbor 16×8 → 8×4,
+    * previously spec-only) → [[graft.operators.Multimodal
+    * .histogramFeatures]] → argmax bin. The DuckDB oracle re-derives the
+    * resized pixel set from the SAME integer arithmetic with no codec:
+    * out(y,x) = px(32y + 2x), so hash equality proves codec + resize +
+    * histogram + argmax simultaneously. (q49 keeps the deterministic stub
+    * on purpose — it is the multi-frame/video shape, and the JDK has no
+    * video codec; its gate row pins the stub twin's lazy frame
+    * expansion.) Argmax ties resolve to the FIRST maximal bin on both
+    * sides; every normalized bin value is k/32, a binary fraction,
+    * lossless in float and double. Scale shape: identical to q172 —
+    * per-row partition-local work behind the once-per-partition codec
+    * seam; the only shuffle is the presentation sort. */
+  private val q173: Q = (s, dir) => {
+    import graft.operators.Multimodal
+    import s.implicits._
+    val media = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val px = Array.tabulate(128)(j =>
+          ((id * 37 + j * 7 + j.toLong * j) % 256).toByte)
+        Multimodal.MediaRow(id, Multimodal.encodePng(16, 8, px),
+          Multimodal.MediaMeta("png", 16, 8, 1))
+      }
+    val frames = Multimodal.decodeFrames(media, Multimodal.imageIoDecoder)
+    Multimodal.histogramFeatures(Multimodal.resize(frames, 8, 4))
+      .toDF()
+      .select(col("mediaId").as("media_id"),
+        col("frameIdx").as("frame_idx"),
+        expr("array_position(feature, array_max(feature))").cast("long")
+          .as("top_bin"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q173Sql =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+      |rp AS (SELECT doc_id,
+      |         (doc_id * 37 + (y * 32 + x * 2) * 7
+      |          + (y * 32 + x * 2) * (y * 32 + x * 2)) % 256 AS v
+      |       FROM ids, generate_series(0, 3) a(y), generate_series(0, 7) b(x)),
+      |h AS (SELECT doc_id, v // 16 AS bin, count(*) AS c FROM rp GROUP BY 1, 2),
+      |m AS (SELECT doc_id, max(c) AS mc FROM h GROUP BY doc_id)
+      |SELECT h.doc_id AS media_id, CAST(0 AS INTEGER) AS frame_idx,
+      |       CAST(min(h.bin) + 1 AS BIGINT) AS top_bin
+      |FROM h JOIN m ON h.doc_id = m.doc_id AND h.c = m.mc
+      |GROUP BY h.doc_id
+      |ORDER BY media_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -6600,6 +6655,7 @@ object QueriesExt {
     Entry("q169_int8_ann_recall", q169, Some(q169Sql)),
     Entry("q170_mixture_weights", q170, Some(q170Sql)),
     Entry("q171_curriculum_order", q171, Some(q171Sql)),
-    Entry("q172_image_codec_gate", q172, Some(q172Sql))
+    Entry("q172_image_codec_gate", q172, Some(q172Sql)),
+    Entry("q173_multimodal_real_resize", q173, Some(q173Sql))
   )
 }

@@ -196,6 +196,28 @@ class MultimodalSpec extends SparkSpec {
         s"media ${mf.mediaId}: pipeline output diverged from reference"))
   }
 
+  test("q173 real-codec resize gate matches the oracle arithmetic exactly") {
+    // mirrors q173Sql's codec-free derivation in Scala so oracle drift
+    // trips here before the DuckDB gate: resized pixel (y,x) reads source
+    // index 32y + 2x of px(j) = (id·37 + 7j + j²) mod 256; top_bin is the
+    // FIRST maximal 16-bin count (1-based), matching array_position on
+    // the normalized float histogram
+    val got = graft.Queries.queries("q173_multimodal_real_resize")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.nonEmpty && got.forall(_._2 == 0))
+    got.foreach { case (id, _, topBin) =>
+      val counts = new Array[Int](16)
+      for (y <- 0 until 4; x <- 0 until 8) {
+        val j = y * 32 + x * 2
+        val v = ((id * 37 + j * 7 + j.toLong * j) % 256).toInt
+        counts(v >> 4) += 1
+      }
+      val expect = counts.indexOf(counts.max) + 1
+      assert(topBin == expect, s"media $id: top_bin $topBin != $expect")
+    }
+  }
+
   test("metadata-only projection prunes the binary payload from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("mm_spec").toString + "/media"
     media(5).write.parquet(dir)
