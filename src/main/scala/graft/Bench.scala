@@ -1,5 +1,73 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Executor-side I/O accounting for bench runs (round-10 q85 evidence:
+  * wall-clock growth conflates PLAN growth with single-box
+  * memory-hierarchy growth — the same shuffle that stays in page cache
+  * at sf1 hits the disk at sf10. Summing task metrics separates them:
+  * if a query's shuffle/spill BYTES grow exactly with the data while
+  * its SECONDS grow faster, the plan is linear and the excess is the
+  * box, not the query). Thread-safe: task-end events arrive on the
+  * listener bus thread while the bench thread reads snapshots. */
+private[graft] final class IoListener
+    extends org.apache.spark.scheduler.SparkListener {
+  private val shuffleW = new java.util.concurrent.atomic.AtomicLong
+  private val spillDisk = new java.util.concurrent.atomic.AtomicLong
+  private val spillMem = new java.util.concurrent.atomic.AtomicLong
+  private val input = new java.util.concurrent.atomic.AtomicLong
+  override def onTaskEnd(
+      e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      spillDisk.addAndGet(m.diskBytesSpilled)
+      spillMem.addAndGet(m.memoryBytesSpilled)
+      input.addAndGet(m.inputMetrics.bytesRead)
+    }
+  }
+  def reset(): Unit = {
+    shuffleW.set(0); spillDisk.set(0); spillMem.set(0); input.set(0)
+  }
+  // Per-stage attribution (SPARK_GRAFT_IO_STAGES=1): WHICH stage spills
+  // decides the fix — partition count for per-task sort overflow, plan
+  // change for an inherent working set (the round-10 q85 forensics).
+  // Stderr-only; never part of the JSON contract.
+  override def onStageCompleted(
+      e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+    if (sys.env.contains("SPARK_GRAFT_IO_STAGES")) {
+      val si = e.stageInfo
+      val m = si.taskMetrics
+      if (m != null) {
+        def mb(v: Long) = (v / 1048576.0).round
+        System.err.println(
+          s"[io-stage] id=${si.stageId} tasks=${si.numTasks} " +
+            s"shuffle_mb=${mb(m.shuffleWriteMetrics.bytesWritten)} " +
+            s"spill_disk_mb=${mb(m.diskBytesSpilled)} " +
+            s"spill_mem_mb=${mb(m.memoryBytesSpilled)} " +
+            s"input_mb=${mb(m.inputMetrics.bytesRead)} " +
+            s"name=${si.name.takeWhile(_ != '\n').take(80)}")
+      }
+    }
+  /** (shuffle_write, spill_disk, spill_mem, input) in bytes since reset.
+    * Listener-bus delivery is asynchronous; callers snapshot AFTER the
+    * query's jobs complete and poll until two reads agree so late task
+    * events are included (bounded at ~2 s — metrics are evidence, never
+    * part of the timed path). */
+  def settledSnapshot(): (Long, Long, Long, Long) = {
+    def now = (shuffleW.get, spillDisk.get, spillMem.get, input.get)
+    var prev = now
+    var tries = 0
+    while (tries < 20) {
+      Thread.sleep(100)
+      val cur = now
+      if (cur == prev) return cur
+      prev = cur
+      tries += 1
+    }
+    prev
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,7 +148,15 @@ object Bench {
     val calibPq = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     calibOnce(200000000L) // discard: compiles the probe loop itself
     calibParOnce(100000000L, cpus) // discard: thread-pool warmup
+    // Per-query executor I/O (shuffle write / spill / input bytes), summed
+    // over the query's reps and reported per-rep — the plan-vs-box growth
+    // decomposition (see IoListener). Untimed: reset happens before the
+    // probes, the settled snapshot after the last rep's clearCache.
+    val io = new IoListener
+    spark.sparkContext.addSparkListener(io)
+    val ioQ = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      io.reset()
       calibQ(name) = calibOnce(200000000L)
       calibPq(name) = calibParOnce(100000000L, cpus)
       val times = (1 to reps).flatMap { _ =>
@@ -99,6 +175,14 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some(dt) else None
       }.sorted
+      if (times.nonEmpty) {
+        val (sw, sd, sm, in) = io.settledSnapshot()
+        def perRepMb(v: Long): String = String.format(java.util.Locale.ROOT,
+          "%.1f", Double.box(v / times.size.toDouble / 1048576.0))
+        ioQ(name) = s"""{"shuffle_mb":${perRepMb(sw)},"spill_disk_mb":${
+          perRepMb(sd)},"spill_mem_mb":${perRepMb(sm)},"input_mb":${
+          perRepMb(in)}}"""
+      }
       if (times.isEmpty) None else Some(name -> times(times.size / 2))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -123,7 +207,9 @@ object Bench {
       .mkString("{", ",", "}")
     val cpqJson = calibPq.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","calib_sec":$calib,"calib_par":$calibPar,"calib_q":$cqJson,"calib_pq":$cpqJson}""")
+    val ioJson = ioQ.map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","calib_sec":$calib,"calib_par":$calibPar,"calib_q":$cqJson,"calib_pq":$cpqJson,"io_mb":$ioJson}""")
     // Compact twin as the FINAL stdout line (VERDICT r6 ask #7): the
     // driver archives only a ~4 KB stdout tail, which truncated the full
     // line above mid-map in round 6 (BENCH_r06.json `parsed: null`). Keys

@@ -141,9 +141,19 @@ object Graph {
     // u-side neighborhood arrives for free (no first probe join), leaving
     // ONE shuffle join — the v-side adjacency lookup. An edge whose v has
     // no out-edges closes no triangle, so the inner join is correct.
+    // shuffle_hash, not the default sort-merge: the exploded left side
+    // carries nu per edge (Σ d⁺(u)·|nu| ≈ the whole O(m^1.5) working
+    // set), and SMJ SORTS it — measured at 10× the bench corpus: 33.4 GB
+    // of external-sort disk spill in this one stage (69.6 GB in-memory
+    // movement), zero at 1×, invariant to shuffle-partition count and to
+    // a 3.5× execution-memory raise, because the sort's working set is
+    // the data itself. Hash-building the RIGHT side instead costs only
+    // the node-sized adjacency per partition (out-degrees ≤ O(√m) by
+    // orientation, so build partitions stay bounded) and STREAMS the fat
+    // side unsorted — the spill disappears structurally, at every scale.
     val tris = adj
       .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
-      .join(adj.select(col("u").as("jv"), col("nbrs").as("nv")),
+      .join(adj.select(col("u").as("jv"), col("nbrs").as("nv")).hint("shuffle_hash"),
         col("v") === col("jv"))
       .select(col("u").as("x"), col("v").as("y"),
         explode(array_intersect(col("nu"), col("nv"))).as("z"))
