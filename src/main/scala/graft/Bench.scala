@@ -31,10 +31,14 @@ private[graft] final class IoListener
   // Per-stage attribution (SPARK_GRAFT_IO_STAGES=1): WHICH stage spills
   // decides the fix — partition count for per-task sort overflow, plan
   // change for an inherent working set (the round-10 q85 forensics).
-  // Stderr-only; never part of the JSON contract.
+  // Stderr-only; never part of the JSON contract. Read once; like every
+  // other SPARK_GRAFT_* flag the VALUE matters — empty or "0" disables
+  // (ADVICE r10: bare `contains` enabled it for =0 too).
+  private val stageAttribution = sys.env.get("SPARK_GRAFT_IO_STAGES")
+    .exists(v => v.nonEmpty && v != "0")
   override def onStageCompleted(
       e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-    if (sys.env.contains("SPARK_GRAFT_IO_STAGES")) {
+    if (stageAttribution) {
       val si = e.stageInfo
       val m = si.taskMetrics
       if (m != null) {
@@ -64,6 +68,12 @@ private[graft] final class IoListener
       prev = cur
       tries += 1
     }
+    // still moving after the 2 s bound: return what we have, but say so —
+    // a silently under-counted io_mb line is indistinguishable from a
+    // genuinely smaller plan when the evidence is read later (ADVICE r10)
+    System.err.println(
+      "[io] WARNING: task metrics still settling after 2 s; " +
+        "this query's io_mb may under-count straggler tasks")
     prev
   }
 }
@@ -76,7 +86,16 @@ object Bench {
     // plug in HERE, not in the shared session builder — a leftover export
     // must never reach Verify / tests / SubCorpus (ADVICE r9; the knob
     // also now follows the SPARK_GRAFT_* naming every other env uses)
-    val b0 = graft.core.Sessions.builder(s"local[$cpus]", cpus)
+    // SPARK_GRAFT_MASTER overrides the master URL for the multi-executor
+    // validation legs (VERDICT r10 missing #1): `local-cluster[4,8,8192]`
+    // runs REAL executor processes — serialized netty shuffle fetch,
+    // per-executor off-heap pools, inter-process broadcast — which
+    // local[32] structurally cannot exercise. Those legs launch through
+    // spark-submit (tools/lcbench.sh) so the worker/executor JVMs find
+    // SPARK_HOME and the packaged graft jar; an explicit .master() here
+    // would silently override spark-submit's --master, hence the env.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b0 = graft.core.Sessions.builder(master, cpus)
     val b1 = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
       .fold(b0)(p => b0.config("spark.sql.shuffle.partitions", p))
     // Off-heap Tungsten pages for large-heap scale legs (round-10 q85
@@ -155,10 +174,23 @@ object Bench {
     val io = new IoListener
     spark.sparkContext.addSparkListener(io)
     val ioQ = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // numeric twin of ioQ's disk-spill field, feeding the compact tail's
+    // spill_top (VERDICT r10 missing #4: the ~4 KB archived tail truncated
+    // the full io_mb map out, so the one surviving artifact could not show
+    // the evidence class that settled the q85 flag)
+    val spillQ = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       io.reset()
       calibQ(name) = calibOnce(200000000L)
       calibPq(name) = calibParOnce(100000000L, cpus)
+      // Per-rep snapshot-and-diff (ADVICE r10): a FAILED rep's partial
+      // I/O accumulated in the listener too, inflating the per-rep
+      // average when some reps fail. Baseline settles after the probes
+      // (reset alone can race late events from the previous query's
+      // clearCache); each rep's delta joins the sum only if the rep
+      // succeeded. Snapshots are untimed — they happen after the clock.
+      var ioPrev = io.settledSnapshot()
+      var ioOk = (0L, 0L, 0L, 0L)
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop write materializes every row without driver collect
@@ -173,15 +205,21 @@ object Bench {
         // isolate queries/reps: cached plans from one run must not occupy
         // storage memory (and GC budget) during the next one's timing
         spark.catalog.clearCache()
+        val snap = io.settledSnapshot()
+        if (ok) ioOk = (ioOk._1 + snap._1 - ioPrev._1,
+          ioOk._2 + snap._2 - ioPrev._2, ioOk._3 + snap._3 - ioPrev._3,
+          ioOk._4 + snap._4 - ioPrev._4)
+        ioPrev = snap
         if (ok) Some(dt) else None
       }.sorted
       if (times.nonEmpty) {
-        val (sw, sd, sm, in) = io.settledSnapshot()
-        def perRepMb(v: Long): String = String.format(java.util.Locale.ROOT,
-          "%.1f", Double.box(v / times.size.toDouble / 1048576.0))
-        ioQ(name) = s"""{"shuffle_mb":${perRepMb(sw)},"spill_disk_mb":${
-          perRepMb(sd)},"spill_mem_mb":${perRepMb(sm)},"input_mb":${
-          perRepMb(in)}}"""
+        val (sw, sd, sm, in) = ioOk
+        def mbPerRep(v: Long): Double = v / times.size.toDouble / 1048576.0
+        def fmt(v: Long): String = String.format(java.util.Locale.ROOT,
+          "%.1f", Double.box(mbPerRep(v)))
+        ioQ(name) = s"""{"shuffle_mb":${fmt(sw)},"spill_disk_mb":${
+          fmt(sd)},"spill_mem_mb":${fmt(sm)},"input_mb":${fmt(in)}}"""
+        spillQ(name) = mbPerRep(sd)
       }
       if (times.isEmpty) None else Some(name -> times(times.size / 2))
     }.toMap
@@ -234,6 +272,13 @@ object Bench {
     // Consecutive flagged queries in execution order compress to
     // "q47-q71" ranges so the field stays tail-sized even in a long storm.
     val (contended, contendMax) = contentionSummary(calibQ, calibPq)
+    // Top disk spillers, tail-sized (VERDICT r10 missing #4): the archived
+    // artifact carries the evidence class that settled round 10's q85 flag
+    // — which queries hit the disk, and by how much per rep. Three entries,
+    // qNN keys, whole MB; queries that never spilled never appear.
+    val spillTop = spillQ.toSeq.filter(_._2 >= 1.0).sortBy(-_._2).take(3)
+      .map { case (k, v) => s"${k.takeWhile(_ != '_')}:${v.round}" }
+      .mkString(",")
     val calibPar2 = calibParOnce(100000000L, cpus)
     val head =
       try {
@@ -242,14 +287,17 @@ object Bench {
         val out = new String(p.getInputStream.readAllBytes()).trim
         if (p.waitFor() == 0) out else "unknown"
       } catch { case _: Throwable => "unknown" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsCompact,"n_errors":${errors.size},"sf":"$sfDir","calib_sec":$calib,"calib_par":$calibPar2,"contended":${jstr(contended)},"contend_max":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(contendMax))},"head":${jstr(head)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsCompact,"n_errors":${errors.size},"sf":"$sfDir","calib_sec":$calib,"calib_par":$calibPar2,"contended":${jstr(contended)},"contend_max":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(contendMax))},"spill_top":${jstr(spillTop)},"head":${jstr(head)}}""")
     spark.stop()
   }
 
   /** ("q47-q71,q103" range-compressed flagged queries, max ratio/median).
-    * Flag = a query whose pre-rep parallel-probe degradation
-    * (calib_pq / calib_q) exceeds 2× the run median — the whole-window
-    * core-theft signature. Empty string = no contention detected. Maps
+    * Flag = a query whose parallel-probe degradation (calib_pq / calib_q)
+    * exceeds 2× the run median on EITHER its own pre-rep probe OR the
+    * NEXT query's — probes run before a query's reps, so a storm that
+    * starts mid-rep escapes the query's own probe and first registers on
+    * its successor's (VERDICT r10 ask #8); the whole-window core-theft
+    * signature either way. Empty string = no contention detected. Maps
     * iterate in insertion = execution order (LinkedHashMap). */
   private[graft] def contentionSummary(
       calibQ: scala.collection.Map[String, Double],
@@ -262,9 +310,9 @@ object Bench {
     val sortedR = ratios.map(_._2).sorted
     val med = sortedR(sortedR.size / 2)
     if (med <= 0) return ("", 1.0)
-    val flaggedIdx = ratios.zipWithIndex.collect {
-      case ((_, r), i) if r > 2 * med => i
-    }
+    def hot(i: Int): Boolean = ratios(i)._2 > 2 * med
+    val flaggedIdx = ratios.indices.filter(i =>
+      hot(i) || (i + 1 < ratios.size && hot(i + 1)))
     val short = (i: Int) => ratios(i)._1.takeWhile(_ != '_')
     // compress consecutive execution-order indices to "first-last"
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -27,14 +27,25 @@ class BenchContentionSpec extends AnyFunSuite {
     val cq = LinkedHashMap(ns.map(_ -> 0.10): _*)
     val cpq = LinkedHashMap(ns.map(_ -> 0.12): _*)
     // storm over q04-q06 plus an isolated hit on q09 (the r9 shape:
-    // BENCH_r09.json's q47-q71 block)
+    // BENCH_r09.json's q47-q71 block). Probes run BEFORE a query's reps,
+    // so q04's hot probe also implicates q03 (the storm may have started
+    // during q03's reps) and q09's implicates q08 (VERDICT r10 ask #8).
     cpq(ns(3)) = 1.0
     cpq(ns(4)) = 0.9
     cpq(ns(5)) = 0.8
     cpq(ns(8)) = 0.7
     val (flag, mx) = Bench.contentionSummary(cq, cpq)
-    assert(flag == "q04-q06,q09", s"got '$flag'")
+    assert(flag == "q03-q06,q08-q09", s"got '$flag'")
     assert(mx > 5.0, s"max ratio should reflect the worst query, got $mx")
+  }
+
+  test("a storm first seen on the LAST query's probe flags its predecessor") {
+    val ns = names(6)
+    val cq = LinkedHashMap(ns.map(_ -> 0.10): _*)
+    val cpq = LinkedHashMap(ns.map(_ -> 0.12): _*)
+    cpq(ns(5)) = 2.0 // storm started mid-rep of q05, caught by q06's probe
+    val (flag, _) = Bench.contentionSummary(cq, cpq)
+    assert(flag == "q05-q06", s"got '$flag'")
   }
 
   test("degenerate inputs (one query, zero probes) stay quiet") {
