@@ -6509,6 +6509,70 @@ object QueriesExt {
       |GROUP BY h.doc_id
       |ORDER BY media_id""".stripMargin
 
+  /** Frame-sampling gate (VERDICT r10 polish #8: `decodeFrames`'
+    * `frameStride` — the video frame-sampling path — was spec-proven
+    * (MultimodalSpec) but not oracle-gated). q49's stub pipeline over
+    * 6-frame payloads with stride 3: only frames 0 and 3 survive the
+    * per-partition lazy decode, then histogram → argmax as in q49. The
+    * DuckDB oracle derives the SAME closed-form pixels (see [[q49Sql]])
+    * for `range(6)` frame indices and applies the stride as a plain
+    * `fr % 3 = 0` filter — hash equality proves the sampled-frame SET
+    * and every sampled frame's bytes simultaneously. Scale shape:
+    * identical to q49 — sampling happens INSIDE the partition-local
+    * decode iterator (skipped frames are never materialized), no extra
+    * shuffle. */
+  private val q174: Q = (s, dir) => {
+    import graft.operators.Multimodal
+    import s.implicits._
+    val media = Multimodal.fromBinary(s,
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), encode(col("text"), "UTF-8"))
+        .as[(Long, Array[Byte])],
+      format = "jpg", width = 16, height = 8, nFrames = 6)
+    val feats = Multimodal.histogramFeatures(
+      Multimodal.decodeFrames(media, frameStride = 3))
+    feats.toDF()
+      .select(col("mediaId").as("media_id"), col("frameIdx").as("frame_idx"),
+        expr("array_position(feature, array_max(feature))").cast("long")
+          .as("top_bin"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  private val q174Sql =
+    """WITH RECURSIVE pw(e, v) AS (
+      |  SELECT 0, CAST(1 AS BIGINT)
+      |  UNION ALL
+      |  SELECT e + 1, (v * 31) % 4294967296 FROM pw WHERE e < 128
+      |),
+      |p AS (SELECT list(v ORDER BY e) AS pow31 FROM pw),
+      |d AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |             octet_length(encode(text)) AS cl
+      |      FROM documents WHERE doc_id < 200),
+      |b AS (SELECT doc_id, cl,
+      |        list_transform(range(least(cl, 128)), j ->
+      |          CAST(('0x' || substring(hx, CAST(j*2+1 AS INTEGER), 2)) AS BIGINT)) AS bytes
+      |      FROM d),
+      |f AS (SELECT doc_id, cl, bytes, CAST(fr AS INTEGER) AS frame_idx,
+      |             fr * 131 + 17 AS acc0
+      |      FROM b CROSS JOIN range(6) t(fr) WHERE fr % 3 = 0),
+      |px AS (SELECT doc_id, frame_idx,
+      |         list_transform(range(128), i ->
+      |           ((pow31[CAST(i+2 AS INTEGER)] * acc0 +
+      |             list_sum(list_transform(range(i+1), j ->
+      |               pow31[CAST(i-j+1 AS INTEGER)] *
+      |               (CASE WHEN cl = 0 THEN 0
+      |                     ELSE bytes[CAST((j % cl)+1 AS INTEGER)] END)))
+      |            ) % 4294967296) % 256) AS pxs
+      |       FROM f CROSS JOIN p),
+      |feat AS (SELECT doc_id, frame_idx,
+      |           list_transform(range(16), t ->
+      |             CAST(len(list_filter(pxs, x -> x // 16 = t)) AS DOUBLE) / 128) AS feature
+      |         FROM px)
+      |SELECT doc_id AS media_id, frame_idx,
+      |       CAST(list_position(feature, list_max(feature)) AS BIGINT) AS top_bin
+      |FROM feat
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q23_tree_rollup", q23, Some(q23Sql)),
     Entry("q24_streaming_window", q24, Some(q24Sql)),
@@ -6656,6 +6720,7 @@ object QueriesExt {
     Entry("q170_mixture_weights", q170, Some(q170Sql)),
     Entry("q171_curriculum_order", q171, Some(q171Sql)),
     Entry("q172_image_codec_gate", q172, Some(q172Sql)),
-    Entry("q173_multimodal_real_resize", q173, Some(q173Sql))
+    Entry("q173_multimodal_real_resize", q173, Some(q173Sql)),
+    Entry("q174_multimodal_frame_sample", q174, Some(q174Sql))
   )
 }

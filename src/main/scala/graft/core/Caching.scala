@@ -28,14 +28,49 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * bounded, and the cache was never materialized in that case anyway.
   * A false match (another query with a structurally identical plan) can
   * only unpersist EARLY, which is a recompute, never a wrong answer.
+  *
+  * Construction-orphan bound (VERDICT r10 ask #5): a caller that builds
+  * the query and never runs an action leaves the listener registered.
+  * One orphan is bounded (plan references only), but a loop that
+  * CONSTRUCTS queries without executing them — a planner exploring
+  * alternatives, a dry-run validator — would accumulate one listener per
+  * construction on the session's listener bus, each paying a
+  * `sameResult` walk on every later action. Pending listeners are
+  * therefore tracked per session (weakly — sessions must stay
+  * collectable) and capped: registering past [[maxPending]] EVICTS the
+  * oldest, unpersisting its caches as it goes. Eviction is the
+  * "caller abandoned the result" path — construction-time consumers may
+  * have materialized the cache, so dropping the blocks is the leak fix,
+  * and the abandoned plan can at worst recompute if the caller executes
+  * it after all.
   */
 object Caching {
 
+  /** Per-session cap on not-yet-fired listeners. Small on purpose: a
+    * real pipeline executes what it builds, so pending listeners beyond
+    * a handful mean construct-without-action churn, not fan-out. */
+  private[core] val maxPending = 16
+
+  /** session → FIFO of pending (listener, its unpersist thunk). Weak
+    * keys so a stopped session's entries vanish with it; all access
+    * synchronized on the map (registration is construction-time, never
+    * hot). */
+  private val pending = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    java.util.ArrayDeque[(QueryExecutionListener, () => Unit)]]
+
+  private[core] def pendingCount(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    pending.synchronized {
+      Option(pending.get(spark)).map(_.size).getOrElse(0)
+    }
+
   def unpersistAfterFirstAction(result: DataFrame,
       cached: DataFrame*): DataFrame = {
-    val mgr = result.sparkSession.listenerManager
+    val spark = result.sparkSession
+    val mgr = spark.listenerManager
     val target = result.queryExecution.analyzed
-    val listener = new QueryExecutionListener {
+    val listener: QueryExecutionListener = new QueryExecutionListener {
       private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
       private def maybe(qe: QueryExecution): Unit = {
         // the listener bus delivers asynchronously — never let a plan
@@ -46,6 +81,10 @@ object Caching {
         if (hit && done.compareAndSet(false, true)) {
           cached.foreach(_.unpersist(blocking = false))
           mgr.unregister(this)
+          pending.synchronized {
+            Option(pending.get(spark)).foreach(q =>
+              q.removeIf(_._1 eq this))
+          }
         }
       }
       override def onSuccess(funcName: String, qe: QueryExecution,
@@ -54,6 +93,25 @@ object Caching {
           exception: Exception): Unit = maybe(qe)
     }
     mgr.register(listener)
+    val evicted = pending.synchronized {
+      val q = Option(pending.get(spark)).getOrElse {
+        val fresh = new java.util.ArrayDeque[
+          (QueryExecutionListener, () => Unit)]
+        pending.put(spark, fresh)
+        fresh
+      }
+      q.addLast((listener,
+        () => cached.foreach(_.unpersist(blocking = false))))
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(QueryExecutionListener, () => Unit)]
+      while (q.size > maxPending) out += q.removeFirst()
+      out.toSeq
+    }
+    // unregister + unpersist outside the lock: both call into Spark
+    evicted.foreach { case (l, unpersist) =>
+      mgr.unregister(l)
+      unpersist()
+    }
     result
   }
 }

@@ -151,6 +151,19 @@ object Graph {
     // the node-sized adjacency per partition (out-degrees ≤ O(√m) by
     // orientation, so build partitions stay bounded) and STREAMS the fat
     // side unsorted — the spill disappears structurally, at every scale.
+    // CAVEAT (ADVICE r10): ShuffledHashJoinExec's build side cannot
+    // spill — a build partition that exceeds execution memory OOMs where
+    // SMJ would have spilled. The floor that keeps it safe: total
+    // adjacency bytes ≈ m·(8 B key + ~12 B/neighbor entry), so size
+    // spark.sql.shuffle.partitions ≥ adjacencyBytes / (~¼ of per-task
+    // execution memory). At the measured shapes (sf10: m≈4.8 M canon
+    // edges → ~60 MB adjacency over 32 partitions ≈ 2 MB builds) this is
+    // 3 orders of magnitude of headroom; a 100 TB graph sizes partitions
+    // to 2-3× cluster cores anyway (Sessions.cluster), which scales the
+    // denominator with the data. Only a DEGENERATE hub graph (one node
+    // adjacent to ~everything, defeating the √m bound via hash collision
+    // on a single build key) concentrates a build partition; for those,
+    // drop the hint and take SMJ's sort spill instead.
     val tris = adj
       .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
       .join(adj.select(col("u").as("jv"), col("nbrs").as("nv")).hint("shuffle_hash"),

@@ -42,4 +42,29 @@ class CachingSpec extends SparkSpec {
     assert(awaitRelease(base),
       "a write action on the wrapped plan did not release the cache")
   }
+
+  test("construct-without-action churn cannot accumulate listeners " +
+      "(pending capped, evicted caches released)") {
+    // VERDICT r10 ask #5: a loop that BUILDS queries and never executes
+    // them (dry-run planner shape) must not grow the session's listener
+    // bus without bound — past the cap the oldest pending registration
+    // is evicted and its cache dropped.
+    val bases = (1 to Caching.maxPending + 5).map { i =>
+      val b = spark.range(100 + i).toDF("id").persist()
+      b.count() // materialize so eviction has real blocks to drop
+      Caching.unpersistAfterFirstAction(
+        b.groupBy().agg(sum(col("id")).as("s")), b)
+      b
+    }
+    assert(Caching.pendingCount(spark) <= Caching.maxPending,
+      s"pending listeners exceeded the cap: ${Caching.pendingCount(spark)}")
+    // eviction is FIFO: any `start` pre-existing pendings go first, then
+    // our oldest 5; the newest maxPending remain cached
+    val evicted = bases.take(5)
+    assert(evicted.forall(awaitRelease),
+      "an evicted registration left its cache resident")
+    assert(bases.last.storageLevel.useMemory,
+      "a still-pending registration lost its cache")
+    bases.foreach(_.unpersist(blocking = false))
+  }
 }

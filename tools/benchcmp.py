@@ -61,6 +61,7 @@ def load(path: str) -> dict:
             calib = re.search(r'"calib_sec":([0-9][0-9.eE+-]*)', tail)
             cont = re.search(r'"contended":"([^"]*)"', tail)
             cmax = re.search(r'"contend_max":([0-9][0-9.eE+-]*)', tail)
+            spill = re.search(r'"spill_top":"([^"]*)"', tail)
             print(f"NOTE: {path} is a truncated driver wrapper; salvaged "
                   f"{len(qs)} query timings from its tail", file=sys.stderr)
             out = {"queries": qs,
@@ -69,6 +70,8 @@ def load(path: str) -> dict:
                 out["contended"] = cont.group(1)
             if cmax:
                 out["contend_max"] = float(cmax.group(1))
+            if spill:
+                out["spill_top"] = spill.group(1)
             return out
     raise SystemExit(f"{path}: no bench JSON line found")
 
@@ -94,6 +97,12 @@ def main() -> int:
                   f"during {d['contended']} (max probe degradation "
                   f"{d.get('contend_max', '?')}x median) -- its timings for "
                   f"those queries are contaminated, not code", file=sys.stderr)
+        # top per-rep disk spillers (r11: the evidence class that settled
+        # the q85 flag, carried by the tail twin so the one archived
+        # artifact shows WHICH queries hit the disk and by how much)
+        if d.get("spill_top"):
+            print(f"{label} ({side}) top disk spillers (MB/rep): "
+                  f"{d['spill_top']}")
     ca, cb = a.get("calib_sec"), b.get("calib_sec")
     if not ca or not cb:
         print("WARNING: calib_sec missing on one side; comparing RAW times "
