@@ -220,6 +220,22 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(chain.toDF("src", "dst"), k = 2, maxRounds = 6).isEmpty)
   }
 
+  test("kCore round state is node-sized: storage does not grow with peel depth") {
+    // a 12-chain at k=2 peels one endpoint pair per round — 6 peel rounds
+    // plus convergence. The round-11 sf10 failure mode was the OLD
+    // implementation checkpointing the EDGE table every round
+    // (O(rounds × |E|) storage blocks -> GC-thrashed driver); pin that a
+    // deep peel leaves at most the two caller-visible materializations
+    // (kCore's canon checkpoint + the returned degree table) behind.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val chain = (0 until 12).map(i => (s"n$i", s"n${i + 1}"))
+    assert(Graph.kCore(chain.toDF("src", "dst"), k = 2, maxRounds = 8).isEmpty)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2,
+      s"kCore left ${leaked.size} persistent RDDs (expected <= 2: canon + result)")
+  }
+
   test("kCore is partition-invariant") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(400)((s"n${rnd.nextInt(60)}", s"n${rnd.nextInt(60)}"))
