@@ -17,7 +17,14 @@ object Verify {
     }
     def selected(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
+    // SPARK_GRAFT_MASTER (same contract as Bench): the multi-executor
+    // correctness leg (tools/lcverify.sh) runs THIS entrypoint through
+    // spark-submit on local-cluster[W,C,M] — real executor processes —
+    // to pin that every query's RESULT is topology-invariant, not just
+    // its plan bytes. The env must match spark-submit's --master; an
+    // explicit .master() always wins over the CLI flag.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = graft.core.Sessions.builder(master, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Failures must land in the artifact, not only stderr: a query that
