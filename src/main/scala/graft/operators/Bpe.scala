@@ -75,10 +75,14 @@ object Bpe {
     *         every word collapses to a single piece first */
   def train(words: DataFrame, nMerges: Int): Seq[Merge] = {
     require(nMerges >= 1, s"train needs nMerges >= 1, got $nMerges")
-    var pieces = words
+    // pieces is vocabulary-sized and re-checkpointed per merge round — a
+    // realistic 32k-merge training run would otherwise hold 32k copies in
+    // storage; rotate the blocks (graft.core.RoundCheckpoints)
+    val rc = new graft.core.RoundCheckpoints(words.sparkSession.sparkContext)
+    var pieces = rc.rotate(words
       .select(col("freq"),
         filter(split(col("word"), ""), x => x =!= lit("")).as("pieces"))
-      .localCheckpoint()
+      .localCheckpoint())
     val rules = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 1
     while (rank <= nMerges) {
@@ -98,9 +102,9 @@ object Bpe {
       if (top.isEmpty) return rules.toSeq // nothing left to merge
       val (l, r, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       rules += Merge(rank, l, r, pf)
-      pieces = pieces
+      pieces = rc.rotate(pieces
         .select(col("freq"), applyMerge(col("pieces"), l, r).as("pieces"))
-        .localCheckpoint()
+        .localCheckpoint())
       rank += 1
     }
     rules.toSeq

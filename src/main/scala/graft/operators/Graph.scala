@@ -55,12 +55,21 @@ object Graph {
     require(iters >= 1, s"pageRank needs >= 1 iteration, got $iters")
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val annotated = e.join(deg, "src").cache()
+    // force the cache buffers NOW: a lazily-populated cache registers its
+    // RDD during the first iteration's rotate body and the rotation would
+    // release it one round later, silently uncaching the loop invariant
+    annotated.count()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
 
-    var rank = nodes.withColumn("rank_micro", lit(initMicro)).localCheckpoint()
-    for (_ <- 1 to iters) {
+    // rank is node-sized and re-checkpointed every iteration — rotate the
+    // blocks (graft.core.RoundCheckpoints) or a 20-iteration run holds 20
+    // node tables in storage, the kCore defect one size class down
+    val rc = new graft.core.RoundCheckpoints(e.sparkSession.sparkContext)
+    var rank = rc.rotate(
+      nodes.withColumn("rank_micro", lit(initMicro)).localCheckpoint())
+    for (_ <- 1 to iters) rank = rc.rotate {
       val contrib = annotated
         .join(rank, annotated("src") === rank("node"))
         .selectExpr("dst AS node", "rank_micro div outdeg AS c")
@@ -69,7 +78,7 @@ object Graph {
         .agg(expr("150000 + (850 * sum(c)) div 1000").as("rank_micro"))
       // no-incoming-edge nodes keep base mass; in a symmetrized graph
       // this join is a no-op but the operator must not drop nodes
-      rank = nodes
+      nodes
         .join(stepped, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("rank_micro"), lit(150000L)).as("rank_micro"))
@@ -198,18 +207,28 @@ object Graph {
   def bfsDistancesPrepared(e: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"bfsDistances needs maxHops >= 0, got $maxHops")
-    var frontier = seeds.select(col("node")).distinct().localCheckpoint()
-    var reached = frontier.withColumn("dist", lit(0)).localCheckpoint()
+    // frontier + reached are re-checkpointed every hop — rotate the blocks
+    // (graft.core.RoundCheckpoints) so a deep traversal holds two hops of
+    // state, not maxHops of them
+    val rc = new graft.core.RoundCheckpoints(e.sparkSession.sparkContext)
+    var frontier: DataFrame = null
+    var reached: DataFrame = null
+    rc.rotate {
+      frontier = seeds.select(col("node")).distinct().localCheckpoint()
+      reached = frontier.withColumn("dist", lit(0)).localCheckpoint()
+    }
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
-      frontier = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node")).distinct()
-        .join(reached, Seq("node"), "left_anti")
-        .localCheckpoint()
-      reached = reached
-        .unionByName(frontier.withColumn("dist", lit(hop)))
-        .localCheckpoint()
+      rc.rotate {
+        frontier = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(reached, Seq("node"), "left_anti")
+          .localCheckpoint()
+        reached = reached
+          .unionByName(frontier.withColumn("dist", lit(hop)))
+          .localCheckpoint()
+      }
     }
     reached
   }
@@ -246,29 +265,34 @@ object Graph {
   def weightedDistancesPrepared(e: DataFrame, seeds: DataFrame,
       maxRounds: Int): DataFrame = {
     require(maxRounds >= 0, s"weightedDistances needs maxRounds >= 0, got $maxRounds")
-    var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+    // dist + improved are re-checkpointed every round — rotate the blocks
+    // (graft.core.RoundCheckpoints; the bfsDistancesPrepared discipline)
+    val rc = new graft.core.RoundCheckpoints(e.sparkSession.sparkContext)
+    var dist = rc.rotate(seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint())
     var frontier = dist
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
       round += 1
-      // cheapest offer per neighbor from the improved set only
-      val offers = e
-        .join(frontier.select(col("node").as("src"), col("dist").as("sd")),
-          Seq("src"))
-        .select(col("dst").as("node"), (col("sd") + col("w")).as("cand"))
-        .groupBy("node").agg(min("cand").as("cand"))
-      val improved = offers.join(dist, Seq("node"), "left")
-        .filter(col("dist").isNull || col("cand") < col("dist"))
-        .select(col("node"), col("cand").as("dist"))
-        .localCheckpoint()
-      dist = dist
-        .join(improved.select(col("node"), col("dist").as("gf_nd")),
-          Seq("node"), "left")
-        .select(col("node"), coalesce(col("gf_nd"), col("dist")).as("dist"))
-        .unionByName(improved.join(dist, Seq("node"), "left_anti"))
-        .localCheckpoint()
-      frontier = improved
+      rc.rotate {
+        // cheapest offer per neighbor from the improved set only
+        val offers = e
+          .join(frontier.select(col("node").as("src"), col("dist").as("sd")),
+            Seq("src"))
+          .select(col("dst").as("node"), (col("sd") + col("w")).as("cand"))
+          .groupBy("node").agg(min("cand").as("cand"))
+        val improved = offers.join(dist, Seq("node"), "left")
+          .filter(col("dist").isNull || col("cand") < col("dist"))
+          .select(col("node"), col("cand").as("dist"))
+          .localCheckpoint()
+        dist = dist
+          .join(improved.select(col("node"), col("dist").as("gf_nd")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("gf_nd"), col("dist")).as("dist"))
+          .unionByName(improved.join(dist, Seq("node"), "left_anti"))
+          .localCheckpoint()
+        frontier = improved
+      }
     }
     dist
   }
@@ -322,40 +346,37 @@ object Graph {
         .groupBy("node").agg(count(lit(1)).as("core_deg"))
     // release the node-sized checkpoints of round r-1 once round r's are
     // materialized (localCheckpoint persists at the RDD layer, which
-    // Dataset.unpersist cannot reach — diff the persistent-RDD registry
-    // around this round's eager checkpoints instead; construction is
-    // single-threaded per query, the engine-wide convention)
-    var prevIds = Set.empty[Int]
-    def releasePrev(keep: Set[Int]): Unit = {
-      prevIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevIds = keep
-    }
+    // Dataset.unpersist cannot reach — graft.core.RoundCheckpoints diffs
+    // the persistent-RDD registry around each round's eager checkpoints;
+    // construction is single-threaded per query, the engine-wide
+    // convention)
+    val rc = new graft.core.RoundCheckpoints(sc)
     var removed: DataFrame = null
     var round = 0
     while (round < maxRounds) {
       round += 1
-      val before = sc.getPersistentRDDs.keySet.toSet
       // peel against the DROP set, not the keep set: after the first round
       // the overwhelming majority of nodes survive, so the anti-join's
       // build side is the small complement (broadcast hash anti) instead
       // of a node-sized semi-join build — and an empty drop set IS the
       // convergence signal, with the degree table already in hand as the
       // result
-      val live =
-        if (removed == null) canon
-        else canon
-          .join(removed.select(col("node").as("a")), Seq("a"), "left_anti")
-          .join(removed.select(col("node").as("b")), Seq("b"), "left_anti")
-      val deg = degrees(live).localCheckpoint()
-      val drop = deg.filter(col("core_deg") < k).select(col("node"))
-      if (drop.isEmpty) {
-        releasePrev(Set.empty) // keep deg — it is the caller's result
-        return deg
+      val result = rc.rotate {
+        val live =
+          if (removed == null) canon
+          else canon
+            .join(removed.select(col("node").as("a")), Seq("a"), "left_anti")
+            .join(removed.select(col("node").as("b")), Seq("b"), "left_anti")
+        val deg = degrees(live).localCheckpoint()
+        val drop = deg.filter(col("core_deg") < k).select(col("node"))
+        if (drop.isEmpty) Some(deg) // converged: deg is the caller's result
+        else {
+          removed = (if (removed == null) drop
+            else removed.unionByName(drop)).localCheckpoint()
+          None
+        }
       }
-      removed = (if (removed == null) drop
-        else removed.unionByName(drop)).localCheckpoint()
-      releasePrev(sc.getPersistentRDDs.keySet.toSet -- before)
+      if (result.isDefined) return result.get
     }
     throw new IllegalStateException(
       s"kCore did not converge within $maxRounds rounds")
@@ -395,14 +416,16 @@ object Graph {
     val e = canon.select(col("a").as("n"), col("b").as("m"))
       .unionByName(canon.select(col("b").as("n"), col("a").as("m")))
       .localCheckpoint()
-    var labels = e.select(col("n")).distinct()
+    // labels are re-checkpointed every round — rotate the blocks
+    // (graft.core.RoundCheckpoints; the pageRankPrepared discipline)
+    val rc = new graft.core.RoundCheckpoints(canon.sparkSession.sparkContext)
+    var labels = rc.rotate(e.select(col("n")).distinct()
       .select(col("n"), col("n").as("label"))
-      .localCheckpoint()
+      .localCheckpoint())
     val byVotes = Window.partitionBy(col("n"))
       .orderBy(col("c").desc, col("label"))
-    for (_ <- 1 to rounds) {
-      labels = e
-        .join(labels.select(col("n").as("m"), col("label")), "m")
+    for (_ <- 1 to rounds) labels = rc.rotate {
+      e.join(labels.select(col("n").as("m"), col("label")), "m")
         .groupBy(col("n"), col("label")).agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(byVotes))
         .filter(col("rn") === 1)

@@ -151,32 +151,43 @@ object NearDup {
     var lab = edges.groupBy(col("n"))
       .agg(least(min(col("m")), first(col("n"))).as("lab"))
       .cache()
+    // force both loop-invariant caches NOW: lazily-populated cache buffers
+    // would register their RDDs inside the first round's rotation and be
+    // released one round later, silently uncaching edges mid-loop
+    lab.count()
+    // per-round localCheckpoint blocks live at the RDD layer, which the
+    // Dataset.unpersist below cannot reach — rotate them
+    // (graft.core.RoundCheckpoints) or the loop accumulates one node-sized
+    // block per round, the kCore storage defect in miniature
+    val rc = new graft.core.RoundCheckpoints(pairs.sparkSession.sparkContext)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val viaNeighbor = edges
-        .join(lab.withColumnRenamed("n", "m"), Seq("m"))
-        .groupBy(col("n")).agg(min(col("lab")).as("nlab"))
-      // cache the one-hop result: the pointer-jump self-join reads it from
-      // BOTH sides — uncached, the edges join + aggregate would run twice
-      val hop = lab.join(viaNeighbor, Seq("n"))
-        .select(col("n"), least(col("lab"), col("nlab")).as("lab"))
-        .cache()
-      // pointer jump: follow the label one more step (labels are nodes too).
-      // localCheckpoint (eager) TRUNCATES LINEAGE: the self-join references
-      // hop twice, so without truncation the logical plan doubles per round
-      // and planning itself blows up exponentially (the classic iterative-
-      // algorithm failure; same discipline as GraphX's periodic checkpoint)
-      val next = hop.as("x")
-        .join(hop.select(col("n").as("lab"), col("lab").as("lab2")).as("y"),
-          Seq("lab"), "left")
-        .select(col("n"), least(col("lab"), coalesce(col("lab2"), col("lab"))).as("lab"))
-        .localCheckpoint()
-      converged = next.join(lab.withColumnRenamed("lab", "old"), Seq("n"))
-        .filter(col("lab") < col("old")).isEmpty
-      hop.unpersist()
-      lab.unpersist()
-      lab = next
+      rc.rotate {
+        val viaNeighbor = edges
+          .join(lab.withColumnRenamed("n", "m"), Seq("m"))
+          .groupBy(col("n")).agg(min(col("lab")).as("nlab"))
+        // cache the one-hop result: the pointer-jump self-join reads it from
+        // BOTH sides — uncached, the edges join + aggregate would run twice
+        val hop = lab.join(viaNeighbor, Seq("n"))
+          .select(col("n"), least(col("lab"), col("nlab")).as("lab"))
+          .cache()
+        // pointer jump: follow the label one more step (labels are nodes too).
+        // localCheckpoint (eager) TRUNCATES LINEAGE: the self-join references
+        // hop twice, so without truncation the logical plan doubles per round
+        // and planning itself blows up exponentially (the classic iterative-
+        // algorithm failure; same discipline as GraphX's periodic checkpoint)
+        val next = hop.as("x")
+          .join(hop.select(col("n").as("lab"), col("lab").as("lab2")).as("y"),
+            Seq("lab"), "left")
+          .select(col("n"), least(col("lab"), coalesce(col("lab2"), col("lab"))).as("lab"))
+          .localCheckpoint()
+        converged = next.join(lab.withColumnRenamed("lab", "old"), Seq("n"))
+          .filter(col("lab") < col("old")).isEmpty
+        hop.unpersist()
+        lab.unpersist() // round 0's cache; later rounds' blocks rotate out
+        lab = next
+      }
       i += 1
     }
     edges.unpersist()

@@ -40,15 +40,22 @@ object TreeRollup {
       .filter($"parentId".isNotNull && $"parentId" =!= "na")
     val parentsWithChildren = edges.select($"parentId".as("id")).distinct()
 
+    // the per-round `resolved` checkpoints rotate (graft.core
+    // .RoundCheckpoints): without release a deep tree holds every round's
+    // node-sized table in storage at once. `resolvedNew` deliberately uses
+    // cache() instead — it lives only within its round (unpersisted below),
+    // and on the FINAL, non-progressing round `resolved` is NOT replaced,
+    // so nothing may release the carried checkpoint that round.
+    val rc = new graft.core.RoundCheckpoints(spark.sparkContext)
+
     // Round 0: childless nodes average their own raw scores.
-    var resolved = leafScores.groupBy($"id")
+    var resolved = rc.rotate(leafScores.groupBy($"id")
       .agg(floor(avg($"score") * 1000000L).cast("long").as("vmicro"))
       .join(parentsWithChildren, Seq("id"), "left_anti")
       .withColumn("height", lit(0))
-      .localCheckpoint()
+      .localCheckpoint())
 
     val childCounts = edges.groupBy($"parentId").agg(count("*").as("n_children"))
-
     var progressing = true
     var depth = 0
     while (progressing && depth < maxDepth) {
@@ -66,10 +73,11 @@ object TreeRollup {
         .select($"parentId".as("id"), $"vmicro", $"height")
       val resolvedNew = candidate
         .join(resolved.select($"id"), Seq("id"), "left_anti")
-        .localCheckpoint()
+        .cache()
       progressing = !resolvedNew.isEmpty
       if (progressing)
-        resolved = resolved.unionByName(resolvedNew).localCheckpoint()
+        resolved = rc.rotate(resolved.unionByName(resolvedNew).localCheckpoint())
+      resolvedNew.unpersist()
     }
     resolved.select($"id", ($"vmicro" / 1000000L).as("value"), $"height")
   }

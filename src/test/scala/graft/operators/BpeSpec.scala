@@ -88,4 +88,17 @@ class BpeSpec extends SparkSpec {
     assert(a == refBpe(words, 6).zipWithIndex.map { case ((l, r, pf), i) =>
       Bpe.Merge(i + 1, l, r, pf) })
   }
+
+  test("train storage does not grow with merge count") {
+    // 8 merge rounds re-checkpoint the pieces table 8 times; the blocks
+    // must rotate (graft.core.RoundCheckpoints) — a realistic 32k-merge
+    // vocabulary would otherwise hold 32k copies in storage
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    assert(Bpe.train(words.toSeq.toDF("word", "freq"), 8).size == 8)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"train left ${leaked.size} persistent RDDs (expected <= 1: final pieces)")
+  }
 }

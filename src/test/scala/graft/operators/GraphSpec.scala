@@ -321,4 +321,55 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(run(1) == run(13))
   }
+
+  // Storage-rotation bounds (graft.core.RoundCheckpoints): every bounded-
+  // fixpoint loop must leave O(1) persistent RDDs behind, not O(rounds) —
+  // the generalized kCore sf10 lesson. Each op below runs enough rounds
+  // that the pre-rotation implementation would trip the bound.
+  private def leakedBy(body: => Unit): Int = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    body
+    (sc.getPersistentRDDs.keySet -- before).size
+  }
+
+  test("pageRank storage does not grow with iteration count") {
+    // 10 iterations; pre-rotation this left 11 rank checkpoints
+    val n = leakedBy {
+      Graph.pageRank(diamond.toDF("src", "dst"), iters = 10).collect()
+    }
+    assert(n <= 3, s"pageRank left $n persistent RDDs (expected <= 3: " +
+      "edge checkpoint + node table + final rank)")
+  }
+
+  test("bfsDistances storage does not grow with traversal depth") {
+    // a 10-chain walked end to end; pre-rotation: 2 blocks per hop
+    val chain = (0 until 10).map(i => (s"n$i", s"n${i + 1}"))
+    val n = leakedBy {
+      Graph.bfsDistances(chain.toDF("src", "dst"),
+        Seq("n0").toDF("node"), maxHops = 12).collect()
+    }
+    assert(n <= 3, s"bfsDistances left $n persistent RDDs (expected <= 3: " +
+      "edge checkpoint + final frontier/reached)")
+  }
+
+  test("weightedDistances storage does not grow with round count") {
+    val chain = (0 until 10).map(i => (s"n$i", s"n${i + 1}", (i + 1).toLong))
+    val n = leakedBy {
+      Graph.weightedDistances(chain.toDF("src", "dst", "w"),
+        Seq("n0").toDF("node"), maxRounds = 12).collect()
+    }
+    assert(n <= 3, s"weightedDistances left $n persistent RDDs (expected " +
+      "<= 3: edge checkpoint + final improved/dist)")
+  }
+
+  test("labelPropagation storage does not grow with round count") {
+    val canon = Graph.canonicalUndirected(
+      barbell.toDF("src", "dst")).localCheckpoint()
+    val n = leakedBy {
+      Graph.labelPropagation(canon, rounds = 10).collect()
+    }
+    assert(n <= 2, s"labelPropagation left $n persistent RDDs (expected " +
+      "<= 2: symmetrized edge checkpoint + final labels)")
+  }
 }

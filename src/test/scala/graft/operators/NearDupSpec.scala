@@ -191,4 +191,19 @@ class NearDupSpec extends SparkSpec {
     assert(pairs.length == pairs.distinct.length)
     assert(rows.length == bruteEd(ss, 2).size)
   }
+
+  test("clusters storage does not grow with propagation rounds") {
+    // a 64-chain needs several pointer-jump rounds; the per-round label
+    // checkpoints must rotate (graft.core.RoundCheckpoints — Dataset
+    // .unpersist can't reach localCheckpoint's RDD-layer blocks), leaving
+    // only the final labeling persisted
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = NearDup.clusters(chain).collect()
+    assert(got.length == 65 && got.forall(_.getLong(1) == 0L))
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2,
+      s"clusters left ${leaked.size} persistent RDDs (expected <= 2: final labels)")
+  }
 }

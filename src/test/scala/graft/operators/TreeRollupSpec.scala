@@ -62,4 +62,21 @@ class TreeRollupSpec extends SparkSpec {
       .filter($"id" === "p").collect().head.getDouble(1)
     assert(v1 == v8)
   }
+
+  test("rollup storage does not grow with tree depth") {
+    // a 12-deep path resolves one level per round; the per-round
+    // `resolved` checkpoints must rotate (graft.core.RoundCheckpoints),
+    // leaving only the final table persisted
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val path = ("r", "na") +: (1 to 12).map(i =>
+      (s"n$i", if (i == 1) "r" else s"n${i - 1}"))
+    val nodes = path.toDF("id", "parentId")
+    val leaves = Seq(("n12", 42.0)).toDF("id", "score")
+    val got = TreeRollup.rollup(nodes, leaves).collect()
+    assert(got.length == 13 && got.forall(_.getDouble(1) == 42.0))
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2,
+      s"rollup left ${leaked.size} persistent RDDs (expected <= 2: final resolved)")
+  }
 }
