@@ -35,22 +35,36 @@ import org.apache.spark.sql.functions._
   * Usage: `runMain graft.SubCorpus <srcDir> <dstDir> <nDocs>` — then run
   * Verify + tools/check.py against `<dstDir>` for the brute-force-oracle
   * query names (SCALE.md documents the round-9 invocation).
+  *
+  * Keyed mode (round 11): `runMain graft.SubCorpus <src> <dst> <nKeys>
+  * <table> <keyColumn>` subsets an arbitrary table by the first `nKeys`
+  * DISTINCT key values in md5 order — the graph-family oracles derive a
+  * co-purchase graph from `lineitem`, and at full sf10 their brute-force
+  * DuckDB twins (wedge-materializing triangle/LPA joins over ~90 M edges)
+  * exhaust the machine's disk in temp spill before any timeout fires.
+  * An md5-stable `l_orderkey` subset keeps both engines on genuine sf10
+  * rows (stride-shifted multi-tenant key domain) while bounding the
+  * oracle's intermediate, the same trade the documents mode makes for the
+  * all-pairs dedup twins.
   */
 object SubCorpus {
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, dstDir, nS) = args
-    val n = nS.toInt
-    require(n >= 1, s"nDocs must be >= 1, got $n")
+    val (srcDir, dstDir, n, table, key) = args match {
+      case Array(s, d, nS)       => (s, d, nS.toInt, "documents", "doc_id")
+      case Array(s, d, nS, t, k) => (s, d, nS.toInt, t, k)
+    }
+    require(n >= 1, s"nKeys must be >= 1, got $n")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, srcDir, dstDir, n)
+    try run(spark, srcDir, dstDir, n, table, key)
     finally spark.stop()
   }
 
   def run(spark: org.apache.spark.sql.SparkSession, srcDir: String,
-      dstDir: String, nDocs: Int): Unit = {
+      dstDir: String, nDocs: Int, table: String = "documents",
+      key: String = "doc_id"): Unit = {
     val dst = new java.io.File(dstDir)
     dst.mkdirs()
     // dst == src would delete each source entry before linking it —
@@ -60,19 +74,22 @@ object SubCorpus {
     val files = Option(new java.io.File(srcDir).listFiles()).getOrElse(
       sys.error(s"source dir $srcDir unreadable"))
     files.filter(f => f.getName.endsWith(".parquet")
-        && f.getName != "documents.parquet").foreach { f =>
+        && f.getName != s"$table.parquet").foreach { f =>
       val t = new java.io.File(dst, f.getName)
       deleteRecursively(t)
       copyEntry(f, t)
     }
-    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val docs = spark.read.parquet(s"$srcDir/$table.parquet")
+    // distinct BEFORE the md5 top-k: a non-unique key (l_orderkey has
+    // ~4 lines per order) must select whole key groups, never split one
     val keep = docs
-      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("__h"))
-      .orderBy(col("__h")).limit(nDocs).select("doc_id")
+      .select(col(key)).distinct()
+      .select(col(key), md5(col(key).cast("string")).as("__h"))
+      .orderBy(col("__h")).limit(nDocs).select(key)
     ScaleUp.writeOne(
-      docs.join(broadcast(keep), Seq("doc_id"))
+      docs.join(broadcast(keep), Seq(key))
         .select(docs.columns.map(col).toIndexedSeq: _*),
-      s"$dstDir/documents.parquet")
+      s"$dstDir/$table.parquet")
   }
 
   /** One source-table entry → destination: hardlink a regular file when
