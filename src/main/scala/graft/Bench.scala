@@ -257,10 +257,17 @@ object Bench {
     // Locale.ROOT: f"$v%.4f" uses the JVM default locale, and a comma
     // decimal separator would make the compact twin invalid JSON —
     // defeating the tail-capture fix it exists for (ADVICE r7)
-    val qsCompact = results.toSeq.sortBy(_._1).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" +
-        String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    }.mkString("{", ",", "}")
+    // Dense per-query encoding (VERDICT r11 missing #4): the driver's
+    // archived tail is ~2 KB and the round-11 JSON-map twin (~2.7 KB at
+    // 174 queries) still lost its first ~40 entries off the front. One
+    // string field `qt` = "q01:.454;q02:1.058;..." — qNN keys, 3-decimal
+    // seconds, leading zero stripped — is ~10 bytes/query, so all 174
+    // entries plus the header fit in ~1.9 KB. tools/benchcmp.py parses
+    // both encodings (and still prefers the full line when it survives).
+    val qtCompact = results.toSeq.sortBy(_._1).map { case (k, v) =>
+      val t = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      k.takeWhile(_ != '_') + ":" + (if (t.startsWith("0.")) t.drop(1) else t)
+    }.mkString(";")
     // Contamination self-identification (VERDICT r9 missing #2): the
     // driver archives only this tail line, which truncates calib_q/
     // calib_pq out — so when a mid-run host storm hits (r9: q47-q71 read
@@ -287,7 +294,7 @@ object Bench {
         val out = new String(p.getInputStream.readAllBytes()).trim
         if (p.waitFor() == 0) out else "unknown"
       } catch { case _: Throwable => "unknown" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsCompact,"n_errors":${errors.size},"sf":"$sfDir","calib_sec":$calib,"calib_par":$calibPar2,"contended":${jstr(contended)},"contend_max":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(contendMax))},"spill_top":${jstr(spillTop)},"head":${jstr(head)}}""")
+    println(s"""{"metric":"total","value":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(total))},"unit":"sec","n_q":${results.size},"qt":${jstr(qtCompact)},"n_errors":${errors.size},"sf":"$sfDir","calib_sec":$calib,"calib_par":$calibPar2,"contended":${jstr(contended)},"contend_max":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(contendMax))},"spill_top":${jstr(spillTop)},"head":${jstr(head)}}""")
     spark.stop()
   }
 

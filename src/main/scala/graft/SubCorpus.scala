@@ -53,6 +53,8 @@ object SubCorpus {
     val (srcDir, dstDir, n, table, key) = args match {
       case Array(s, d, nS)       => (s, d, nS.toInt, "documents", "doc_id")
       case Array(s, d, nS, t, k) => (s, d, nS.toInt, t, k)
+      case _ => sys.error(
+        "usage: SubCorpus <srcDir> <dstDir> <nKeys> [<table> <keyColumn>]")
     }
     require(n >= 1, s"nKeys must be >= 1, got $n")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt

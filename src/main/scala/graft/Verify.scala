@@ -27,6 +27,15 @@ object Verify {
     val spark = graft.core.Sessions.builder(master, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // record the topology that produced this artifact (ADVICE r11: a
+    // forgotten `export SPARK_GRAFT_MASTER=local-cluster[...]` would
+    // silently change what every Verify run executes on — the check
+    // artifact itself must say which master it ran under)
+    Files.writeString(Paths.get(s"$outDir/_master.txt"),
+      s"${spark.sparkContext.master}\n")
+    if (sys.env.contains("SPARK_GRAFT_MASTER"))
+      System.err.println(
+        s"[verify] NOTE: SPARK_GRAFT_MASTER override active -> $master")
     // Failures must land in the artifact, not only stderr: a query that
     // errors here writes no parquet dir, and "missing" is indistinguishable
     // from "never declared" downstream (the round-4 lesson — 40 broken

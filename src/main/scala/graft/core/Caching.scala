@@ -49,7 +49,7 @@ object Caching {
   /** Per-session cap on not-yet-fired listeners. Small on purpose: a
     * real pipeline executes what it builds, so pending listeners beyond
     * a handful mean construct-without-action churn, not fan-out. */
-  private[core] val maxPending = 16
+  private[graft] val maxPending = 16
 
   /** session → FIFO of pending (listener, its unpersist thunk). Weak
     * keys so a stopped session's entries vanish with it; all access
@@ -59,7 +59,9 @@ object Caching {
     org.apache.spark.sql.SparkSession,
     java.util.ArrayDeque[(QueryExecutionListener, () => Unit)]]
 
-  private[core] def pendingCount(
+  // private[graft] (not [core]): the round-12 soak harness asserts this
+  // stays under the cap after a no-clearCache 174-query session
+  private[graft] def pendingCount(
       spark: org.apache.spark.sql.SparkSession): Int =
     pending.synchronized {
       Option(pending.get(spark)).map(_.size).getOrElse(0)

@@ -79,10 +79,10 @@ object Bpe {
     // realistic 32k-merge training run would otherwise hold 32k copies in
     // storage; rotate the blocks (graft.core.RoundCheckpoints)
     val rc = new graft.core.RoundCheckpoints(words.sparkSession.sparkContext)
-    var pieces = rc.rotate(words
+    var pieces = rc.rotate(rc.track(words
       .select(col("freq"),
         filter(split(col("word"), ""), x => x =!= lit("")).as("pieces"))
-      .localCheckpoint())
+      .localCheckpoint()))
     val rules = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 1
     while (rank <= nMerges) {
@@ -99,14 +99,18 @@ object Bpe {
         .agg(sum("freq").as("pf"))
         .orderBy(col("pf").desc, col("l"), col("r"))
         .limit(1).collect()
-      if (top.isEmpty) return rules.toSeq // nothing left to merge
+      if (top.isEmpty) { rc.releaseAll(); return rules.toSeq } // nothing left to merge
       val (l, r, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       rules += Merge(rank, l, r, pf)
-      pieces = rc.rotate(pieces
+      pieces = rc.rotate(rc.track(pieces
         .select(col("freq"), applyMerge(col("pieces"), l, r).as("pieces"))
-        .localCheckpoint())
+        .localCheckpoint()))
       rank += 1
     }
+    // the RESULT is `rules`, not the final pieces table — release its
+    // blocks instead of stranding a vocabulary-sized table per train()
+    // call on a long-lived session (the round-12 soak property)
+    rc.releaseAll()
     rules.toSeq
   }
 }

@@ -33,14 +33,19 @@ object Graph {
   /** @param edges two columns `src`, `dst` (any duplicate edges are
     *              collapsed — multi-edges would double-count mass)
     * @return `node`, `rank_micro` for every node incident to an edge */
-  def pageRank(edges: DataFrame, iters: Int, initMicro: Long = 1000000L): DataFrame =
+  def pageRank(edges: DataFrame, iters: Int, initMicro: Long = 1000000L): DataFrame = {
     // materialize the deduped edge list ONCE: deg, annotated, and nodes all
     // branch from it, and without truncation every branch re-runs the whole
     // upstream edge derivation (at sf0.1 that re-ran a lineitem-join scan
     // per iteration — 9 s instead of ~2)
-    pageRankPrepared(
-      edges.select(col("src"), col("dst")).distinct().localCheckpoint(),
-      iters, initMicro)
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val out = pageRankPrepared(e, iters, initMicro)
+    // the result is checkpointed (truncated lineage) — this wrapper owns
+    // its edge materialization and must not strand an edge-sized table
+    // per call on a long-lived session
+    graft.core.RoundCheckpoints.releasePersisted(e)
+    out
+  }
 
   /** [[pageRank]] over an edge table the CALLER has already deduped and
     * materialized — the entry point for pipelines running several graph
@@ -55,9 +60,10 @@ object Graph {
     require(iters >= 1, s"pageRank needs >= 1 iteration, got $iters")
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val annotated = e.join(deg, "src").cache()
-    // force the cache buffers NOW: a lazily-populated cache registers its
-    // RDD during the first iteration's rotate body and the rotation would
-    // release it one round later, silently uncaching the loop invariant
+    // force the loop-invariant cache NOW: every iteration reads it hot and
+    // its build cost lands here, not inside round 1's timing (rotation
+    // tracks checkpoints EXACTLY, so an untracked lazy cache is never at
+    // risk of being swept — this count is a locality choice, not a guard)
     annotated.count()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
@@ -67,8 +73,8 @@ object Graph {
     // blocks (graft.core.RoundCheckpoints) or a 20-iteration run holds 20
     // node tables in storage, the kCore defect one size class down
     val rc = new graft.core.RoundCheckpoints(e.sparkSession.sparkContext)
-    var rank = rc.rotate(
-      nodes.withColumn("rank_micro", lit(initMicro)).localCheckpoint())
+    var rank = rc.rotate(rc.track(
+      nodes.withColumn("rank_micro", lit(initMicro)).localCheckpoint()))
     for (_ <- 1 to iters) rank = rc.rotate {
       val contrib = annotated
         .join(rank, annotated("src") === rank("node"))
@@ -78,13 +84,16 @@ object Graph {
         .agg(expr("150000 + (850 * sum(c)) div 1000").as("rank_micro"))
       // no-incoming-edge nodes keep base mass; in a symmetrized graph
       // this join is a no-op but the operator must not drop nodes
-      nodes
+      rc.track(nodes
         .join(stepped, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("rank_micro"), lit(150000L)).as("rank_micro"))
-        .localCheckpoint()
+        .localCheckpoint())
     }
     annotated.unpersist()
+    // rank (the result) is checkpointed — the internal node table's
+    // blocks are recovery source for nothing anymore
+    graft.core.RoundCheckpoints.releasePersisted(nodes)
     rank
   }
 
@@ -196,10 +205,14 @@ object Graph {
     *              undirected reachability)
     * @param seeds one column `node`, distance-0 sources
     * @return (node, dist) for every node within `maxHops` of any seed */
-  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame =
-    bfsDistancesPrepared(
-      edges.select(col("src"), col("dst")).distinct().localCheckpoint(),
-      seeds, maxHops)
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val out = bfsDistancesPrepared(e, seeds, maxHops)
+    // `reached` (the result) is checkpointed — release the owned edge
+    // materialization instead of stranding it (pageRank's discipline)
+    graft.core.RoundCheckpoints.releasePersisted(e)
+    out
+  }
 
   /** [[bfsDistances]] over a caller-deduped, caller-materialized edge
     * table (the [[pageRankPrepared]] contract — q81/q86 share one trade
@@ -214,20 +227,21 @@ object Graph {
     var frontier: DataFrame = null
     var reached: DataFrame = null
     rc.rotate {
-      frontier = seeds.select(col("node")).distinct().localCheckpoint()
-      reached = frontier.withColumn("dist", lit(0)).localCheckpoint()
+      frontier = rc.track(seeds.select(col("node")).distinct().localCheckpoint())
+      reached = rc.track(frontier.withColumn("dist", lit(0)).localCheckpoint())
     }
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
       rc.rotate {
-        frontier = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
-          .select(col("dst").as("node")).distinct()
-          .join(reached, Seq("node"), "left_anti")
-          .localCheckpoint()
-        reached = reached
+        frontier = rc.track(
+          e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(reached, Seq("node"), "left_anti")
+            .localCheckpoint())
+        reached = rc.track(reached
           .unionByName(frontier.withColumn("dist", lit(hop)))
-          .localCheckpoint()
+          .localCheckpoint())
       }
     }
     reached
@@ -254,11 +268,15 @@ object Graph {
     * @param maxRounds max path length in edges
     * @return (node, dist): cheapest ≤ maxRounds-edge path from any seed */
   def weightedDistances(edges: DataFrame, seeds: DataFrame,
-      maxRounds: Int): DataFrame =
-    weightedDistancesPrepared(
-      edges.select(col("src"), col("dst"), col("w"))
-        .groupBy("src", "dst").agg(min("w").as("w")).localCheckpoint(),
-      seeds, maxRounds)
+      maxRounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .groupBy("src", "dst").agg(min("w").as("w")).localCheckpoint()
+    val out = weightedDistancesPrepared(e, seeds, maxRounds)
+    // `dist` (the result) is checkpointed — release the owned edge
+    // materialization instead of stranding it (pageRank's discipline)
+    graft.core.RoundCheckpoints.releasePersisted(e)
+    out
+  }
 
   /** [[weightedDistances]] over a caller-deduped, caller-materialized
     * (src, dst, w) table (the [[pageRankPrepared]] contract). */
@@ -268,8 +286,8 @@ object Graph {
     // dist + improved are re-checkpointed every round — rotate the blocks
     // (graft.core.RoundCheckpoints; the bfsDistancesPrepared discipline)
     val rc = new graft.core.RoundCheckpoints(e.sparkSession.sparkContext)
-    var dist = rc.rotate(seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint())
+    var dist = rc.rotate(rc.track(seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()))
     var frontier = dist
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
@@ -281,16 +299,16 @@ object Graph {
             Seq("src"))
           .select(col("dst").as("node"), (col("sd") + col("w")).as("cand"))
           .groupBy("node").agg(min("cand").as("cand"))
-        val improved = offers.join(dist, Seq("node"), "left")
+        val improved = rc.track(offers.join(dist, Seq("node"), "left")
           .filter(col("dist").isNull || col("cand") < col("dist"))
           .select(col("node"), col("cand").as("dist"))
-          .localCheckpoint()
-        dist = dist
+          .localCheckpoint())
+        dist = rc.track(dist
           .join(improved.select(col("node"), col("dist").as("gf_nd")),
             Seq("node"), "left")
           .select(col("node"), coalesce(col("gf_nd"), col("dist")).as("dist"))
           .unionByName(improved.join(dist, Seq("node"), "left_anti"))
-          .localCheckpoint()
+          .localCheckpoint())
         frontier = improved
       }
     }
@@ -317,7 +335,14 @@ object Graph {
     * @return (node, core_deg) — every k-core member with its degree
     *         inside the core (≥ k by construction) */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame =
-    kCoreCanonical(canonicalUndirected(edges).localCheckpoint(), k, maxRounds)
+    {
+      val canon = canonicalUndirected(edges).localCheckpoint()
+      val out = kCoreCanonical(canon, k, maxRounds)
+      // `deg` (the result) is checkpointed — release the owned canon
+      // materialization instead of stranding it (pageRank's discipline)
+      graft.core.RoundCheckpoints.releasePersisted(canon)
+      out
+    }
 
   /** [[kCore]] over a pre-canonicalized, pre-materialized edge table
     * (the [[triangleCountsCanonical]] contract, plus materialization —
@@ -346,10 +371,9 @@ object Graph {
         .groupBy("node").agg(count(lit(1)).as("core_deg"))
     // release the node-sized checkpoints of round r-1 once round r's are
     // materialized (localCheckpoint persists at the RDD layer, which
-    // Dataset.unpersist cannot reach — graft.core.RoundCheckpoints diffs
-    // the persistent-RDD registry around each round's eager checkpoints;
-    // construction is single-threaded per query, the engine-wide
-    // convention)
+    // Dataset.unpersist cannot reach — graft.core.RoundCheckpoints tracks
+    // each round's eager checkpoints exactly and unpersists the previous
+    // round's; concurrent statements on the same session are untouched)
     val rc = new graft.core.RoundCheckpoints(sc)
     var removed: DataFrame = null
     var round = 0
@@ -367,17 +391,20 @@ object Graph {
           else canon
             .join(removed.select(col("node").as("a")), Seq("a"), "left_anti")
             .join(removed.select(col("node").as("b")), Seq("b"), "left_anti")
-        val deg = degrees(live).localCheckpoint()
+        val deg = rc.track(degrees(live).localCheckpoint())
         val drop = deg.filter(col("core_deg") < k).select(col("node"))
         if (drop.isEmpty) Some(deg) // converged: deg is the caller's result
         else {
-          removed = (if (removed == null) drop
-            else removed.unionByName(drop)).localCheckpoint()
+          removed = rc.track((if (removed == null) drop
+            else removed.unionByName(drop)).localCheckpoint())
           None
         }
       }
       if (result.isDefined) return result.get
     }
+    // failure path: the last round's node-sized blocks will never be
+    // consumed — don't strand them on a long-lived driver (ADVICE r11)
+    rc.releaseAll()
     throw new IllegalStateException(
       s"kCore did not converge within $maxRounds rounds")
   }
@@ -419,19 +446,22 @@ object Graph {
     // labels are re-checkpointed every round — rotate the blocks
     // (graft.core.RoundCheckpoints; the pageRankPrepared discipline)
     val rc = new graft.core.RoundCheckpoints(canon.sparkSession.sparkContext)
-    var labels = rc.rotate(e.select(col("n")).distinct()
+    var labels = rc.rotate(rc.track(e.select(col("n")).distinct()
       .select(col("n"), col("n").as("label"))
-      .localCheckpoint())
+      .localCheckpoint()))
     val byVotes = Window.partitionBy(col("n"))
       .orderBy(col("c").desc, col("label"))
     for (_ <- 1 to rounds) labels = rc.rotate {
-      e.join(labels.select(col("n").as("m"), col("label")), "m")
+      rc.track(e.join(labels.select(col("n").as("m"), col("label")), "m")
         .groupBy(col("n"), col("label")).agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(byVotes))
         .filter(col("rn") === 1)
         .select(col("n"), col("label"))
-        .localCheckpoint()
+        .localCheckpoint())
     }
+    // labels (the result) is checkpointed — release the owned symmetrized
+    // edge materialization instead of stranding it (pageRank's discipline)
+    graft.core.RoundCheckpoints.releasePersisted(e)
     labels
   }
 

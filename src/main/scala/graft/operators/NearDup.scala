@@ -151,9 +151,12 @@ object NearDup {
     var lab = edges.groupBy(col("n"))
       .agg(least(min(col("m")), first(col("n"))).as("lab"))
       .cache()
-    // force both loop-invariant caches NOW: lazily-populated cache buffers
-    // would register their RDDs inside the first round's rotation and be
-    // released one round later, silently uncaching edges mid-loop
+    // force both loop-invariant caches NOW (edges directly, then lab on
+    // top of the already-hot edges blocks): every round reads them and
+    // their build cost should land here, not inside round 1. Rotation
+    // tracks checkpoints EXACTLY, so an untracked lazy cache can no
+    // longer be swept — this is a locality choice, not a guard.
+    edges.count()
     lab.count()
     // per-round localCheckpoint blocks live at the RDD layer, which the
     // Dataset.unpersist below cannot reach — rotate them
@@ -177,11 +180,11 @@ object NearDup {
         // hop twice, so without truncation the logical plan doubles per round
         // and planning itself blows up exponentially (the classic iterative-
         // algorithm failure; same discipline as GraphX's periodic checkpoint)
-        val next = hop.as("x")
+        val next = rc.track(hop.as("x")
           .join(hop.select(col("n").as("lab"), col("lab").as("lab2")).as("y"),
             Seq("lab"), "left")
           .select(col("n"), least(col("lab"), coalesce(col("lab2"), col("lab"))).as("lab"))
-          .localCheckpoint()
+          .localCheckpoint())
         converged = next.join(lab.withColumnRenamed("lab", "old"), Seq("n"))
           .filter(col("lab") < col("old")).isEmpty
         hop.unpersist()
@@ -191,9 +194,14 @@ object NearDup {
       i += 1
     }
     edges.unpersist()
-    if (!converged) throw new IllegalStateException(
-      s"NearDup.clusters did not converge in $maxIter rounds " +
-        "(cluster diameter > 2^maxIter?) — raise maxIter")
+    if (!converged) {
+      // failure path: the final round's blocks will never be consumed —
+      // don't strand them on a long-lived driver (ADVICE r11)
+      rc.releaseAll()
+      throw new IllegalStateException(
+        s"NearDup.clusters did not converge in $maxIter rounds " +
+          "(cluster diameter > 2^maxIter?) — raise maxIter")
+    }
     lab.select(col("n").as("doc_id"), col("lab").as("rep_id"))
   }
 

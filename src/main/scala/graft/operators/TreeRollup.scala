@@ -49,11 +49,11 @@ object TreeRollup {
     val rc = new graft.core.RoundCheckpoints(spark.sparkContext)
 
     // Round 0: childless nodes average their own raw scores.
-    var resolved = rc.rotate(leafScores.groupBy($"id")
+    var resolved = rc.rotate(rc.track(leafScores.groupBy($"id")
       .agg(floor(avg($"score") * 1000000L).cast("long").as("vmicro"))
       .join(parentsWithChildren, Seq("id"), "left_anti")
       .withColumn("height", lit(0))
-      .localCheckpoint())
+      .localCheckpoint()))
 
     val childCounts = edges.groupBy($"parentId").agg(count("*").as("n_children"))
     var progressing = true
@@ -76,7 +76,8 @@ object TreeRollup {
         .cache()
       progressing = !resolvedNew.isEmpty
       if (progressing)
-        resolved = rc.rotate(resolved.unionByName(resolvedNew).localCheckpoint())
+        resolved = rc.rotate(rc.track(
+          resolved.unionByName(resolvedNew).localCheckpoint()))
       resolvedNew.unpersist()
     }
     resolved.select($"id", ($"vmicro" / 1000000L).as("value"), $"height")

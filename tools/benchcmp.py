@@ -56,8 +56,16 @@ def load(path: str) -> dict:
         # calib_sec survived truncation; PARTIAL data, flagged as such.
         if "tail" in d:
             tail = d["tail"]
-            qs = {m.group(1): float(m.group(2)) for m in re.finditer(
-                r'"(q\w+)":([0-9][0-9.eE+-]*)', tail)}
+            # round-12 dense twin: "qt":"q01:.454;q02:1.058;..." (qNN keys,
+            # 3-decimal seconds, leading zero stripped) -- fits all 174
+            # entries in the driver's ~2 KB tail; prefer it when present
+            qt = re.search(r'"qt":"([^"]*)"', tail)
+            if qt:
+                qs = {m.group(1): float(m.group(2)) for m in re.finditer(
+                    r'(q\w+):(-?[0-9]*\.?[0-9]+)', qt.group(1))}
+            else:
+                qs = {m.group(1): float(m.group(2)) for m in re.finditer(
+                    r'"(q\w+)":([0-9][0-9.eE+-]*)', tail)}
             calib = re.search(r'"calib_sec":([0-9][0-9.eE+-]*)', tail)
             cont = re.search(r'"contended":"([^"]*)"', tail)
             cmax = re.search(r'"contend_max":([0-9][0-9.eE+-]*)', tail)

@@ -24,6 +24,9 @@ cd /root/repo
 JAR=target/scala-2.13/clickhouse_etlspark_2.13-0.1.0.jar
 [ -f "$JAR" ] || { echo "missing $JAR — run: sbt -batch package" >&2; exit 2; }
 export SPARK_HOME=/opt/spark
+# the stderr redirect below opens before Verify's in-process mkdirs runs —
+# a fresh checkout path like .scale/verify_lc needs its parent NOW
+mkdir -p "$(dirname "$out")"
 master="local-cluster[$W,$C,$M]"
 SPARK_GRAFT_MASTER="$master" \
 SPARK_GRAFT_CPUS=$((W * C)) \
