@@ -16,14 +16,20 @@ import org.apache.spark.sql.functions._
   * wall time, writing a JSON artifact. Pass = peak stays a small
   * constant (bounded by two pieces generations + the samplers' jitter).
   *
-  * Usage: `runMain graft.BpeDepth <sfDir> <nMerges> <outJson>`
+  * Usage: `runMain graft.BpeDepth <sfDir> <nMerges> <outJson> [trigrams]`.
+  * The synthetic corpus's unigram vocabulary (310 words) exhausts all
+  * learnable merges near round ~400; the optional `trigrams` mode uses
+  * distinct token TRIGRAMS as the word table instead — a vocabulary in
+  * the tens of thousands with ~25-char entries, enough pair mass to
+  * sustain 1000+ full merge rounds at a realistic per-round table size.
   */
 object BpeDepth {
 
   def main(args: Array[String]): Unit = {
-    val (sfDir, nMerges, outPath) = args match {
-      case Array(a, b, c) => (a, b.toInt, c)
-      case _ => sys.error("usage: BpeDepth <sfDir> <nMerges> <outJson>")
+    val (sfDir, nMerges, outPath, trigrams) = args match {
+      case Array(a, b, c)              => (a, b.toInt, c, false)
+      case Array(a, b, c, "trigrams")  => (a, b.toInt, c, true)
+      case _ => sys.error("usage: BpeDepth <sfDir> <nMerges> <outJson> [trigrams]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
@@ -31,10 +37,23 @@ object BpeDepth {
     val sc = spark.sparkContext
 
     // the q111 derivation: corpus → token explode → word-frequency table
-    val words = graft.core.Tables(spark, sfDir, "documents")
-      .select(explode(graft.functions.Text.tokens(col("text"))).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("freq"))
+    // (trigram mode: sliding token trigrams joined by "_", same shape)
+    val toks = graft.core.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        filter(graft.functions.Text.tokens(col("text")), w => w =!= lit(""))
+          .as("toks"))
+    val words =
+      (if (!trigrams)
+        toks.select(explode(col("toks")).as("word"))
+      else
+        toks.select(explode(expr(
+          """IF(size(toks) < 3, CAST(array() AS ARRAY<STRING>),
+            |   transform(sequence(1, size(toks) - 2),
+            |     i -> concat_ws('_', element_at(toks, CAST(i AS INT)),
+            |                         element_at(toks, CAST(i + 1 AS INT)),
+            |                         element_at(toks, CAST(i + 2 AS INT)))))"""
+            .stripMargin)).as("word")))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
     val vocab = words.count()
 
     val peak = new AtomicInteger(0)

@@ -31,9 +31,25 @@ import org.apache.spark.sql.SparkSession
   * and rotated-loop final-round results until their consumers' Dataset
   * objects are collected.
   *
+  * `SOAK_THREADS=N` (default 1) runs the same soak CONCURRENTLY: the
+  * query list is dealt round-robin to N driver threads sharing the ONE
+  * session — the literal §3.3 BI-server shape (Metabase issues parallel
+  * statements over one SparkSession). This is the regime the round-11
+  * registry-diff rotation was UNSAFE in (a concurrent statement's
+  * freshly-persisted RDDs landed in the diff and were released
+  * mid-query); exact ownership tracking (round 12) makes it safe by
+  * construction, and this mode is the whole-engine witness — every
+  * operator family, not just the RoundCheckpointsSpec microcosm.
+  *
+  * Disk is asserted too: Spark's shuffle/spill/blockmgr directories
+  * under the local dir must return to a small constant once the
+  * ContextCleaner drains (shuffle-file GC is reference-triggered, the
+  * same mechanism as block cleanup — a session that never GCs its
+  * ShuffleDependencies fills /tmp at 100 TB scale).
+  *
   * Usage: `runMain graft.Soak <sfDir> <outJson> [onlyCsv]`; bounds are
   * env-overridable (SOAK_MAX_RDDS, SOAK_MAX_STORAGE_MB,
-  * SOAK_MAX_VIEWS).
+  * SOAK_MAX_VIEWS, SOAK_MAX_DISK_MB).
   */
 object Soak {
 
@@ -52,6 +68,24 @@ object Soak {
     def storageMb: Long = sc.getExecutorMemoryStatus.values
       .map { case (max, remaining) => max - remaining }.sum / 1048576L
     def views: Long = spark.catalog.listTables().count()
+    // shuffle/spill/broadcast files: everything Spark wrote under the
+    // local dir for THIS app (blockmgr-* data dirs + the spark-* scratch
+    // dirs). Reference-triggered shuffle-file GC must drain these.
+    def diskMb: Long = {
+      // File-based walk: length()/listFiles() return 0/null for entries
+      // the ContextCleaner deletes mid-walk — no exceptions to juggle
+      def size(f: java.io.File): Long = {
+        val kids = f.listFiles()
+        if (kids == null) f.length()
+        else kids.foldLeft(0L)((a, k) =>
+          a + (if (k.isDirectory) size(k) else k.length()))
+      }
+      val tmp = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("blockmgr-") ||
+          f.getName.startsWith("spark-"))
+        .map(size).sum / 1048576L
+    }
     def pending: Int = graft.core.Caching.pendingCount(spark)
     // Locale.ROOT everywhere a double is rendered: a comma decimal
     // separator would make the artifact invalid JSON (the Bench lesson)
@@ -60,29 +94,54 @@ object Soak {
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+    val nThreads = math.max(1, sys.env.getOrElse("SOAK_THREADS", "1").toInt)
     val t0 = System.nanoTime()
     val rows = scala.collection.mutable.ArrayBuffer.empty[String]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    var peakRdds = 0
-    var peakStorageMb = 0L
+    val peakRdds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val peakStorageMb = new java.util.concurrent.atomic.AtomicLong(0L)
+    val peakDiskMb = new java.util.concurrent.atomic.AtomicLong(0L)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(e => only.isEmpty || only(e._1))
-    queries.foreach { case (name, fn) =>
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        tid: Int): Unit = {
       val q0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
-        case e: Throwable =>
+        case e: Throwable => errors.synchronized {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+        }
       }
       val dt = (System.nanoTime() - q0) / 1e9
-      val (r, s, p) = (rddCount, storageMb, pending)
-      peakRdds = math.max(peakRdds, r)
-      peakStorageMb = math.max(peakStorageMb, s)
-      rows += s"""{"q":"${name.takeWhile(_ != '_')}","sec":${d3(dt)},"rdds":$r,"storage_mb":$s,"pending":$p}"""
+      val (r, s, p, dk) = (rddCount, storageMb, pending, diskMb)
+      peakRdds.getAndAccumulate(r, math.max)
+      peakStorageMb.getAndAccumulate(s, math.max)
+      peakDiskMb.getAndAccumulate(dk, math.max)
+      rows.synchronized {
+        rows += s"""{"q":"${name.takeWhile(_ != '_')}","t":$tid,"sec":${d3(dt)},"rdds":$r,"storage_mb":$s,"disk_mb":$dk,"pending":$p}"""
+      }
       // NO clearCache() — that absence is the whole point
     }
+    if (nThreads == 1) queries.foreach { case (n, f) => runOne(n, f, 0) }
+    else {
+      // deal round-robin to N driver threads over the ONE shared session —
+      // the §3.3 BI-server shape (parallel statements, no isolation)
+      val fails = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (0 until nThreads).map { tid =>
+        val mine = queries.zipWithIndex.collect {
+          case ((n, f), i) if i % nThreads == tid => (n, f)
+        }
+        new Thread(() =>
+          try mine.foreach { case (n, f) => runOne(n, f, tid) }
+          catch { case e: Throwable => fails.add(e) },
+          s"soak-$tid")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      if (!fails.isEmpty) throw fails.peek()
+    }
     val wall = (System.nanoTime() - t0) / 1e9
-    val (rawRdds, rawStorage) = (rddCount, storageMb)
+    val (rawRdds, rawStorage, rawDisk) = (rddCount, storageMb, diskMb)
 
     // GC-settle: the weak-valued registry + ContextCleaner reclaim
     // asynchronously; force collections until the count stops falling.
@@ -96,18 +155,20 @@ object Soak {
       cur = rddCount
       settleRounds += 1
     }
-    val (endRdds, endStorage, endViews, endPending) =
-      (rddCount, storageMb, views, pending)
+    val (endRdds, endStorage, endViews, endPending, endDisk) =
+      (rddCount, storageMb, views, pending, diskMb)
 
     val maxRdds = sys.env.getOrElse("SOAK_MAX_RDDS", "24").toInt
     val maxStorageMb = sys.env.getOrElse("SOAK_MAX_STORAGE_MB", "1024").toLong
     val maxViews = sys.env.getOrElse("SOAK_MAX_VIEWS", "64").toLong
+    val maxDiskMb = sys.env.getOrElse("SOAK_MAX_DISK_MB", "2048").toLong
     val violations = Seq(
       (endRdds > maxRdds) -> s"persistent RDDs post-GC $endRdds > $maxRdds",
       (endStorage > maxStorageMb) -> s"storage post-GC ${endStorage}MB > ${maxStorageMb}MB",
       (endPending > graft.core.Caching.maxPending) ->
         s"pending listeners $endPending > cap ${graft.core.Caching.maxPending}",
       (endViews > maxViews) -> s"temp views $endViews > $maxViews",
+      (endDisk > maxDiskMb) -> s"local-dir disk post-GC ${endDisk}MB > ${maxDiskMb}MB",
     ).collect { case (true, msg) => msg }
 
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -120,13 +181,16 @@ object Soak {
       .mkString("{", ",", "}")
     val json =
       s"""{"n_queries":${queries.size},"n_errors":${errors.size},
-         |"wall_sec":${d1(wall)},"sf":${jstr(sfDir)},
-         |"peak_rdds":$peakRdds,"peak_storage_mb":$peakStorageMb,
+         |"threads":$nThreads,"wall_sec":${d1(wall)},"sf":${jstr(sfDir)},
+         |"peak_rdds":${peakRdds.get()},"peak_storage_mb":${peakStorageMb.get()},
+         |"peak_disk_mb":${peakDiskMb.get()},
          |"end_raw_rdds":$rawRdds,"end_raw_storage_mb":$rawStorage,
+         |"end_raw_disk_mb":$rawDisk,
          |"end_postgc_rdds":$endRdds,"end_postgc_storage_mb":$endStorage,
+         |"end_postgc_disk_mb":$endDisk,
          |"end_views":$endViews,"end_pending_listeners":$endPending,
          |"gc_settle_rounds":$settleRounds,
-         |"bounds":{"max_rdds":$maxRdds,"max_storage_mb":$maxStorageMb,"max_views":$maxViews,"listener_cap":${graft.core.Caching.maxPending}},
+         |"bounds":{"max_rdds":$maxRdds,"max_storage_mb":$maxStorageMb,"max_views":$maxViews,"max_disk_mb":$maxDiskMb,"listener_cap":${graft.core.Caching.maxPending}},
          |"violations":[${violations.map(jstr).mkString(",")}],
          |"pass":${violations.isEmpty},
          |"errors":$errJson,
@@ -137,8 +201,9 @@ object Soak {
     Option(Paths.get(outPath).getParent).foreach(Files.createDirectories(_))
     Files.writeString(Paths.get(outPath), json)
     println(s"[soak] ${queries.size} queries, ${errors.size} errors, " +
-      s"wall ${d1(wall)}s; rdds peak=$peakRdds raw-end=$rawRdds " +
-      s"post-gc=$endRdds; storage peak=${peakStorageMb}MB post-gc=${endStorage}MB; " +
+      s"threads=$nThreads, wall ${d1(wall)}s; rdds peak=${peakRdds.get()} " +
+      s"raw-end=$rawRdds post-gc=$endRdds; storage peak=${peakStorageMb.get()}MB " +
+      s"post-gc=${endStorage}MB; disk peak=${peakDiskMb.get()}MB post-gc=${endDisk}MB; " +
       s"pending=$endPending views=$endViews -> " +
       (if (violations.isEmpty) "PASS" else s"FAIL: ${violations.mkString("; ")}"))
     spark.stop()

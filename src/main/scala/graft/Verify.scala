@@ -41,15 +41,46 @@ object Verify {
     // from "never declared" downstream (the round-4 lesson — 40 broken
     // queries shipped silently). _errors.json makes failed explicit.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>
+    def runOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors.synchronized {
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        }
       }
-      // per-query caches must not accumulate across 144 queries (GC drag)
-      spark.catalog.clearCache()
+    val todo = SparkEntry.queries.filter(e => selected(e._1)).toSeq.sortBy(_._1)
+    // SPARK_GRAFT_VERIFY_THREADS=N (round 12): dump the SAME results from
+    // N concurrent driver threads over the one session — the §3.3
+    // BI-server shape — so tools/check.py's DuckDB hash-compare becomes a
+    // RESULT-IDENTITY-under-concurrency gate, not just a no-crash soak.
+    // The driver always runs the sequential default (1).
+    val vThreads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "1").toInt
+    if (vThreads <= 1)
+      todo.foreach { case (name, fn) =>
+        runOne(name, fn)
+        // per-query caches must not accumulate across 174 queries (GC drag)
+        spark.catalog.clearCache()
+      }
+    else {
+      // no clearCache here: it is session-global and would yank another
+      // thread's in-flight caches (recompute churn); the soak proved the
+      // no-clearCache session stays bounded
+      val fails = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (0 until vThreads).map { tid =>
+        val mine = todo.zipWithIndex.collect {
+          case ((n, f), i) if i % vThreads == tid => (n, f)
+        }
+        new Thread(() =>
+          try mine.foreach { case (n, f) => runOne(n, f) }
+          catch { case e: Throwable => fails.add(e) },
+          s"verify-$tid")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      if (!fails.isEmpty) throw fails.peek()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
