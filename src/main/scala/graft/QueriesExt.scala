@@ -27,13 +27,16 @@ object QueriesExt {
     * session. At 100 TB this is exactly the "build the edge table once,
     * run N analytics over it" pattern — re-deriving a multi-join edge
     * list per analytic is the scale-killer, not the analytics. */
+  // bounded + weak-session memo (round 12): see core/SessionMemo for the
+  // two leak-class members the bare TrieMap had (strong session keys;
+  // no cap across rotating data dirs). 8 generously covers the engine's
+  // distinct derived tables per dataset; eviction is GC-mediated.
   private val sharedTables =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String, String), DataFrame]
+    new graft.core.SessionMemo[(String, String), DataFrame](8)
 
   private def shared(s: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame =
-    sharedTables.getOrElseUpdate((s, dir, key), build.localCheckpoint())
+    sharedTables.getOrBuild(s, (dir, key))(build.localCheckpoint())
 
   /** Memoized table row count per (session, dataset, table). q41 and q167
     * size their adaptive geometry (plane count / band width) from the
@@ -41,11 +44,10 @@ object QueriesExt {
     * the 1-row scalar keeps repeated constructions (bench reps, plan
     * sweeps) from re-scanning the table every time (ADVICE r6). */
   private val sharedCounts =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String, String), Long]
+    new graft.core.SessionMemo[(String, String), Long](64)
 
   private def sharedCount(s: SparkSession, dir: String, name: String): Long =
-    sharedCounts.getOrElseUpdate((s, dir, name), t(s, dir, name).count())
+    sharedCounts.getOrBuild(s, (dir, name))(t(s, dir, name).count())
 
   /** Part co-purchase pair multiplicities: canonical (a < b) part pairs
     * sharing an order, with the number of DISTINCT orders containing both.
@@ -3290,11 +3292,11 @@ object QueriesExt {
   /** Learned merge tables are a driver-side model — memoized per
     * (session, dataset) like [[sharedTables]], so q111 (the merges) and
     * q112 (their application) train once. */
-  private val bpeRules = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[graft.operators.Bpe.Merge]]
+  private val bpeRules =
+    new graft.core.SessionMemo[String, Seq[graft.operators.Bpe.Merge]](16)
 
   private def trainedRules(s: SparkSession, dir: String) =
-    bpeRules.getOrElseUpdate((s, dir),
+    bpeRules.getOrBuild(s, dir)(
       graft.operators.Bpe.train(wordFreq(s, dir), nMerges = 5))
 
   /** Vocabulary segmented under the learned table, materialized once per
