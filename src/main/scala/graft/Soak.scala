@@ -60,7 +60,11 @@ object Soak {
       case _ => sys.error("usage: Soak <sfDir> <outJson> [onlyCsv]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
+    // SPARK_GRAFT_MASTER (the Bench/Verify contract): the multi-executor
+    // soak leg runs THIS entrypoint through spark-submit on
+    // local-cluster[W,C,M] — the env must match --master
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = graft.core.Sessions.builder(master, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sc = spark.sparkContext
 
