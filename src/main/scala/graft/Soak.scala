@@ -75,20 +75,33 @@ object Soak {
     // shuffle/spill/broadcast files: everything Spark wrote under the
     // local dir for THIS app (blockmgr-* data dirs + the spark-* scratch
     // dirs). Reference-triggered shuffle-file GC must drain these.
-    def diskMb: Long = {
+    // (rdd blocks, shuffle files, broadcast blocks, everything else) MB —
+    // the breakdown matters: rdd_* bytes under a MEMORY_AND_DISK memo are
+    // the resident working set's disk tier (intentional), while shuffle_*
+    // bytes that survive GC would be a ShuffleDependency leak
+    def diskBreakdownMb: (Long, Long, Long, Long) = {
+      var (rdd, shuffle, bcast, other) = (0L, 0L, 0L, 0L)
       // File-based walk: length()/listFiles() return 0/null for entries
       // the ContextCleaner deletes mid-walk — no exceptions to juggle
-      def size(f: java.io.File): Long = {
+      def walk(f: java.io.File): Unit = {
         val kids = f.listFiles()
-        if (kids == null) f.length()
-        else kids.foldLeft(0L)((a, k) =>
-          a + (if (k.isDirectory) size(k) else k.length()))
+        if (kids == null) {
+          val n = f.getName
+          if (n.startsWith("rdd_")) rdd += f.length()
+          else if (n.contains("shuffle_")) shuffle += f.length()
+          else if (n.startsWith("broadcast_")) bcast += f.length()
+          else other += f.length()
+        } else kids.foreach(walk)
       }
       val tmp = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
       Option(tmp.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("blockmgr-") ||
           f.getName.startsWith("spark-"))
-        .map(size).sum / 1048576L
+        .foreach(walk)
+      (rdd / 1048576L, shuffle / 1048576L, bcast / 1048576L, other / 1048576L)
+    }
+    def diskMb: Long = {
+      val (r, s, b, o) = diskBreakdownMb; r + s + b + o
     }
     def pending: Int = graft.core.Caching.pendingCount(spark)
     // Locale.ROOT everywhere a double is rendered: a comma decimal
@@ -148,19 +161,30 @@ object Soak {
     val (rawRdds, rawStorage, rawDisk) = (rddCount, storageMb, diskMb)
 
     // GC-settle: the weak-valued registry + ContextCleaner reclaim
-    // asynchronously; force collections until the count stops falling.
+    // asynchronously; force collections until BOTH the registry count and
+    // the local-dir bytes stop falling (shuffle-file deletion lags block
+    // unpersist — at sf10 the drain is tens of GB and takes several
+    // cleaner round-trips)
     var settleRounds = 0
-    var last = -1
-    var cur = rddCount
-    while (settleRounds < 10 && cur != last) {
+    var last = (-1, -1L)
+    var cur = (rddCount, diskMb)
+    while (settleRounds < 20 && cur != last) {
       last = cur
       System.gc()
       Thread.sleep(1500)
-      cur = rddCount
+      cur = (rddCount, diskMb)
       settleRounds += 1
     }
-    val (endRdds, endStorage, endViews, endPending, endDisk) =
-      (rddCount, storageMb, views, pending, diskMb)
+    val (endRdds, endStorage, endViews, endPending) =
+      (rddCount, storageMb, views, pending)
+    val (endDiskRdd, endDiskShuffle, endDiskBcast, endDiskOther) =
+      diskBreakdownMb
+    val endDisk = endDiskRdd + endDiskShuffle + endDiskBcast + endDiskOther
+    // the leak-class bound is on NON-rdd bytes: rdd_* files post-GC are
+    // the resident memo working set's disk tier (MEMORY_AND_DISK blocks
+    // evicted from the memory store), already bounded by SessionMemo +
+    // the storage bound; shuffle/broadcast/scratch bytes must drain
+    val endDiskLeakable = endDiskShuffle + endDiskBcast + endDiskOther
 
     val maxRdds = sys.env.getOrElse("SOAK_MAX_RDDS", "24").toInt
     val maxStorageMb = sys.env.getOrElse("SOAK_MAX_STORAGE_MB", "1024").toLong
@@ -172,7 +196,8 @@ object Soak {
       (endPending > graft.core.Caching.maxPending) ->
         s"pending listeners $endPending > cap ${graft.core.Caching.maxPending}",
       (endViews > maxViews) -> s"temp views $endViews > $maxViews",
-      (endDisk > maxDiskMb) -> s"local-dir disk post-GC ${endDisk}MB > ${maxDiskMb}MB",
+      (endDiskLeakable > maxDiskMb) ->
+        s"non-rdd local-dir disk post-GC ${endDiskLeakable}MB (shuffle=$endDiskShuffle bcast=$endDiskBcast other=$endDiskOther) > ${maxDiskMb}MB",
     ).collect { case (true, msg) => msg }
 
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -192,6 +217,10 @@ object Soak {
          |"end_raw_disk_mb":$rawDisk,
          |"end_postgc_rdds":$endRdds,"end_postgc_storage_mb":$endStorage,
          |"end_postgc_disk_mb":$endDisk,
+         |"end_postgc_disk_rdd_mb":$endDiskRdd,
+         |"end_postgc_disk_shuffle_mb":$endDiskShuffle,
+         |"end_postgc_disk_broadcast_mb":$endDiskBcast,
+         |"end_postgc_disk_other_mb":$endDiskOther,
          |"end_views":$endViews,"end_pending_listeners":$endPending,
          |"gc_settle_rounds":$settleRounds,
          |"bounds":{"max_rdds":$maxRdds,"max_storage_mb":$maxStorageMb,"max_views":$maxViews,"max_disk_mb":$maxDiskMb,"listener_cap":${graft.core.Caching.maxPending}},
@@ -207,7 +236,8 @@ object Soak {
     println(s"[soak] ${queries.size} queries, ${errors.size} errors, " +
       s"threads=$nThreads, wall ${d1(wall)}s; rdds peak=${peakRdds.get()} " +
       s"raw-end=$rawRdds post-gc=$endRdds; storage peak=${peakStorageMb.get()}MB " +
-      s"post-gc=${endStorage}MB; disk peak=${peakDiskMb.get()}MB post-gc=${endDisk}MB; " +
+      s"post-gc=${endStorage}MB; disk peak=${peakDiskMb.get()}MB post-gc=${endDisk}MB " +
+      s"(rdd=$endDiskRdd shuffle=$endDiskShuffle bcast=$endDiskBcast other=$endDiskOther); " +
       s"pending=$endPending views=$endViews -> " +
       (if (violations.isEmpty) "PASS" else s"FAIL: ${violations.mkString("; ")}"))
     spark.stop()
