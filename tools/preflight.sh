@@ -54,13 +54,22 @@ fi
 python3 - "$BENCH_LINE" <<'EOF'
 import json, sys
 d = json.loads(sys.argv[1])
-errs = d.get("errors", {})
-if errs:
-    print(f"FAIL: mini-bench recorded {len(errs)} query errors: "
-          f"{', '.join(sorted(errs))}")
-    sys.exit(1)
-print(f"mini-bench ok: {len(d['queries'])} queries, total "
-      f"{d['value']:.1f}s raw, calib_sec {d.get('calib_sec', 0):.3f}")
+if "qt" in d:
+    # round-12 compact twin: dense "qNN:sec;..." string + n_errors count
+    if d.get("n_errors", 0):
+        print(f"FAIL: mini-bench recorded {d['n_errors']} query errors "
+              f"(see the full line in the log)")
+        sys.exit(1)
+    n = len([e for e in d["qt"].split(";") if e])
+else:
+    errs = d.get("errors", {})
+    if errs:
+        print(f"FAIL: mini-bench recorded {len(errs)} query errors: "
+              f"{', '.join(sorted(errs))}")
+        sys.exit(1)
+    n = len(d["queries"])
+print(f"mini-bench ok: {n} queries, total "
+      f"{float(d['value']):.1f}s raw, calib_sec {d.get('calib_sec', 0):.3f}")
 EOF
 rc=$?
 [ $rc -ne 0 ] && exit 1
