@@ -145,6 +145,17 @@ object Bench {
     // clamp to ≥1 (0 would crash the median index); even counts report the
     // upper middle — use odd rep counts for a true median
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // Adaptive reps at REPS=1 (VERDICT r12 "what's wrong" #4): the
+    // single-rep full-run protocol kept flagging 15-40% swings on
+    // sub-second queries that isolated re-reads then cleared — pure
+    // scheduler/GC noise, a false-alarm class every round. When the
+    // FIRST rep of a query lands under 2 s, two more reps are cheap by
+    // construction (< ~4 s, bounded by the gate that triggered them), so
+    // run them and report the median; genuinely heavy queries still pay
+    // one rep. SPARK_GRAFT_BENCH_ADAPTIVE=0 opts out (preflight's time
+    // budget); explicit REPS>1 already medians and is untouched.
+    val adaptive = reps == 1 &&
+      !sys.env.get("SPARK_GRAFT_BENCH_ADAPTIVE").exists(v => v == "0")
     // A query that throws must NOT report its exception latency as a
     // timing (round 4: 40 broken queries "benched" at ~0.05 s and
     // contaminated the totals) — it goes under "errors" instead.
@@ -191,7 +202,10 @@ object Bench {
       // succeeded. Snapshots are untimed — they happen after the clock.
       var ioPrev = io.settledSnapshot()
       var ioOk = (0L, 0L, 0L, 0L)
-      val times = (1 to reps).flatMap { _ =>
+      val timesBuf = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var rep = 0
+      var target = reps
+      while (rep < target) {
         val t0 = System.nanoTime()
         // noop write materializes every row without driver collect
         val ok =
@@ -206,12 +220,18 @@ object Bench {
         // storage memory (and GC budget) during the next one's timing
         spark.catalog.clearCache()
         val snap = io.settledSnapshot()
-        if (ok) ioOk = (ioOk._1 + snap._1 - ioPrev._1,
-          ioOk._2 + snap._2 - ioPrev._2, ioOk._3 + snap._3 - ioPrev._3,
-          ioOk._4 + snap._4 - ioPrev._4)
+        if (ok) {
+          ioOk = (ioOk._1 + snap._1 - ioPrev._1,
+            ioOk._2 + snap._2 - ioPrev._2, ioOk._3 + snap._3 - ioPrev._3,
+            ioOk._4 + snap._4 - ioPrev._4)
+          timesBuf += dt
+        }
         ioPrev = snap
-        if (ok) Some(dt) else None
-      }.sorted
+        rep += 1
+        // sub-2 s first rep at REPS=1 → median-of-3 (see `adaptive`)
+        if (adaptive && rep == 1 && ok && dt < 2.0) target = 3
+      }
+      val times = timesBuf.sorted
       if (times.nonEmpty) {
         val (sw, sd, sm, in) = ioOk
         def mbPerRep(v: Long): Double = v / times.size.toDouble / 1048576.0

@@ -64,7 +64,20 @@ object Soak {
     // soak leg runs THIS entrypoint through spark-submit on
     // local-cluster[W,C,M] — the env must match --master
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val spark = graft.core.Sessions.builder(master, cpus).getOrCreate()
+    // App-private local dir (ADVICE r12): the disk gate previously
+    // summed every blockmgr-*/spark-* under java.io.tmpdir, so a
+    // concurrent Spark job on the host could false-fail the bound (or
+    // mask a real leak by absorbing the attribution). Pointing
+    // spark.local.dir at a fresh directory makes everything under it
+    // OURS by construction — driver shuffle/blockmgr dirs, and in
+    // local-cluster mode the executor dirs too (standalone executors
+    // inherit the app's spark.local.dir unless the worker overrides
+    // SPARK_LOCAL_DIRS, which these legs never do).
+    val localDir = Files.createTempDirectory("graft-soak-").toFile
+    localDir.deleteOnExit()
+    val spark = graft.core.Sessions.builder(master, cpus)
+      .config("spark.local.dir", localDir.getAbsolutePath)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sc = spark.sparkContext
 
@@ -93,8 +106,10 @@ object Soak {
           else other += f.length()
         } else kids.foreach(walk)
       }
-      val tmp = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
-      Option(tmp.listFiles()).getOrElse(Array.empty)
+      // rooted at OUR spark.local.dir — every byte under it belongs to
+      // this app (ADVICE r12: the old java.io.tmpdir walk counted any
+      // concurrent Spark job's dirs into this app's bound)
+      Option(localDir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("blockmgr-") ||
           f.getName.startsWith("spark-"))
         .foreach(walk)
@@ -104,6 +119,12 @@ object Soak {
       val (r, s, b, o) = diskBreakdownMb; r + s + b + o
     }
     def pending: Int = graft.core.Caching.pendingCount(spark)
+    // the shared-table memo's measured footprint (mem+disk blocks behind
+    // the checkpointed tables) — the byte-priced twin of the entry cap
+    // (VERDICT r12 "what's wrong" #3: the rdd-disk class the leakable
+    // bound exempts must carry its own budget, or the exemption is a
+    // blank check)
+    def memoMb: Long = QueriesExt.memoBytes(spark) / 1048576L
     // Locale.ROOT everywhere a double is rendered: a comma decimal
     // separator would make the artifact invalid JSON (the Bench lesson)
     def d1(v: Double): String =
@@ -177,6 +198,8 @@ object Soak {
     }
     val (endRdds, endStorage, endViews, endPending) =
       (rddCount, storageMb, views, pending)
+    val (endMemoMb, endMemoEntries) =
+      (memoMb, QueriesExt.memoEntries(spark))
     val (endDiskRdd, endDiskShuffle, endDiskBcast, endDiskOther) =
       diskBreakdownMb
     val endDisk = endDiskRdd + endDiskShuffle + endDiskBcast + endDiskOther
@@ -190,6 +213,9 @@ object Soak {
     val maxStorageMb = sys.env.getOrElse("SOAK_MAX_STORAGE_MB", "1024").toLong
     val maxViews = sys.env.getOrElse("SOAK_MAX_VIEWS", "64").toLong
     val maxDiskMb = sys.env.getOrElse("SOAK_MAX_DISK_MB", "2048").toLong
+    // default 2 GB fits the sf0.1 working set (~257 MB) with an order of
+    // headroom; size-class legs override (sf10 rotated family: ~13 GB)
+    val maxMemoMb = sys.env.getOrElse("SOAK_MAX_MEMO_MB", "2048").toLong
     val violations = Seq(
       (endRdds > maxRdds) -> s"persistent RDDs post-GC $endRdds > $maxRdds",
       (endStorage > maxStorageMb) -> s"storage post-GC ${endStorage}MB > ${maxStorageMb}MB",
@@ -198,6 +224,8 @@ object Soak {
       (endViews > maxViews) -> s"temp views $endViews > $maxViews",
       (endDiskLeakable > maxDiskMb) ->
         s"non-rdd local-dir disk post-GC ${endDiskLeakable}MB (shuffle=$endDiskShuffle bcast=$endDiskBcast other=$endDiskOther) > ${maxDiskMb}MB",
+      (endMemoMb > maxMemoMb) ->
+        s"shared-table memo post-GC ${endMemoMb}MB ($endMemoEntries entries) > ${maxMemoMb}MB",
     ).collect { case (true, msg) => msg }
 
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -222,8 +250,9 @@ object Soak {
          |"end_postgc_disk_broadcast_mb":$endDiskBcast,
          |"end_postgc_disk_other_mb":$endDiskOther,
          |"end_views":$endViews,"end_pending_listeners":$endPending,
+         |"end_memo_mb":$endMemoMb,"end_memo_entries":$endMemoEntries,
          |"gc_settle_rounds":$settleRounds,
-         |"bounds":{"max_rdds":$maxRdds,"max_storage_mb":$maxStorageMb,"max_views":$maxViews,"max_disk_mb":$maxDiskMb,"listener_cap":${graft.core.Caching.maxPending}},
+         |"bounds":{"max_rdds":$maxRdds,"max_storage_mb":$maxStorageMb,"max_views":$maxViews,"max_disk_mb":$maxDiskMb,"max_memo_mb":$maxMemoMb,"listener_cap":${graft.core.Caching.maxPending}},
          |"violations":[${violations.map(jstr).mkString(",")}],
          |"pass":${violations.isEmpty},
          |"errors":$errJson,
@@ -238,6 +267,7 @@ object Soak {
       s"raw-end=$rawRdds post-gc=$endRdds; storage peak=${peakStorageMb.get()}MB " +
       s"post-gc=${endStorage}MB; disk peak=${peakDiskMb.get()}MB post-gc=${endDisk}MB " +
       s"(rdd=$endDiskRdd shuffle=$endDiskShuffle bcast=$endDiskBcast other=$endDiskOther); " +
+      s"memo=${endMemoMb}MB/$endMemoEntries entries; " +
       s"pending=$endPending views=$endViews -> " +
       (if (violations.isEmpty) "PASS" else s"FAIL: ${violations.mkString("; ")}"))
     spark.stop()

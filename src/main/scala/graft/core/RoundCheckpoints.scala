@@ -138,6 +138,13 @@ private[graft] object RoundCheckpoints {
     firstPersisted(ds.queryExecution.toRdd)
       .foreach(_.unpersist(blocking = false))
 
+  /** Storage id of the persisted RDD backing an eagerly-checkpointed
+    * Dataset, if any — how the memo byte budget prices one shared table
+    * (`sc.getRDDStorageInfo` keyed by this id gives its mem+disk
+    * footprint without touching the data). */
+  def persistedRddId(ds: Dataset[_]): Option[Int] =
+    firstPersisted(ds.queryExecution.toRdd).map(_.id)
+
   private def firstPersisted(r: RDD[_]): Option[RDD[_]] =
     if (r.getStorageLevel != StorageLevel.NONE) Some(r)
     else r.dependencies.view.flatMap(d => firstPersisted(d.rdd)).headOption

@@ -85,32 +85,36 @@ object Bpe {
       .localCheckpoint()))
     val rules = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 1
-    while (rank <= nMerges) {
-      val top = pieces
-        .select(col("freq"), explode(expr(
-          // the size guard matters: sequence(1, 0) counts DOWN in Spark,
-          // so an unguarded single-piece word would probe index 0
-          """IF(size(pieces) < 2,
-            |   CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>),
-            |   transform(sequence(1, size(pieces) - 1),
-            |     i -> struct(element_at(pieces, i) AS l,
-            |                 element_at(pieces, CAST(i + 1 AS INT)) AS r)))""".stripMargin)).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("freq").as("pf"))
-        .orderBy(col("pf").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.isEmpty) { rc.releaseAll(); return rules.toSeq } // nothing left to merge
-      val (l, r, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-      rules += Merge(rank, l, r, pf)
-      pieces = rc.rotate(rc.track(pieces
-        .select(col("freq"), applyMerge(col("pieces"), l, r).as("pieces"))
-        .localCheckpoint()))
-      rank += 1
-    }
-    // the RESULT is `rules`, not the final pieces table — release its
-    // blocks instead of stranding a vocabulary-sized table per train()
-    // call on a long-lived session (the round-12 soak property)
-    rc.releaseAll()
-    rules.toSeq
+    // the RESULT is `rules`, not the final pieces table — releaseAll in
+    // a finally so EVERY exit (nothing-left-to-merge early return, the
+    // normal bound, and a failure in the top-pair collect, which runs
+    // OUTSIDE any rotate body and used to strand the tracked pieces
+    // table — ADVICE r12) hands the vocabulary-sized blocks back instead
+    // of stranding them on a long-lived session
+    try {
+      while (rank <= nMerges) {
+        val top = pieces
+          .select(col("freq"), explode(expr(
+            // the size guard matters: sequence(1, 0) counts DOWN in Spark,
+            // so an unguarded single-piece word would probe index 0
+            """IF(size(pieces) < 2,
+              |   CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>),
+              |   transform(sequence(1, size(pieces) - 1),
+              |     i -> struct(element_at(pieces, i) AS l,
+              |                 element_at(pieces, CAST(i + 1 AS INT)) AS r)))""".stripMargin)).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("freq").as("pf"))
+          .orderBy(col("pf").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) return rules.toSeq // nothing left to merge
+        val (l, r, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rules += Merge(rank, l, r, pf)
+        pieces = rc.rotate(rc.track(pieces
+          .select(col("freq"), applyMerge(col("pieces"), l, r).as("pieces"))
+          .localCheckpoint()))
+        rank += 1
+      }
+      rules.toSeq
+    } finally rc.releaseAll()
   }
 }

@@ -39,12 +39,12 @@ object Graph {
     // upstream edge derivation (at sf0.1 that re-ran a lineitem-join scan
     // per iteration — 9 s instead of ~2)
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val out = pageRankPrepared(e, iters, initMicro)
-    // the result is checkpointed (truncated lineage) — this wrapper owns
-    // its edge materialization and must not strand an edge-sized table
-    // per call on a long-lived session
-    graft.core.RoundCheckpoints.releasePersisted(e)
-    out
+    // released on EVERY exit (ADVICE r12: a throw inside the prepared
+    // loop must not strand an edge-sized table on a long-lived session).
+    // On the normal path the result is already checkpointed (truncated
+    // lineage), so the finally never releases a recovery source.
+    try pageRankPrepared(e, iters, initMicro)
+    finally graft.core.RoundCheckpoints.releasePersisted(e)
   }
 
   /** [[pageRank]] over an edge table the CALLER has already deduped and
@@ -60,41 +60,56 @@ object Graph {
     require(iters >= 1, s"pageRank needs >= 1 iteration, got $iters")
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val annotated = e.join(deg, "src").cache()
-    // force the loop-invariant cache NOW: every iteration reads it hot and
-    // its build cost lands here, not inside round 1's timing (rotation
-    // tracks checkpoints EXACTLY, so an untracked lazy cache is never at
-    // risk of being swept — this count is a locality choice, not a guard)
-    annotated.count()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+    // the method's own materializations are released on EVERY exit
+    // (ADVICE r12): rc.rotate already releases round state when a body
+    // throws, but `annotated` and `nodes` live OUTSIDE the rotation and
+    // a mid-loop failure stranded them on a long-lived session
+    var nodes: DataFrame = null
+    var rc: graft.core.RoundCheckpoints = null
+    try {
+      // force the loop-invariant cache NOW: every iteration reads it hot and
+      // its build cost lands here, not inside round 1's timing (rotation
+      // tracks checkpoints EXACTLY, so an untracked lazy cache is never at
+      // risk of being swept — this count is a locality choice, not a guard)
+      annotated.count()
+      nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct()
+        .localCheckpoint()
 
-    // rank is node-sized and re-checkpointed every iteration — rotate the
-    // blocks (graft.core.RoundCheckpoints) or a 20-iteration run holds 20
-    // node tables in storage, the kCore defect one size class down
-    val rc = new graft.core.RoundCheckpoints(e.sparkSession.sparkContext)
-    var rank = rc.rotate(rc.track(
-      nodes.withColumn("rank_micro", lit(initMicro)).localCheckpoint()))
-    for (_ <- 1 to iters) rank = rc.rotate {
-      val contrib = annotated
-        .join(rank, annotated("src") === rank("node"))
-        .selectExpr("dst AS node", "rank_micro div outdeg AS c")
-      val stepped = contrib
-        .groupBy("node")
-        .agg(expr("150000 + (850 * sum(c)) div 1000").as("rank_micro"))
-      // no-incoming-edge nodes keep base mass; in a symmetrized graph
-      // this join is a no-op but the operator must not drop nodes
-      rc.track(nodes
-        .join(stepped, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("rank_micro"), lit(150000L)).as("rank_micro"))
-        .localCheckpoint())
+      // rank is node-sized and re-checkpointed every iteration — rotate the
+      // blocks (graft.core.RoundCheckpoints) or a 20-iteration run holds 20
+      // node tables in storage, the kCore defect one size class down
+      rc = new graft.core.RoundCheckpoints(e.sparkSession.sparkContext)
+      var rank = rc.rotate(rc.track(
+        nodes.withColumn("rank_micro", lit(initMicro)).localCheckpoint()))
+      for (_ <- 1 to iters) rank = rc.rotate {
+        val contrib = annotated
+          .join(rank, annotated("src") === rank("node"))
+          .selectExpr("dst AS node", "rank_micro div outdeg AS c")
+        val stepped = contrib
+          .groupBy("node")
+          .agg(expr("150000 + (850 * sum(c)) div 1000").as("rank_micro"))
+        // no-incoming-edge nodes keep base mass; in a symmetrized graph
+        // this join is a no-op but the operator must not drop nodes
+        rc.track(nodes
+          .join(stepped, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("rank_micro"), lit(150000L)).as("rank_micro"))
+          .localCheckpoint())
+      }
+      // rank (the result) stays tracked in rc — the last round's blocks
+      // ARE the result and are never released on the normal path
+      rank
+    } catch {
+      case t: Throwable =>
+        if (rc != null) rc.releaseAll()
+        throw t
+    } finally {
+      annotated.unpersist()
+      // rank (the result) is checkpointed on the normal path — the
+      // internal node table's blocks are recovery source for nothing
+      if (nodes != null) graft.core.RoundCheckpoints.releasePersisted(nodes)
     }
-    annotated.unpersist()
-    // rank (the result) is checkpointed — the internal node table's
-    // blocks are recovery source for nothing anymore
-    graft.core.RoundCheckpoints.releasePersisted(nodes)
-    rank
   }
 
   /** Per-node triangle counts via degree-ordered edge orientation — the
@@ -207,11 +222,11 @@ object Graph {
     * @return (node, dist) for every node within `maxHops` of any seed */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val out = bfsDistancesPrepared(e, seeds, maxHops)
-    // `reached` (the result) is checkpointed — release the owned edge
-    // materialization instead of stranding it (pageRank's discipline)
-    graft.core.RoundCheckpoints.releasePersisted(e)
-    out
+    // `reached` (the result) is checkpointed on the normal path — release
+    // the owned edge materialization on EVERY exit instead of stranding
+    // it when the prepared loop throws (pageRank's discipline, ADVICE r12)
+    try bfsDistancesPrepared(e, seeds, maxHops)
+    finally graft.core.RoundCheckpoints.releasePersisted(e)
   }
 
   /** [[bfsDistances]] over a caller-deduped, caller-materialized edge
@@ -271,11 +286,11 @@ object Graph {
       maxRounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w"))
       .groupBy("src", "dst").agg(min("w").as("w")).localCheckpoint()
-    val out = weightedDistancesPrepared(e, seeds, maxRounds)
-    // `dist` (the result) is checkpointed — release the owned edge
-    // materialization instead of stranding it (pageRank's discipline)
-    graft.core.RoundCheckpoints.releasePersisted(e)
-    out
+    // `dist` (the result) is checkpointed on the normal path — release
+    // the owned edge materialization on EVERY exit instead of stranding
+    // it when the prepared loop throws (pageRank's discipline, ADVICE r12)
+    try weightedDistancesPrepared(e, seeds, maxRounds)
+    finally graft.core.RoundCheckpoints.releasePersisted(e)
   }
 
   /** [[weightedDistances]] over a caller-deduped, caller-materialized
@@ -337,11 +352,13 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame =
     {
       val canon = canonicalUndirected(edges).localCheckpoint()
-      val out = kCoreCanonical(canon, k, maxRounds)
-      // `deg` (the result) is checkpointed — release the owned canon
-      // materialization instead of stranding it (pageRank's discipline)
-      graft.core.RoundCheckpoints.releasePersisted(canon)
-      out
+      // `deg` (the result) is checkpointed on the normal path — release
+      // the owned canon materialization on EVERY exit instead of
+      // stranding it when kCoreCanonical throws (its maxRounds
+      // IllegalStateException is a REAL exit path, not a can't-happen —
+      // ADVICE r12)
+      try kCoreCanonical(canon, k, maxRounds)
+      finally graft.core.RoundCheckpoints.releasePersisted(canon)
     }
 
   /** [[kCore]] over a pre-canonicalized, pre-materialized edge table
@@ -446,23 +463,29 @@ object Graph {
     // labels are re-checkpointed every round — rotate the blocks
     // (graft.core.RoundCheckpoints; the pageRankPrepared discipline)
     val rc = new graft.core.RoundCheckpoints(canon.sparkSession.sparkContext)
-    var labels = rc.rotate(rc.track(e.select(col("n")).distinct()
-      .select(col("n"), col("n").as("label"))
-      .localCheckpoint()))
-    val byVotes = Window.partitionBy(col("n"))
-      .orderBy(col("c").desc, col("label"))
-    for (_ <- 1 to rounds) labels = rc.rotate {
-      rc.track(e.join(labels.select(col("n").as("m"), col("label")), "m")
-        .groupBy(col("n"), col("label")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(byVotes))
-        .filter(col("rn") === 1)
-        .select(col("n"), col("label"))
-        .localCheckpoint())
+    try {
+      var labels = rc.rotate(rc.track(e.select(col("n")).distinct()
+        .select(col("n"), col("n").as("label"))
+        .localCheckpoint()))
+      val byVotes = Window.partitionBy(col("n"))
+        .orderBy(col("c").desc, col("label"))
+      for (_ <- 1 to rounds) labels = rc.rotate {
+        rc.track(e.join(labels.select(col("n").as("m"), col("label")), "m")
+          .groupBy(col("n"), col("label")).agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(byVotes))
+          .filter(col("rn") === 1)
+          .select(col("n"), col("label"))
+          .localCheckpoint())
+      }
+      labels
+    } catch {
+      case t: Throwable => rc.releaseAll(); throw t
+    } finally {
+      // labels (the result) is checkpointed on the normal path — release
+      // the owned symmetrized edge materialization on EVERY exit instead
+      // of stranding it (pageRank's discipline, ADVICE r12)
+      graft.core.RoundCheckpoints.releasePersisted(e)
     }
-    // labels (the result) is checkpointed — release the owned symmetrized
-    // edge materialization instead of stranding it (pageRank's discipline)
-    graft.core.RoundCheckpoints.releasePersisted(e)
-    labels
   }
 
   /** Local clustering coefficient (Watts & Strogatz 1998): the fraction

@@ -71,4 +71,72 @@ class SessionMemoSpec extends SparkSpec {
     // the residents must still be readable (eviction never releases)
     assert(memo.getOrBuild(spark, 6)(fail("resident rebuilt")).count() == 106)
   }
+
+  test("the build closure is dropped after evaluation (no session pinning)") {
+    // ADVICE r13: a retained build closure reaches the call site and
+    // through it the SparkSession — a WeakHashMap value strongly
+    // referencing its own key is never collectable, which silently
+    // defeated the weak-session design for Long/Seq memos. Canary: a
+    // val captured ONLY by the build closure must become unreachable
+    // once the value is built.
+    val memo = new SessionMemo[String, Long](4)
+    // helper METHOD, not a block: a block local can stay reachable from
+    // the test method's own stack slot until the frame exits, which
+    // would fail the observation regardless of the memo's behavior
+    def plant(): java.lang.ref.WeakReference[AnyRef] = {
+      val canary = new Array[Byte](1024) // val capture -> strong closure ref
+      memo.getOrBuild(spark, "k")(canary.length.toLong)
+      new java.lang.ref.WeakReference(canary)
+    }
+    val ref = plant()
+    val deadline = System.nanoTime() + 15L * 1000000000L
+    while (ref.get != null && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(100)
+    }
+    assert(ref.get == null,
+      "build closure (and everything it captures) retained after evaluation")
+    assert(memo.getOrBuild(spark, "k")(fail("memo lost the value")) == 1024L)
+  }
+
+  test("the byte budget evicts LRU-first but never the just-built entry") {
+    // entry caps bound count, not bytes (VERDICT r12: one sf10 edge
+    // table is ~14 GB) — the budget prices evaluated entries via sizeOf
+    val memo = new SessionMemo[String, Long](10, budgetBytes = 100L,
+      sizeOf = identity)
+    def get(k: String, sz: Long): Long =
+      memo.getOrBuild(spark, k)(sz)
+    get("a", 60L)
+    get("b", 30L) // 90 <= 100: both stay
+    assert(memo.size(spark) == 2 && memo.bytes(spark) == 90L)
+    get("c", 30L) // 120 > 100: evict LRU "a" -> 60
+    assert(memo.size(spark) == 2 && memo.bytes(spark) == 60L)
+    var rebuilt = false
+    get("a", { rebuilt = true; 60L }) // "a" was evicted -> rebuilds
+    assert(rebuilt, "evicted entry did not rebuild")
+    // an over-budget single entry stays memoized: the budget bounds
+    // accumulation, not one table
+    val memo2 = new SessionMemo[String, Long](10, budgetBytes = 10L,
+      sizeOf = identity)
+    assert(memo2.getOrBuild(spark, "big")(500L) == 500L)
+    assert(memo2.size(spark) == 1)
+    assert(memo2.getOrBuild(spark, "big")(fail("just-built entry evicted"))
+      == 500L)
+  }
+
+  test("context end drops every session's sub-memo (the lifetime signal)") {
+    // weak keys cannot collect an entry whose DataFrame value reaches
+    // the session; SparkSession.stop stops the context, and the
+    // registered onApplicationEnd listener clears by context identity.
+    // The listener body is dropSessionsOf — pinned here directly (the
+    // suite's shared context cannot be stopped mid-run).
+    val memo = new SessionMemo[String, Long](8)
+    val other = spark.newSession()
+    memo.getOrBuild(spark, "k")(1L)
+    memo.getOrBuild(other, "k")(2L)
+    assert(memo.size(spark) == 1 && memo.size(other) == 1)
+    memo.dropSessionsOf(spark.sparkContext)
+    assert(memo.size(spark) == 0 && memo.size(other) == 0,
+      "sessions of the ended context were not dropped")
+  }
 }

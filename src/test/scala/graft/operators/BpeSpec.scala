@@ -101,4 +101,21 @@ class BpeSpec extends SparkSpec {
     assert(leaked.size <= 1,
       s"train left ${leaked.size} persistent RDDs (expected <= 1: final pieces)")
   }
+
+  test("a failing train strands no round state (ADVICE r12 failure path)") {
+    // raise_error fires when the initial pieces checkpoint materializes;
+    // the finally must hand every tracked block back — a failed training
+    // run on a long-lived session must not strand a vocabulary-sized
+    // table (same class as the graph wrappers' throw paths)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val bad = Seq(("ab", 1L)).toDF("word", "freq")
+      .withColumn("freq",
+        org.apache.spark.sql.functions.expr(
+          "IF(freq > 0, CAST(raise_error('boom') AS LONG), freq)"))
+    intercept[Exception] { Bpe.train(bad, 3) }
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"failed train stranded ${leaked.size} persistent RDDs")
+  }
 }

@@ -372,4 +372,29 @@ class GraphSpec extends SparkSpec {
     assert(n <= 2, s"labelPropagation left $n persistent RDDs (expected " +
       "<= 2: symmetrized edge checkpoint + final labels)")
   }
+
+  // Failure-path storage (ADVICE r12): a wrapper that owns an edge
+  // materialization must release it when the inner call THROWS — the
+  // maxRounds IllegalStateException is a real exit on a long-lived
+  // session, not a can't-happen.
+
+  test("kCore releases its canon materialization when convergence fails") {
+    val chain = (0 until 5).map(i => (i.toLong, i + 1L))
+    val n = leakedBy {
+      intercept[IllegalStateException] {
+        // k=2 on a chain peels for several rounds; 1 round cannot converge
+        Graph.kCore(chain.toDF("src", "dst"), k = 2, maxRounds = 1)
+      }
+    }
+    assert(n == 0, s"failed kCore stranded $n persistent RDDs")
+  }
+
+  test("pageRank releases its edge materialization when the inner call throws") {
+    val n = leakedBy {
+      intercept[IllegalArgumentException] {
+        Graph.pageRank(diamond.toDF("src", "dst"), iters = 0)
+      }
+    }
+    assert(n == 0, s"failed pageRank stranded $n persistent RDDs")
+  }
 }
