@@ -78,7 +78,9 @@ object QueriesExt {
     * analytic — runs ONCE for the whole graph family: q85/q106 read the
     * distinct pair set ([[coPurchaseCanon]]), q122 the strong-tie
     * (n_ord ≥ 2) subgraph. */
-  private def coPurchasePairCounts(s: SparkSession, dir: String): DataFrame =
+  // package-visible: the MemoChurn leg drives THIS builder through the
+  // real memo path across rotating generation dirs (VERDICT r12 ask #2)
+  private[graft] def coPurchasePairCounts(s: SparkSession, dir: String): DataFrame =
     shared(s, dir, "coPurchasePairCounts") {
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
       li.as("x").join(li.as("y"),

@@ -249,6 +249,39 @@ object Streaming {
     if (!finished) throw new IllegalStateException(
       s"streaming query ${q.name} did not finish within ${timeoutMs} ms; " +
         "result would be partial")
+    if (streamMetrics) emitStateMetrics(q)
+  }
+
+  // State-store evidence for the multi-executor legs (VERDICT r12 ask
+  // #1: "state-store metrics in the artifact"): SPARK_GRAFT_STREAM_METRICS=1
+  // prints one [stream-state] line per finished query — per-operator
+  // peak state rows, peak store memory, total updates/removals across
+  // batches — so an lc run's captured stdout/stderr carries the
+  // per-executor state evidence. Stderr-only, after q.stop(): never on
+  // the timed path, never part of the JSON contract. Like every
+  // SPARK_GRAFT_* flag the VALUE matters — empty or "0" disables.
+  private val streamMetrics = sys.env.get("SPARK_GRAFT_STREAM_METRICS")
+    .exists(v => v.nonEmpty && v != "0")
+
+  private def emitStateMetrics(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val ps = q.recentProgress
+    val byOp = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Long, Long)] // peakRows, peakMem, updated, removed
+    ps.foreach { p =>
+      Option(p.stateOperators).foreach(_.foreach { so =>
+        val name = Option(so.operatorName).getOrElse("op")
+        val (pr, pm, u, r) = byOp.getOrElse(name, (0L, 0L, 0L, 0L))
+        byOp(name) = (math.max(pr, so.numRowsTotal),
+          math.max(pm, so.memoryUsedBytes),
+          u + so.numRowsUpdated, r + so.numRowsRemoved)
+      })
+    }
+    val ops = byOp.map { case (n, (pr, pm, u, r)) =>
+      s"""{"op":"$n","peak_rows":$pr,"peak_mem_mb":${pm / 1048576L},"updated":$u,"removed":$r}"""
+    }.mkString("[", ",", "]")
+    System.err.println(
+      s"""[stream-state] {"query":"${q.name}","batches":${ps.length},"state_ops":$ops}""")
   }
 
   /** Observation name for the rows-entering-the-sink metric. */
