@@ -24,6 +24,7 @@ echo "preflight @ HEAD $(git rev-parse --short HEAD) ($(date -u +%FT%TZ))"
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
 SPARK_GRAFT_BENCH_REPS=1 \
+SPARK_GRAFT_BENCH_ADAPTIVE=0 \
   sbt -batch \
     "testOnly graft.SmokeGateSpec" \
     "runMain graft.Verify /root/testdata/sf0.001 $OUT" \
