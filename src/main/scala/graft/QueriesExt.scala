@@ -60,6 +60,8 @@ object QueriesExt {
     * not just counted). */
   private[graft] def memoEntries(s: SparkSession): Int = sharedTables.size(s)
   private[graft] def memoBytes(s: SparkSession): Long = sharedTables.bytes(s)
+  private[graft] def memoBreakdownMb(s: SparkSession): Seq[(String, Long)] =
+    sharedTables.entriesSized(s).map { case ((_, key), b) => key -> b / 1048576L }
 
   /** Memoized table row count per (session, dataset, table). q41 and q167
     * size their adaptive geometry (plane count / band width) from the

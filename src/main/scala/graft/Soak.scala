@@ -139,8 +139,14 @@ object Soak {
     val peakRdds = new java.util.concurrent.atomic.AtomicInteger(0)
     val peakStorageMb = new java.util.concurrent.atomic.AtomicLong(0L)
     val peakDiskMb = new java.util.concurrent.atomic.AtomicLong(0L)
+    // match by full name or qNN prefix (the Bench filter contract —
+    // round 13: a prefix-only onlyCsv silently selected ZERO queries
+    // and the leg "passed" on nothing)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(e => only.isEmpty || only(e._1))
+      .filter(e => only.isEmpty || only(e._1) ||
+        only(e._1.takeWhile(_ != '_')))
+    require(only.isEmpty || queries.nonEmpty,
+      s"onlyCsv matched no queries: ${only.mkString(",")}")
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         tid: Int): Unit = {
       val q0 = System.nanoTime()
@@ -200,6 +206,10 @@ object Soak {
       (rddCount, storageMb, views, pending)
     val (endMemoMb, endMemoEntries) =
       (memoMb, QueriesExt.memoEntries(spark))
+    // per-table pricing: a memo-bound FAIL must name which tables carry
+    // the weight, not one opaque sum
+    val memoBreakdown = QueriesExt.memoBreakdownMb(spark)
+      .map { case (k, mb) => s""""$k":$mb""" }.mkString("{", ",", "}")
     val (endDiskRdd, endDiskShuffle, endDiskBcast, endDiskOther) =
       diskBreakdownMb
     val endDisk = endDiskRdd + endDiskShuffle + endDiskBcast + endDiskOther
@@ -251,6 +261,7 @@ object Soak {
          |"end_postgc_disk_other_mb":$endDiskOther,
          |"end_views":$endViews,"end_pending_listeners":$endPending,
          |"end_memo_mb":$endMemoMb,"end_memo_entries":$endMemoEntries,
+         |"end_memo_breakdown_mb":$memoBreakdown,
          |"gc_settle_rounds":$settleRounds,
          |"bounds":{"max_rdds":$maxRdds,"max_storage_mb":$maxStorageMb,"max_views":$maxViews,"max_disk_mb":$maxDiskMb,"max_memo_mb":$maxMemoMb,"listener_cap":${graft.core.Caching.maxPending}},
          |"violations":[${violations.map(jstr).mkString(",")}],
@@ -267,7 +278,7 @@ object Soak {
       s"raw-end=$rawRdds post-gc=$endRdds; storage peak=${peakStorageMb.get()}MB " +
       s"post-gc=${endStorage}MB; disk peak=${peakDiskMb.get()}MB post-gc=${endDisk}MB " +
       s"(rdd=$endDiskRdd shuffle=$endDiskShuffle bcast=$endDiskBcast other=$endDiskOther); " +
-      s"memo=${endMemoMb}MB/$endMemoEntries entries; " +
+      s"memo=${endMemoMb}MB/$endMemoEntries entries $memoBreakdown; " +
       s"pending=$endPending views=$endViews -> " +
       (if (violations.isEmpty) "PASS" else s"FAIL: ${violations.mkString("; ")}"))
     spark.stop()

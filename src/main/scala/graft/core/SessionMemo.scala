@@ -162,13 +162,21 @@ private[graft] final class SessionMemo[K, V](
 
   /** Measured resident bytes of a session's EVALUATED entries (0 without
     * a sizer) — the soak's `memo_bytes` line and the budget's input. */
-  private[graft] def bytes(s: SparkSession): Long = maps.synchronized {
-    val m = maps.get(s)
-    if (m == null || sizeOf == null) 0L
-    else {
-      var total = 0L
-      m.values.forEach(h => h.peek.foreach(v => total += sizeOf(v)))
-      total
+  private[graft] def bytes(s: SparkSession): Long =
+    entriesSized(s).map(_._2).sum
+
+  /** (key, measured bytes) per evaluated entry — the breakdown behind
+    * [[bytes]], so a bound FAIL names WHICH tables carry the weight
+    * instead of one opaque sum (the round-12 "instrument before
+    * concluding" lesson, applied to the memo gate). */
+  private[graft] def entriesSized(s: SparkSession): Seq[(K, Long)] =
+    maps.synchronized {
+      val m = maps.get(s)
+      if (m == null || sizeOf == null) Seq.empty
+      else {
+        val out = Seq.newBuilder[(K, Long)]
+        m.forEach((k, h) => h.peek.foreach(v => out += k -> sizeOf(v)))
+        out.result()
+      }
     }
-  }
 }

@@ -17,17 +17,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * intra-round pair) or when tracked. A deliberate exception carries
   * `lint:checkpoint-ok` on the same line with the reason.
   *
-  * Heuristic limits, chosen to UNDER-flag rather than false-alarm: a
-  * single-expression loop body extends to the first newline at bracket
-  * depth 0, and `.foreach`-style lambda loops are out of scope (the
-  * contract names while/for). The deliberately-broken fixtures below pin
-  * that the net actually catches the defect class.
+  * `.foreach` lambda loops are in scope too (round 13) — same
+  * O(items × state) accumulation class as while/for. Heuristic limit,
+  * chosen to UNDER-flag rather than false-alarm: a single-expression
+  * loop body extends to the first newline at bracket depth 0. The
+  * deliberately-broken fixtures below pin that the net actually catches
+  * the defect class.
   */
 object CheckpointLint {
 
   final case class Violation(file: String, line: Int, what: String)
 
   private val loopRe = "\\b(while|for)\\s*\\(".r
+  private val foreachRe = "\\.foreach\\s*[({]".r
   private val trackRe = "\\btrack\\s*\\(".r
 
   /** Blank out comments (nested block + line), string literals (single,
@@ -126,9 +128,19 @@ object CheckpointLint {
       ln < lines.length && lines(ln).contains("lint:checkpoint-ok")
     }
     val found = scala.collection.mutable.LinkedHashMap.empty[Int, Violation]
-    for (m <- loopRe.findAllMatchIn(s)) {
-      val parenStart = s.indexOf('(', m.start)
-      val (b0, b1) = bodySpan(s, parenStart)
+    // while/for: the paren is the CONDITION, body follows it.
+    // .foreach: the paren/brace IS the body — a lambda loop (same
+    // O(items × state) accumulation class; round 13 widened the net).
+    val spans =
+      loopRe.findAllMatchIn(s).map { m =>
+        bodySpan(s, s.indexOf('(', m.start))
+      } ++ foreachRe.findAllMatchIn(s).map { m =>
+        val open = m.end - 1
+        val (o, c) = if (s(open) == '(') ('(', ')') else ('{', '}')
+        val end = matching(s, open, o, c)
+        (open, if (end < 0) s.length else end)
+      }
+    for ((b0, b1) <- spans) {
       if (b1 > b0) {
         val body = s.substring(b0, b1)
         val trackSpans = trackRe.findAllMatchIn(body).flatMap { t =>
@@ -199,6 +211,15 @@ class CheckpointLintSpec extends AnyFunSuite {
         |  }
         |}""".stripMargin
     assert(CheckpointLint.scan(brokenFor, "BadFor.scala").size == 1)
+  }
+
+  test("foreach lambda loops are in the net, both paren and brace forms") {
+    val bad1 = "items.foreach { i =>\n  acc = step(acc, i).localCheckpoint()\n}"
+    assert(CheckpointLint.scan(bad1, "f1.scala").size == 1)
+    val bad2 = "items.foreach(i => acc = step(acc, i).localCheckpoint())"
+    assert(CheckpointLint.scan(bad2, "f2.scala").size == 1)
+    val good = "items.foreach { i =>\n  acc = rc.rotate(rc.track(step(acc, i).localCheckpoint()))\n}"
+    assert(CheckpointLint.scan(good, "f3.scala").isEmpty)
   }
 
   test("intra-round cache/unpersist pairs pass; an unpaired cache flags") {

@@ -111,6 +111,8 @@ class SessionMemoSpec extends SparkSpec {
     assert(memo.size(spark) == 2 && memo.bytes(spark) == 90L)
     get("c", 30L) // 120 > 100: evict LRU "a" -> 60
     assert(memo.size(spark) == 2 && memo.bytes(spark) == 60L)
+    assert(memo.entriesSized(spark).toMap == Map("b" -> 30L, "c" -> 30L),
+      "per-entry pricing breakdown disagrees with the sum")
     var rebuilt = false
     get("a", { rebuilt = true; 60L }) // "a" was evicted -> rebuilds
     assert(rebuilt, "evicted entry did not rebuild")
