@@ -59,7 +59,8 @@ import org.apache.spark.sql.SparkSession
 private[graft] final class SessionMemo[K, V](
     maxPerSession: Int,
     budgetBytes: Long = Long.MaxValue,
-    sizeOf: V => Long = null) {
+    sizeOf: V => Long = null,
+    maxSessions: Int = 16) {
 
   /** lazy val gives per-holder synchronized once-only evaluation. The
     * build closure is DROPPED after evaluation: it captures the call
@@ -78,11 +79,27 @@ private[graft] final class SessionMemo[K, V](
     private[SessionMemo] def peek: Option[V] = if (done) Some(value) else None
   }
 
-  /** session → LRU (access-ordered) sub-memo; weak session keys. All
-    * map access synchronized on `maps` (registration and lookup are
-    * construction-time, never hot). */
-  private val maps = new java.util.WeakHashMap[
-    SparkSession, java.util.LinkedHashMap[K, Holder]]
+  /** One session's sub-memo plus its last-access stamp (monotonic
+    * nanos) — the stamp orders sessions for [[maxSessions]] eviction. */
+  private final class Sub {
+    val entries = new java.util.LinkedHashMap[K, Holder](16, 0.75f, true)
+    @volatile var lastTouch: Long = System.nanoTime()
+  }
+
+  /** session → sub-memo; weak session keys. All map access synchronized
+    * on `maps` (registration and lookup are construction-time, never
+    * hot).
+    *
+    * Weak keys alone cannot reclaim a DROPPED-but-unstopped session
+    * (the connection-pool shape: `newSession()` per BI connection,
+    * dropped at connection close while the context lives on): its
+    * DataFrame memo values reach the session, pinning the key, and the
+    * context-end listener never fires. So the SESSION DIMENSION is
+    * LRU-bounded too ([[maxSessions]]): registering session N+1 drops
+    * the least-recently-touched other session's sub-memo — eviction is
+    * the usual GC-mediated reference drop, and a live session that gets
+    * evicted merely rebuilds its memo on next use (it is a cache). */
+  private val maps = new java.util.WeakHashMap[SparkSession, Sub]
 
   /** Contexts that already carry our end-of-life listener (weak keys —
     * the listener itself lives on the context's bus, not here). */
@@ -91,26 +108,52 @@ private[graft] final class SessionMemo[K, V](
   def getOrBuild(s: SparkSession, k: K)(build: => V): V = {
     val holder = maps.synchronized {
       hookContextEnd(s.sparkContext)
-      var m = maps.get(s)
-      if (m == null) {
-        m = new java.util.LinkedHashMap[K, Holder](16, 0.75f, true)
-        maps.put(s, m)
-      }
-      var h = m.get(k) // access-order touch keeps hot entries resident
-      if (h == null) {
-        h = new Holder(() => build)
-        m.put(k, h)
-        while (m.size > maxPerSession) {
-          val it = m.entrySet().iterator()
-          it.next()
-          it.remove()
+      var sub = maps.get(s)
+      if (sub == null) {
+        sub = new Sub
+        maps.put(s, sub)
+        // session-dimension LRU: drop the least-recently-touched OTHER
+        // session once more than maxSessions are registered (the
+        // dropped-connection-session bound; see `maps` doc)
+        var evicting = maps.size > maxSessions
+        while (evicting) {
+          var eldest: SparkSession = null
+          var eldestTouch = Long.MaxValue
+          val it = maps.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if ((e.getKey ne s) && e.getValue.lastTouch < eldestTouch) {
+              eldest = e.getKey
+              eldestTouch = e.getValue.lastTouch
+            }
+          }
+          if (eldest != null) maps.remove(eldest)
+          evicting = eldest != null && maps.size > maxSessions
         }
       }
-      h
+      sub.lastTouch = System.nanoTime()
+      holderFor(sub, k, () => build)
     }
     val v = holder.value
     if (budgetBytes != Long.MaxValue && sizeOf != null) enforceBudget(s)
     v
+  }
+
+  /** Entry lookup-or-insert inside one session's sub-memo, with the
+    * per-session entry-count LRU cap. Caller holds the maps lock. */
+  private def holderFor(sub: Sub, k: K, build: () => V): Holder = {
+    val m = sub.entries
+    var h = m.get(k) // access-order touch keeps hot entries resident
+    if (h == null) {
+      h = new Holder(build)
+      m.put(k, h)
+      while (m.size > maxPerSession) {
+        val it = m.entrySet().iterator()
+        it.next()
+        it.remove()
+      }
+    }
+    h
   }
 
   /** Byte-budget pass, after a build completed: evict least-recently-
@@ -119,8 +162,9 @@ private[graft] final class SessionMemo[K, V](
     * caller just built must stay memoized, even if it alone exceeds the
     * budget; the budget bounds accumulation, not a single table). */
   private def enforceBudget(s: SparkSession): Unit = maps.synchronized {
-    val m = maps.get(s)
-    if (m != null) {
+    val sub = maps.get(s)
+    if (sub != null) {
+      val m = sub.entries
       def measured(h: Holder): Long = h.peek.map(sizeOf).getOrElse(0L)
       var total = 0L
       m.values.forEach(h => total += measured(h))
@@ -157,8 +201,12 @@ private[graft] final class SessionMemo[K, V](
 
   /** Current entry count for a session (spec/soak instrumentation). */
   private[graft] def size(s: SparkSession): Int = maps.synchronized {
-    Option(maps.get(s)).map(_.size).getOrElse(0)
+    Option(maps.get(s)).map(_.entries.size).getOrElse(0)
   }
+
+  /** Number of sessions currently registered (the [[maxSessions]]
+    * bound's observable). */
+  private[graft] def sessionCount: Int = maps.synchronized(maps.size)
 
   /** Measured resident bytes of a session's EVALUATED entries (0 without
     * a sizer) — the soak's `memo_bytes` line and the budget's input. */
@@ -171,11 +219,11 @@ private[graft] final class SessionMemo[K, V](
     * concluding" lesson, applied to the memo gate). */
   private[graft] def entriesSized(s: SparkSession): Seq[(K, Long)] =
     maps.synchronized {
-      val m = maps.get(s)
-      if (m == null || sizeOf == null) Seq.empty
+      val sub = maps.get(s)
+      if (sub == null || sizeOf == null) Seq.empty
       else {
         val out = Seq.newBuilder[(K, Long)]
-        m.forEach((k, h) => h.peek.foreach(v => out += k -> sizeOf(v)))
+        sub.entries.forEach((k, h) => h.peek.foreach(v => out += k -> sizeOf(v)))
         out.result()
       }
     }

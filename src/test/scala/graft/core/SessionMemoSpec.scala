@@ -126,6 +126,28 @@ class SessionMemoSpec extends SparkSpec {
       == 500L)
   }
 
+  test("the session dimension is LRU-bounded (dropped connection sessions)") {
+    // a DROPPED-but-unstopped child session (connection pool: one
+    // newSession per BI connection, dropped at close) is pinned by its
+    // own DataFrame memo values, and context-end never fires while the
+    // server lives — so sessions themselves are LRU-capped; an evicted
+    // LIVE session just rebuilds (the memo is a cache)
+    val memo = new SessionMemo[String, Long](4, maxSessions = 2)
+    val (s1, s2, s3) = (spark.newSession(), spark.newSession(), spark.newSession())
+    assert(memo.getOrBuild(s1, "k")(1L) == 1L)
+    assert(memo.getOrBuild(s2, "k")(2L) == 2L)
+    assert(memo.getOrBuild(s1, "k")(99L) == 1L) // touch: s2 becomes eldest
+    assert(memo.getOrBuild(s3, "k")(3L) == 3L)  // third session -> evict s2
+    assert(memo.sessionCount == 2, "session cap did not hold")
+    assert(memo.size(s2) == 0, "least-recently-touched session survived")
+    assert(memo.size(s1) == 1 && memo.size(s3) == 1,
+      "recently-touched sessions were evicted")
+    var rebuilt = false
+    assert(memo.getOrBuild(s2, "k") { rebuilt = true; 2L } == 2L && rebuilt,
+      "evicted live session must rebuild transparently")
+    assert(memo.sessionCount == 2, "re-registration must re-evict")
+  }
+
   test("context end drops every session's sub-memo (the lifetime signal)") {
     // weak keys cannot collect an entry whose DataFrame value reaches
     // the session; SparkSession.stop stops the context, and the
