@@ -267,7 +267,26 @@ object Bench {
       .mkString("{", ",", "}")
     val ioJson = ioQ.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","calib_sec":$calib,"calib_par":$calibPar,"calib_q":$cqJson,"calib_pq":$cpqJson,"io_mb":$ioJson}""")
+    // Host-health window stamp (VERDICT r13 ask #2): round 13's full
+    // bench ran entirely inside a degraded parallel-capacity window —
+    // in-run parallel probe ~1.6× the r12 reference at IDENTICAL
+    // single-thread calib — and the per-query contention flags
+    // (2× the run's own median) are structurally blind to it: a
+    // WHOLE-RUN degradation moves the median itself. The absolute
+    // anchor is the probe's construction: calibParOnce runs HALF the
+    // per-thread iterations of calibOnce, so on an uncontended box with
+    // ≥ cpus cores the parallel probe finishes in ~0.5× the
+    // single-thread probe. A run whose MEDIAN pq/q ratio deviates >25%
+    // above that prediction is stamped "degraded" — benchcmp.py refuses
+    // to let such a run anchor a round-over-round comparison silently.
+    val (windowRatio, window) = windowSummary(calibQ, calibPq)
+    if (window == "degraded")
+      System.err.println(s"[bench] WARNING: degraded parallel-capacity " +
+        s"window (median calib_pq/calib_q ${String.format(
+          java.util.Locale.ROOT, "%.3f", Double.box(windowRatio))} vs " +
+        "predicted 0.5); this run must not anchor round-over-round reads")
+    val wr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(windowRatio))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","calib_sec":$calib,"calib_par":$calibPar,"window":"$window","window_ratio":$wr,"calib_q":$cqJson,"calib_pq":$cpqJson,"io_mb":$ioJson}""")
     // Compact twin as the FINAL stdout line (VERDICT r6 ask #7): the
     // driver archives only a ~4 KB stdout tail, which truncated the full
     // line above mid-map in round 6 (BENCH_r06.json `parsed: null`). Keys
@@ -314,7 +333,7 @@ object Bench {
         val out = new String(p.getInputStream.readAllBytes()).trim
         if (p.waitFor() == 0) out else "unknown"
       } catch { case _: Throwable => "unknown" }
-    println(s"""{"metric":"total","value":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(total))},"unit":"sec","n_q":${results.size},"qt":${jstr(qtCompact)},"n_errors":${errors.size},"sf":"$sfDir","calib_sec":$calib,"calib_par":$calibPar2,"contended":${jstr(contended)},"contend_max":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(contendMax))},"spill_top":${jstr(spillTop)},"head":${jstr(head)}}""")
+    println(s"""{"metric":"total","value":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(total))},"unit":"sec","n_q":${results.size},"qt":${jstr(qtCompact)},"n_errors":${errors.size},"sf":"$sfDir","calib_sec":$calib,"calib_par":$calibPar2,"window":"$window","window_ratio":$wr,"contended":${jstr(contended)},"contend_max":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(contendMax))},"spill_top":${jstr(spillTop)},"head":${jstr(head)}}""")
     spark.stop()
   }
 
@@ -355,6 +374,29 @@ object Bench {
     }
     flush()
     (parts.mkString(","), ratios.map(_._2).max / med)
+  }
+
+  /** (median calib_pq/calib_q over the run, "healthy"|"degraded") — the
+    * whole-run host-health verdict (VERDICT r13 ask #2). Absolute
+    * anchor: the parallel probe runs HALF the per-thread iterations of
+    * the single-thread probe, so its predicted ratio on an uncontended
+    * box with ≥ cpus cores is 0.5 — a prediction derived from the
+    * probes' construction, not from any past run, which is what lets it
+    * catch a degradation that elevates the WHOLE run (the per-query
+    * contention flags compare against the run's own median and cannot).
+    * Degraded = median ratio > 0.5 × 1.25. Fewer than 2 probe pairs
+    * (single-query runs) report healthy at ratio 0.5 — no basis to
+    * stamp either way, and the stamp must not block tiny iso runs. */
+  private[graft] def windowSummary(
+      calibQ: scala.collection.Map[String, Double],
+      calibPq: scala.collection.Map[String, Double]): (Double, String) = {
+    val ratios = calibQ.keysIterator.toSeq.flatMap { name =>
+      for (q <- calibQ.get(name); pq <- calibPq.get(name); if q > 0)
+        yield pq / q
+    }.sorted
+    if (ratios.size < 2) return (0.5, "healthy")
+    val med = ratios(ratios.size / 2)
+    (med, if (med > 0.5 * 1.25) "degraded" else "healthy")
   }
 
   /** Wall time of `iters` iterations of a fixed single-thread integer

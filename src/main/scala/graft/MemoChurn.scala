@@ -58,8 +58,12 @@ object MemoChurn {
     }
 
     def rddCount: Int = sc.getPersistentRDDs.size
-    def storageMb: Long = sc.getExecutorMemoryStatus.values
-      .map { case (max, remaining) => max - remaining }.sum / 1048576L
+    // mem+disk of every persisted block — the SAME block classes
+    // memoBytes prices, so the post-GC drain bound compares like with
+    // like (ADVICE r13: the memory-store-only getExecutorMemoryStatus
+    // figure passed trivially whenever checkpoints spilled to disk)
+    def storageMb: Long = sc.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum / 1048576L
     def memoMb: Long = QueriesExt.memoBytes(spark) / 1048576L
     def d1(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))

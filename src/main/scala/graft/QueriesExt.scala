@@ -37,18 +37,47 @@ object QueriesExt {
   // could pin ~100 GB. Default 32 GiB ≈ two sf10-scale working sets;
   // deployments size it via GRAFT_MEMO_BUDGET_MB. Pricing reads the
   // checkpoint's storage info (driver-local, no data touched).
-  private[graft] def memoTableBytes(df: DataFrame): Long =
-    graft.core.RoundCheckpoints.persistedRddId(df).fold(0L) { id =>
-      df.sparkSession.sparkContext.getRDDStorageInfo
-        .find(_.id == id).fold(0L)(i => i.memSize + i.diskSize)
+  // BATCH pricing (ADVICE r13): the memo invokes this once per budget
+  // pass, so the full block-manager storage scan (`getRDDStorageInfo`)
+  // runs once per pass — snapshotted per distinct context — instead of
+  // once per entry under the memo lock. Driver-local metadata; no data
+  // is touched.
+  private[graft] def memoTableBytes(dfs: Seq[DataFrame]): Seq[Long] = {
+    val snapshots = scala.collection.mutable
+      .Map.empty[org.apache.spark.SparkContext, Map[Int, Long]]
+    dfs.map { df =>
+      val sc = df.sparkSession.sparkContext
+      val info = snapshots.getOrElseUpdate(sc,
+        sc.getRDDStorageInfo.map(i => i.id -> (i.memSize + i.diskSize)).toMap)
+      graft.core.RoundCheckpoints.persistedRddId(df)
+        .flatMap(info.get).getOrElse(0L)
+    }
+  }
+
+  // A malformed env value must fail with a message naming the knob, not
+  // as an opaque ExceptionInInitializerError on the first query that
+  // touches this static (ADVICE r13).
+  private def envMb(name: String, defaultBytes: Long): Long =
+    sys.env.get(name).fold(defaultBytes) { v =>
+      require(v.nonEmpty && v.forall(_.isDigit),
+        s"$name must be a whole number of megabytes, got '$v'")
+      v.toLong << 20
     }
 
   private val sharedTables =
     new graft.core.SessionMemo[(String, String), DataFrame](
       8,
-      budgetBytes = sys.env.get("GRAFT_MEMO_BUDGET_MB")
-        .map(_.toLong << 20).getOrElse(32L << 30),
-      sizeOf = memoTableBytes)
+      budgetBytes = envMb("GRAFT_MEMO_BUDGET_MB", 32L << 30),
+      sizeOf = memoTableBytes,
+      // Driver-GLOBAL ceiling (VERDICT r13 "what's missing" #2): the
+      // per-session budget bounds accumulation WITHIN a session and the
+      // session LRU bounds count, but their composition (16 × 32 GiB ≈
+      // 512 GiB) far exceeds any driver — two sf10 sessions already
+      // hold ~25.6 GB priced (MEMOCOMPOSE r13). Default 64 GiB ≈ two
+      // sf10-class working sets resident at once, evicting the coldest
+      // session's tables LRU beyond that; deployments co-locating more
+      // hot sessions size it via GRAFT_MEMO_GLOBAL_BUDGET_MB.
+      globalBudgetBytes = envMb("GRAFT_MEMO_GLOBAL_BUDGET_MB", 64L << 30))
 
   private[graft] def shared(s: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame =
@@ -62,6 +91,10 @@ object QueriesExt {
   private[graft] def memoBytes(s: SparkSession): Long = sharedTables.bytes(s)
   private[graft] def memoBreakdownMb(s: SparkSession): Seq[(String, Long)] =
     sharedTables.entriesSized(s).map { case ((_, key), b) => key -> b / 1048576L }
+  // the GLOBAL bound's observables (session-churn / compose legs)
+  private[graft] def memoSessionCount: Int = sharedTables.sessionCount
+  private[graft] def memoTotalBytes: Long = sharedTables.totalBytes
+  private[graft] def memoTotalEntries: Int = sharedTables.totalEntries
 
   /** Memoized table row count per (session, dataset, table). q41 and q167
     * size their adaptive geometry (plane count / band width) from the

@@ -263,6 +263,17 @@ object Streaming {
   private val streamMetrics = sys.env.get("SPARK_GRAFT_STREAM_METRICS")
     .exists(v => v.nonEmpty && v != "0")
 
+  /** Minimal JSON string escape for the diagnostic line below — a query
+    * or operator name containing a quote/backslash must not produce an
+    * invalid [stream-state] record (ADVICE r13). */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   private def emitStateMetrics(
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val ps = q.recentProgress
@@ -278,10 +289,13 @@ object Streaming {
       })
     }
     val ops = byOp.map { case (n, (pr, pm, u, r)) =>
-      s"""{"op":"$n","peak_rows":$pr,"peak_mem_mb":${pm / 1048576L},"updated":$u,"removed":$r}"""
+      s"""{"op":${jstr(n)},"peak_rows":$pr,"peak_mem_mb":${pm / 1048576L},"updated":$u,"removed":$r}"""
     }.mkString("[", ",", "]")
+    // an unnamed query (name == null) identifies by its UUID instead of
+    // printing the literal string "null"
+    val qname = Option(q.name).getOrElse(q.id.toString)
     System.err.println(
-      s"""[stream-state] {"query":"${q.name}","batches":${ps.length},"state_ops":$ops}""")
+      s"""[stream-state] {"query":${jstr(qname)},"batches":${ps.length},"state_ops":$ops}""")
   }
 
   /** Observation name for the rows-entering-the-sink metric. */

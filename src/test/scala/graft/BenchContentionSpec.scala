@@ -54,4 +54,37 @@ class BenchContentionSpec extends AnyFunSuite {
     assert(Bench.contentionSummary(LinkedHashMap.empty[String, Double],
       LinkedHashMap.empty[String, Double]) == (("", 1.0)))
   }
+
+  // windowSummary (VERDICT r13 ask #2): the WHOLE-RUN health stamp.
+  // contentionSummary compares each query against the run's own median,
+  // so a storm that elevates the entire run moves the median with it and
+  // flags nothing — exactly the r13 shape (median pq/q 0.77 for the whole
+  // session vs the 0.5 the probes' construction predicts). The stamp
+  // compares against that ABSOLUTE prediction instead.
+
+  test("a run at the predicted parallel ratio stamps healthy") {
+    val ns = names(8)
+    val cq = LinkedHashMap(ns.map(_ -> 0.10): _*)
+    val cpq = LinkedHashMap(ns.map(_ -> 0.05): _*) // exactly predicted 0.5
+    val (ratio, stamp) = Bench.windowSummary(cq, cpq)
+    assert(stamp == "healthy" && math.abs(ratio - 0.5) < 1e-9)
+    // the r12 reference window (0.47) is healthy too
+    val cpq2 = LinkedHashMap(ns.map(_ -> 0.047): _*)
+    assert(Bench.windowSummary(cq, cpq2)._2 == "healthy")
+  }
+
+  test("a whole-run parallel-capacity loss stamps degraded even though no query flags") {
+    val ns = names(8)
+    val cq = LinkedHashMap(ns.map(_ -> 0.10): _*)
+    val cpq = LinkedHashMap(ns.map(_ -> 0.077): _*) // the r13 window: 0.77
+    val (flag, _) = Bench.contentionSummary(cq, cpq)
+    assert(flag == "", "uniform elevation must not trip per-query flags")
+    val (ratio, stamp) = Bench.windowSummary(cq, cpq)
+    assert(stamp == "degraded" && ratio > 0.7, s"got $stamp at $ratio")
+  }
+
+  test("single-query runs have no basis to stamp and default healthy") {
+    assert(Bench.windowSummary(LinkedHashMap("q01_x" -> 0.1),
+      LinkedHashMap("q01_x" -> 0.09)) == ((0.5, "healthy")))
+  }
 }

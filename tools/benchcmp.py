@@ -70,6 +70,7 @@ def load(path: str) -> dict:
             cont = re.search(r'"contended":"([^"]*)"', tail)
             cmax = re.search(r'"contend_max":([0-9][0-9.eE+-]*)', tail)
             spill = re.search(r'"spill_top":"([^"]*)"', tail)
+            window = re.search(r'"window":"([^"]*)"', tail)
             print(f"NOTE: {path} is a truncated driver wrapper; salvaged "
                   f"{len(qs)} query timings from its tail", file=sys.stderr)
             out = {"queries": qs,
@@ -80,6 +81,8 @@ def load(path: str) -> dict:
                 out["contend_max"] = float(cmax.group(1))
             if spill:
                 out["spill_top"] = spill.group(1)
+            if window:
+                out["window"] = window.group(1)
             return out
     raise SystemExit(f"{path}: no bench JSON line found")
 
@@ -92,6 +95,10 @@ def main() -> int:
                     help="flag calibrated ratios above this (default 1.5)")
     ap.add_argument("--label-old", default="old")
     ap.add_argument("--label-new", default="new")
+    ap.add_argument("--allow-degraded", action="store_true",
+                    help="compare anyway when a side is stamped "
+                         "window=degraded (the comparison is then "
+                         "host-window-contaminated by construction)")
     args = ap.parse_args()
 
     a, b = load(args.old), load(args.new)
@@ -111,6 +118,23 @@ def main() -> int:
         if d.get("spill_top"):
             print(f"{label} ({side}) top disk spillers (MB/rep): "
                   f"{d['spill_top']}")
+    # whole-run host-health stamp (VERDICT r13 ask #2): a run whose
+    # MEDIAN parallel-probe ratio deviated >25% from the probes'
+    # constructed prediction (0.5) measured a degraded host window, and
+    # per-query flags cannot see it (the median moves with the storm).
+    # Refuse to let such a run become lineage silently: comparing
+    # requires the explicit --allow-degraded acknowledgment.
+    degraded = [label for _, d, label in
+                (("old", a, args.label_old), ("new", b, args.label_new))
+                if d.get("window") == "degraded"]
+    if degraded:
+        print(f"WINDOW: {', '.join(degraded)} stamped window=degraded "
+              "(whole-run parallel-capacity loss; see Bench.windowSummary)",
+              file=sys.stderr)
+        if not args.allow_degraded:
+            print("refusing to compare a degraded-window run "
+                  "(pass --allow-degraded to override)", file=sys.stderr)
+            return 2
     ca, cb = a.get("calib_sec"), b.get("calib_sec")
     if not ca or not cb:
         print("WARNING: calib_sec missing on one side; comparing RAW times "
@@ -126,6 +150,19 @@ def main() -> int:
     # whose swing tracks that degradation are host windows, not regressions
     pqa, pqb = a.get("calib_pq", {}), b.get("calib_pq", {})
     qa, qb = a.get("queries", {}), b.get("queries", {})
+    # the driver's archived tail keys queries by their qNN prefix while
+    # full bench lines use long names -- when the two sides' key sets are
+    # disjoint but agree after prefixing, compare on prefixes (r14: lets
+    # a fresh full-format run be compared against an old driver tail)
+    def shorten(d):
+        return {k.split("_")[0]: v for k, v in d.items()}
+    if qa and qb and not (set(qa) & set(qb)) \
+            and (set(shorten(qa)) & set(shorten(qb))):
+        qa, qb = shorten(qa), shorten(qb)
+        cqa, cqb = shorten(cqa), shorten(cqb)
+        pqa, pqb = shorten(pqa), shorten(pqb)
+        print("NOTE: key formats differ (driver-tail qNN vs full names); "
+              "comparing on qNN prefixes", file=sys.stderr)
     common = sorted(set(qa) & set(qb))
     only_a = sorted(set(qa) - set(qb))
     only_b = sorted(set(qb) - set(qa))
