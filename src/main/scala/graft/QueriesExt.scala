@@ -1666,9 +1666,13 @@ object QueriesExt {
     */
   private val q63: Q = (s, dir) => {
     val flag = Seq("l_returnflag")
-    val base = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        col("l_quantity"))
+    // spread before persist: the single-row-group scan caches as ONE block
+    // otherwise, serializing every downstream job (guide §2.5; no-op at
+    // scale — see graft.core.Partitioning)
+    val base = graft.core.Partitioning.spreadToCores(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity")))
       .persist()
     val probes = (1 until 32).map(_.toDouble / 32).toArray
     // one probe job for the ntile phase; it also populates the cache. The

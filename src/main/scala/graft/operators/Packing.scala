@@ -48,12 +48,11 @@ object Packing {
     val bnds: Array[Double] =
       if (probes.isEmpty) Array.empty
       else df.stat.approxQuantile(orderCol, probes, 0.001).distinct.sorted
-    // Bucket id = #boundaries <= value: a pure map over a literal array,
-    // fused into the scan stage (no exchange to assign buckets).
-    val ord = col(orderCol).cast("double")
-    val bucket =
-      if (bnds.isEmpty) lit(0)
-      else size(filter(typedLit(bnds), b => b <= ord))
+    // Bucket id = #boundaries <= value: a pure map fused into the scan
+    // stage (no exchange to assign buckets) — the codegen'd comparison
+    // chain, not the HOF form (see [[RangeBucket]]: ArrayFilter is
+    // CodegenFallback and breaks whole-stage codegen for the stage).
+    val bucket = RangeBucket.of(col(orderCol), bnds)
     val bucketed = df.withColumn("__pk_bucket", bucket)
     val v = coalesce(col(valueCol).cast("long"), lit(0L))
 

@@ -267,7 +267,22 @@ object Sketch {
     require(s >= 2, s"heavyHitters needs s >= 2, got $s")
     require(d >= 1 && d <= MaxLanes,
       s"heavyHitters needs 1 <= d <= $MaxLanes, got d=$d")
-    val cells = countMin(df, keyCol, w, d).collect()
+    // Lane hash: xxhash64 seeded per lane, NOT countMin's md5 slice. The
+    // md5 contract exists so q95/q105/q119 can rebuild the PUBLISHED
+    // sketch cells cross-engine; here the sketch is a private pre-filter
+    // (only the exact recount leaves the operator — the result is
+    // hash-invariant by the one-sided superset argument below), and the
+    // md5 path pays a hex-string render + substring + string→decimal conv
+    // per row where xxhash64 is one codegen-native long op (measured r14:
+    // the two md5 scan stages were 1.4 s + 2.0 s of the query's 4.0 s).
+    def bucket(r: Int): Column =
+      pmod(xxhash64(lit(r), col(keyCol).cast("string")), lit(w))
+    val cells = df
+      .select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("lane"), bucket(r).as("bucket"))): _*)).as("lb"))
+      .groupBy(col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
     val arr = Array.fill(d * w)(0L)
     cells.foreach { r =>
       arr(r.getAs[Int]("lane") * w + r.getAs[Long]("bucket").toInt) =
@@ -276,18 +291,14 @@ object Sketch {
     val n = arr.slice(0, w).sum // lane 0 holds every row exactly once
     val thr = n / s
     val cellArr = typedLit(arr.toSeq)
-    // gf_h projected ONCE: the d per-lane probes reference the named
-    // column, so the md5 runs once per row, not d times
     val est = (0 until d).map { r =>
-      element_at(cellArr,
-        (sliceBucket(col("gf_h"), r, w) + lit(r * w) + lit(1)).cast("int"))
+      element_at(cellArr, (bucket(r) + lit(r * w) + lit(1)).cast("int"))
     }.reduceLeft(least(_, _))
     // The estimate is a pure function of the key, so the row filter IS
     // the candidate-key membership test — every row of a surviving key
     // passes. Recount directly on the filtered rows: no distinct pass,
     // no semi-join, one sketch scan + one filtered recount scan total.
-    df.withColumn("gf_h", keyHash(col(keyCol)))
-      .filter(est >= lit(thr))
+    df.filter(est >= lit(thr))
       .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= thr)
   }
