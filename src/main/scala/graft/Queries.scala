@@ -32,12 +32,16 @@ object Queries {
     * 5-column projection reach the parquet reader (PushedFilters/ReadSchema),
     * which at 100 TB is the difference between reading 5 columns of a few
     * row groups and reading everything. */
+  // No final orderBy (r14, the q63 discipline / guide §2.4 "orderBy used
+  // only to make output deterministic"): below the sort the plan is an
+  // exchange-free filtered projection, so the global sort re-executes the
+  // scan for the range-partitioner sample and sorts a row-per-input
+  // result the gate row-sorts anyway. Oracle SQL unchanged.
   private val q01: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= to_timestamp(lit("1999-01-01")))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   private val q01Sql =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
@@ -288,7 +292,7 @@ object Queries {
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         Scalar.percentage(col("l_discount"), nullif(col("l_tax"), lit(0.0))).as("pct"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // exchange-free kernel projection: no final orderBy (q01 rationale)
 
   private val q12Sql =
     """SELECT l_orderkey, l_linenumber,
@@ -313,7 +317,8 @@ object Queries {
       .select(col("event_id"),
         coalesce(date_format(Scalar.parseTimestampLoose(col("raw")),
           "yyyy-MM-dd HH:mm:ss"), lit("invalid")).as("parsed"))
-      .orderBy(col("event_id"))
+      // exchange-free parse-kernel projection: no final orderBy (q01
+      // rationale)
   }
 
   private val q13Sql =

@@ -24,6 +24,18 @@ object Sessions {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE coalescing targets BYTES, which under-provisions CPU-dense
+      // narrow shuffles: with the default 1 MB minPartitionSize, a 2 MB
+      // shuffle of hashed-shingle arrays coalesces to 2 partitions and
+      // the near-dup verify kernel runs ~single-threaded regardless of
+      // core count (measured r14: q31's two verify stages at 0.9 s each
+      // on 1-2 tasks). 64 KB keeps such stages at the parallelism the
+      // cores afford while still folding genuinely tiny (model-sized)
+      // shuffles to one task. Scale-neutral: with production shuffle
+      // volumes, bytes/parallelism >> 1 MB and this floor never binds —
+      // it only governs the small-shuffle regime where byte-targeting
+      // misjudges CPU-bound work.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
 
   /** Local shuffle parallelism: cores, unconditionally. The sf10
     * partition-count experiments override this through the BENCH

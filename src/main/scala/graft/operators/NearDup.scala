@@ -151,12 +151,13 @@ object NearDup {
     var lab = edges.groupBy(col("n"))
       .agg(least(min(col("m")), first(col("n"))).as("lab"))
       .cache()
-    // force both loop-invariant caches NOW (edges directly, then lab on
-    // top of the already-hot edges blocks): every round reads them and
-    // their build cost should land here, not inside round 1. Rotation
-    // tracks checkpoints EXACTLY, so an untracked lazy cache can no
-    // longer be swept — this is a locality choice, not a guard.
-    edges.count()
+    // force the loop-invariant caches NOW: every round reads them and
+    // their build cost should land here, not inside round 1. ONE action
+    // suffices (r14): computing lab streams the pairs DAG through edges
+    // exactly once, populating edges' cache blocks en route — the
+    // previous separate edges.count() was a second driver round-trip for
+    // the same blocks. Rotation tracks checkpoints EXACTLY, so an
+    // untracked lazy cache can no longer be swept.
     lab.count()
     // per-round localCheckpoint blocks live at the RDD layer, which the
     // Dataset.unpersist below cannot reach — rotate them
@@ -171,22 +172,35 @@ object NearDup {
           .join(lab.withColumnRenamed("n", "m"), Seq("m"))
           .groupBy(col("n")).agg(min(col("lab")).as("nlab"))
         // cache the one-hop result: the pointer-jump self-join reads it from
-        // BOTH sides — uncached, the edges join + aggregate would run twice
+        // BOTH sides — uncached, the edges join + aggregate would run twice.
+        // `__old` (the round-entry label) rides along so convergence can be
+        // read off the checkpoint action itself (below) instead of a
+        // separate next ⋈ lab job per round (r14: the convergence join was
+        // a full extra action in every round of every cluster consumer —
+        // q48/q122/q129/q159/q163).
         val hop = lab.join(viaNeighbor, Seq("n"))
-          .select(col("n"), least(col("lab"), col("nlab")).as("lab"))
+          .select(col("n"), col("lab").as("__old"),
+            least(col("lab"), col("nlab")).as("lab"))
           .cache()
         // pointer jump: follow the label one more step (labels are nodes too).
         // localCheckpoint (eager) TRUNCATES LINEAGE: the self-join references
         // hop twice, so without truncation the logical plan doubles per round
         // and planning itself blows up exponentially (the classic iterative-
         // algorithm failure; same discipline as GraphX's periodic checkpoint)
+        // Convergence = no label strictly decreased this round (labels are
+        // monotonically non-increasing under least/min), observed ON the
+        // checkpoint job — exact, and one driver action per round total.
+        val obs = new org.apache.spark.sql.Observation
         val next = rc.track(hop.as("x")
           .join(hop.select(col("n").as("lab"), col("lab").as("lab2")).as("y"),
             Seq("lab"), "left")
-          .select(col("n"), least(col("lab"), coalesce(col("lab2"), col("lab"))).as("lab"))
+          .select(col("n"), col("__old"),
+            least(col("lab"), coalesce(col("lab2"), col("lab"))).as("lab"))
+          .observe(obs, coalesce(sum(when(col("lab") < col("__old"), 1L)
+            .otherwise(0L)), lit(0L)).as("chg"))
+          .select(col("n"), col("lab"))
           .localCheckpoint())
-        converged = next.join(lab.withColumnRenamed("lab", "old"), Seq("n"))
-          .filter(col("lab") < col("old")).isEmpty
+        converged = obs.get("chg").asInstanceOf[Long] == 0L
         hop.unpersist()
         lab.unpersist() // round 0's cache; later rounds' blocks rotate out
         lab = next

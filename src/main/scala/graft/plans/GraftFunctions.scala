@@ -43,21 +43,46 @@ case class JaccardSimilarity(left: Expression, right: Expression)
 }
 
 object JaccardSimilarity {
-  /** Static kernel shared by interpreted eval and generated code. */
+  /** Static kernel shared by interpreted eval and generated code.
+    *
+    * Primitive sort-merge (r14), not boxed HashSets: the verify stage of
+    * every near-dup consumer calls this once per candidate pair, and the
+    * previous java.util.HashSet[Long] form paid two set allocations plus
+    * a Long box per element (~25 µs/pair measured on the q31 verify
+    * stage). Copy both arrays to primitive scratch, sort (dual-pivot on
+    * longs — ~1 µs at shingle-set sizes), then one merge pass counts
+    * distinct-intersection and distinct-union directly. Same set
+    * semantics: duplicates collapse, both-empty → 0.0. */
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val seen = new java.util.HashSet[Long](a.numElements() * 2)
+    val na = a.numElements()
+    val nb = b.numElements()
+    val aa = new Array[Long](na)
     var i = 0
-    while (i < a.numElements()) { seen.add(a.getLong(i)); i += 1 }
-    val nA = seen.size()
-    val inB = new java.util.HashSet[Long](b.numElements() * 2)
-    var inter = 0
+    while (i < na) { aa(i) = a.getLong(i); i += 1 }
+    java.util.Arrays.sort(aa)
+    val bb = new Array[Long](nb)
     var j = 0
-    while (j < b.numElements()) {
-      val v = b.getLong(j)
-      if (inB.add(v) && seen.contains(v)) inter += 1
-      j += 1
+    while (j < nb) { bb(j) = b.getLong(j); j += 1 }
+    java.util.Arrays.sort(bb)
+    var inter = 0
+    var union = 0
+    i = 0; j = 0
+    while (i < na && j < nb) {
+      val x = aa(i)
+      val y = bb(j)
+      union += 1
+      if (x == y) {
+        inter += 1
+        do i += 1 while (i < na && aa(i) == x)
+        do j += 1 while (j < nb && bb(j) == y)
+      } else if (x < y) {
+        do i += 1 while (i < na && aa(i) == x)
+      } else {
+        do j += 1 while (j < nb && bb(j) == y)
+      }
     }
-    val union = nA + inB.size() - inter
+    while (i < na) { val x = aa(i); union += 1; do i += 1 while (i < na && aa(i) == x) }
+    while (j < nb) { val y = bb(j); union += 1; do j += 1 while (j < nb && bb(j) == y) }
     if (union == 0) 0.0 else inter.toDouble / union
   }
 }
