@@ -215,8 +215,13 @@ object QueriesExt {
     * along (functionally dependent on doc_id — an extra grouping column,
     * not extra cardinality) so q120's per-tenant df gate can aggregate
     * (source, term) document frequencies without a second corpus pass. */
+  // spread=false (r14): termFreqs' consumers are mostly LIGHT per-row
+  // aggregates (q120's gates, q89's postings, q170's per-source rollup) —
+  // spreading its skinny rows to 32 partitions taxed every downstream
+  // stage with task waves (q120 2.2x, q89 1.7x, q170 2.6x calibrated in
+  // the same-window A/B) without a CPU-dense kernel to amortize them.
   private def termFreqs(s: SparkSession, dir: String): DataFrame =
-    shared(s, dir, "termFreqs") {
+    shared(s, dir, "termFreqs", spread = false) {
       t(s, dir, "documents")
         .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("w"))
         .select(col("doc_id"), col("source"), size(col("w")).as("dl"),
@@ -230,8 +235,11 @@ object QueriesExt {
     * operator that needs adjacency or position (bigrams q102/q124,
     * skip-gram windows q125) reads this ONE materialized tokenization
     * instead of re-splitting the corpus. */
+  // spread=false (r14): same A/B as termFreqs — q102/q124 regressed
+  // 1.4-1.8x under a spread tokenArrays; the one CPU-dense consumer
+  // (q125's skip-gram explode) spreads locally instead.
   private def tokenArrays(s: SparkSession, dir: String): DataFrame =
-    shared(s, dir, "tokenArrays") {
+    shared(s, dir, "tokenArrays", spread = false) {
       t(s, dir, "documents")
         .select(col("doc_id"),
           filter(Text.tokens(col("text")), t => t =!= lit("")).as("w"))
@@ -1120,9 +1128,8 @@ object QueriesExt {
     * map); each gram width is a map-side-combined (doc, gram) count
     * aggregate. All metrics are exact integer ratios. */
   private val q50: Q = (s, dir) => {
-    val th = graft.core.Partitioning.spreadToCores(
-      t(s, dir, "documents")
-        .select(col("doc_id"), Text.tokenHashes(col("text")).as("th")))
+    val th = t(s, dir, "documents")
+      .select(col("doc_id"), Text.tokenHashes(col("text")).as("th"))
       .cache()
     Text.repetitionMetrics(th, "doc_id", "th").orderBy(col("doc_id"))
   }
@@ -4201,7 +4208,11 @@ object QueriesExt {
     * tables, never corpus-row-bounded. Reads the shared [[tokenArrays]]
     * tokenization (paid once across q102/q124/q125). */
   private val q125: Q = (s, dir) => {
-    val pairs = tokenArrays(s, dir)
+    // local spread: the skip-gram pair explode is the corpus-dense kernel
+    // of this family — 32-way it instead of one task per memoized
+    // partition (the memoized table itself stays unspread for its light
+    // consumers; same-window A/B r14: q125 0.34x spread vs q102 1.8x)
+    val pairs = graft.core.Partitioning.spreadToCores(tokenArrays(s, dir))
       .select(explode(Text.skipgramPairs(col("w"), 3)).as("p"))
       .select(col("p.c").as("center"), col("p.x").as("context"))
     val counts = pairs.groupBy("center", "context")
@@ -5616,7 +5627,7 @@ object QueriesExt {
     * count aggregate — map-side combinable, vocabulary-sized state — then
     * a per-source rollup of the count table. */
   private val q153: Q = (s, dir) =>
-    tS(s, dir, "documents") // tokenize+explode: CPU-dense scan
+    t(s, dir, "documents")
       .select(col("source"), explode(graft.functions.Text.tokens(col("text"))).as("tok"))
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("c"))
