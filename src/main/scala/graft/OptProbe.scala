@@ -34,6 +34,32 @@ private[graft] final class JobTimeListener
 }
 
 object OptProbe {
+  /** SPARK_GRAFT_SAMPLE=1: sample every thread's top-of-stack ~every 50 ms
+    * and print a frame histogram at exit — a poor man's profiler for time
+    * that never reaches a Spark job (driver-side planning, streaming
+    * machinery). Dev diagnostics only. */
+  private def startSampler(): java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong] = {
+    val hist = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+    val t = new Thread(() => {
+      while (true) {
+        Thread.sleep(50)
+        val traces = Thread.getAllStackTraces
+        traces.forEach { (th, st) =>
+          if (th.getState == Thread.State.RUNNABLE && st.nonEmpty &&
+              !th.getName.contains("sampler")) {
+            val top = st.slice(8, 20).map(f => s"${f.getClassName}.${f.getMethodName}")
+              .mkString(" < ")
+            hist.computeIfAbsent(s"[${th.getName.take(40)}] $top",
+              _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+          }
+        }
+      }
+    }, "graft-sampler")
+    t.setDaemon(true)
+    t.start()
+    hist
+  }
+
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val planDir = Paths.get(args(1))
@@ -47,6 +73,8 @@ object OptProbe {
     val jobs = new JobTimeListener
     if (sys.env.get("SPARK_GRAFT_JOBS").exists(v => v.nonEmpty && v != "0"))
       spark.sparkContext.addSparkListener(jobs)
+    val sampler = if (sys.env.get("SPARK_GRAFT_SAMPLE")
+        .exists(v => v.nonEmpty && v != "0")) Some(startSampler()) else None
     val all = SparkEntry.queries
     val missing = names.filterNot(all.contains)
     require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
@@ -77,6 +105,14 @@ object OptProbe {
       }.sorted
       val med = times(times.size / 2)
       println(f"[optprobe] $n%-32s median=$med%.3f s  (${times.map(t => f"$t%.3f").mkString(", ")})")
+    }
+    sampler.foreach { hist =>
+      val rows = new java.util.ArrayList(hist.entrySet())
+      rows.sort((a, b) => java.lang.Long.compare(b.getValue.get, a.getValue.get))
+      rows.forEach { e =>
+        if (e.getValue.get >= 5)
+          println(f"[sample] ${e.getValue.get}%6d  ${e.getKey.take(600)}")
+      }
     }
     spark.stop()
   }

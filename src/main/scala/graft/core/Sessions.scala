@@ -47,7 +47,26 @@ object Sessions {
     semantics(SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")
+      // Streaming checkpoint I/O on LOCAL posix stores (r14, measured on
+      // q71 with a thread sampler: 8.8 s -> 2.9 s/run). Two compounding
+      // Hadoop-on-local-fs pathologies in the default stack:
+      //  - the default (FileContext-based) checkpoint manager's rename
+      //    calls getFileLinkStatus, and RawLocalFileSystem implements it
+      //    by FORKING a `readlink` shell process per committed file
+      //    (Hadoop's pre-NativeIO fallback) — hundreds of forks per
+      //    micro-batch at 32 state partitions. The FileSystem-based
+      //    manager renames via File.renameTo: atomic on posix, no fork.
+      //  - Spark 4.1's checkpoint checksum manager doubles every commit
+      //    file (data + checksum) to detect object-store corruption;
+      //    local disks and HDFS already checksum below us.
+      // Local-mode defaults only: [[cluster]] keeps Spark's defaults —
+      // an HDFS/S3 deployment sizes checkpoint-store semantics itself
+      // (FileContext atomicity on HDFS, checksums on S3).
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"))
 
   /** Production-cluster builder: [[builder]]'s engine semantics plus the
     * scale knobs a 100 TB deployment sizes explicitly (all are defaults a

@@ -294,8 +294,16 @@ object Streaming {
     // an unnamed query (name == null) identifies by its UUID instead of
     // printing the literal string "null"
     val qname = Option(q.name).getOrElse(q.id.toString)
+    // per-batch duration decomposition (r14 optimization diagnostics):
+    // where a micro-batch run's wall time goes — planning vs offset-log
+    // vs state commit vs the actual addBatch job. Summed over batches.
+    val dur = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    ps.foreach(p => Option(p.durationMs).foreach(m =>
+      m.forEach((k, v) => dur(k) = dur.getOrElse(k, 0L) + v.longValue())))
+    val durJson = dur.map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
     System.err.println(
-      s"""[stream-state] {"query":${jstr(qname)},"batches":${ps.length},"state_ops":$ops}""")
+      s"""[stream-state] {"query":${jstr(qname)},"batches":${ps.length},"duration_ms":$durJson,"state_ops":$ops}""")
   }
 
   /** Observation name for the rows-entering-the-sink metric. */
