@@ -239,24 +239,37 @@ object Graph {
     // (graft.core.RoundCheckpoints) so a deep traversal holds two hops of
     // state, not maxHops of them
     val rc = new graft.core.RoundCheckpoints(e.sparkSession.sparkContext)
-    var frontier: DataFrame = null
-    var reached: DataFrame = null
-    rc.rotate {
-      frontier = rc.track(seeds.select(col("node")).distinct().localCheckpoint())
-      reached = rc.track(frontier.withColumn("dist", lit(0)).localCheckpoint())
+    // ONE driver action per hop (r14): the frontier is definitionally
+    // reached.filter(dist == hop), so it needs no checkpoint of its own —
+    // and the frontier-emptiness test rides the reached checkpoint as an
+    // observed metric instead of a separate isEmpty job. 3 actions/hop
+    // (frontier ckpt, reached ckpt, isEmpty) collapse to 1; at scale this
+    // also removes a frontier-sized materialization per hop.
+    var frontierRows = 0L
+    var reached: DataFrame = rc.rotate {
+      val obs = new org.apache.spark.sql.Observation
+      val r0 = rc.track(seeds.select(col("node")).distinct()
+        .withColumn("dist", lit(0))
+        .observe(obs, coalesce(count(lit(1)), lit(0L)).as("f"))
+        .localCheckpoint())
+      frontierRows = obs.get("f").asInstanceOf[Long]
+      r0
     }
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    while (hop < maxHops && frontierRows > 0) {
       hop += 1
       rc.rotate {
-        frontier = rc.track(
-          e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
-            .select(col("dst").as("node")).distinct()
-            .join(reached, Seq("node"), "left_anti")
-            .localCheckpoint())
-        reached = rc.track(reached
-          .unionByName(frontier.withColumn("dist", lit(hop)))
+        val frontier = reached.filter(col("dist") === hop - 1).select(col("node"))
+        val next = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(reached, Seq("node"), "left_anti")
+          .withColumn("dist", lit(hop))
+        val obs = new org.apache.spark.sql.Observation
+        reached = rc.track(reached.unionByName(next)
+          .observe(obs, coalesce(sum(when(col("dist") === hop, 1L)
+            .otherwise(0L)), lit(0L)).as("f"))
           .localCheckpoint())
+        frontierRows = obs.get("f").asInstanceOf[Long]
       }
     }
     reached
@@ -301,33 +314,51 @@ object Graph {
     // dist + improved are re-checkpointed every round — rotate the blocks
     // (graft.core.RoundCheckpoints; the bfsDistancesPrepared discipline)
     val rc = new graft.core.RoundCheckpoints(e.sparkSession.sparkContext)
-    var dist = rc.rotate(rc.track(seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()))
-    var frontier = dist
+    // ONE driver action per round (r14, the bfsDistancesPrepared fold):
+    // `__r` stamps the round a node's distance last improved, so the
+    // improved frontier is dist.filter(__r == round) — no separate
+    // improved-set checkpoint — and convergence (no improvement) is an
+    // observed metric on the dist checkpoint, not an isEmpty job.
+    // 3 actions/round collapse to 1.
+    var frontierRows = 0L
+    var dist = rc.rotate {
+      val obs = new org.apache.spark.sql.Observation
+      val d0 = rc.track(seeds.select(col("node")).distinct()
+        .withColumn("dist", lit(0L)).withColumn("__r", lit(0))
+        .observe(obs, coalesce(count(lit(1)), lit(0L)).as("f"))
+        .localCheckpoint())
+      frontierRows = obs.get("f").asInstanceOf[Long]
+      d0
+    }
     var round = 0
-    while (round < maxRounds && !frontier.isEmpty) {
+    while (round < maxRounds && frontierRows > 0) {
       round += 1
       rc.rotate {
+        val frontier = dist.filter(col("__r") === round - 1)
         // cheapest offer per neighbor from the improved set only
         val offers = e
           .join(frontier.select(col("node").as("src"), col("dist").as("sd")),
             Seq("src"))
           .select(col("dst").as("node"), (col("sd") + col("w")).as("cand"))
           .groupBy("node").agg(min("cand").as("cand"))
-        val improved = rc.track(offers.join(dist, Seq("node"), "left")
-          .filter(col("dist").isNull || col("cand") < col("dist"))
-          .select(col("node"), col("cand").as("dist"))
-          .localCheckpoint())
+        val obs = new org.apache.spark.sql.Observation
         dist = rc.track(dist
-          .join(improved.select(col("node"), col("dist").as("gf_nd")),
-            Seq("node"), "left")
-          .select(col("node"), coalesce(col("gf_nd"), col("dist")).as("dist"))
-          .unionByName(improved.join(dist, Seq("node"), "left_anti"))
+          .join(offers, Seq("node"), "left")
+          .select(col("node"),
+            when(col("cand").isNotNull && col("cand") < col("dist"),
+              col("cand")).otherwise(col("dist")).as("dist"),
+            when(col("cand").isNotNull && col("cand") < col("dist"),
+              lit(round)).otherwise(col("__r")).as("__r"))
+          .unionByName(offers.join(dist, Seq("node"), "left_anti")
+            .select(col("node"), col("cand").as("dist"),
+              lit(round).as("__r")))
+          .observe(obs, coalesce(sum(when(col("__r") === round, 1L)
+            .otherwise(0L)), lit(0L)).as("f"))
           .localCheckpoint())
-        frontier = improved
+        frontierRows = obs.get("f").asInstanceOf[Long]
       }
     }
-    dist
+    dist.select(col("node"), col("dist"))
   }
 
   /** k-core decomposition by iterative peeling: drop every node with
@@ -408,9 +439,16 @@ object Graph {
           else canon
             .join(removed.select(col("node").as("a")), Seq("a"), "left_anti")
             .join(removed.select(col("node").as("b")), Seq("b"), "left_anti")
-        val deg = rc.track(degrees(live).localCheckpoint())
+        // drop-set emptiness observed ON the degree checkpoint (r14) —
+        // the isEmpty probe was a second driver action every round
+        val obs = new org.apache.spark.sql.Observation
+        val deg = rc.track(degrees(live)
+          .observe(obs, coalesce(sum(when(col("core_deg") < k, 1L)
+            .otherwise(0L)), lit(0L)).as("d"))
+          .localCheckpoint())
         val drop = deg.filter(col("core_deg") < k).select(col("node"))
-        if (drop.isEmpty) Some(deg) // converged: deg is the caller's result
+        if (obs.get("d").asInstanceOf[Long] == 0L)
+          Some(deg) // converged: deg is the caller's result
         else {
           removed = rc.track((if (removed == null) drop
             else removed.unionByName(drop)).localCheckpoint())
