@@ -3552,6 +3552,13 @@ object QueriesExt {
   private val q119: Q = (s, dir) => {
     import graft.operators.Sketch
     val d38 = "decimal(38,0)"
+    // NOT spread (r14 negative A/B): the AQE-coalesced 1-2-partition
+    // checkpoints do serialize the downstream sketch/exact/max kernels
+    // into ~0.45 s single-task jobs, but those four jobs already overlap
+    // (independent AQE subtrees of the one final action), and a
+    // repartition shuffle in front of each checkpoint cost far more than
+    // it saved (probe: 2.30 -> 4.47 s spread, control stable). At
+    // production split counts the groupBy output is already wide.
     val ca = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("c")).localCheckpoint()
     val cb = t(s, dir, "orders").groupBy(col("o_orderkey"))

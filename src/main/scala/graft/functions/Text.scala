@@ -311,12 +311,15 @@ object Text {
   /** Rolling polynomial fingerprint over token hashes:
     * fold(acc = 0; acc = (acc·31 + h) mod 1_000_000_007) — order-sensitive,
     * so equal fingerprints mean equal token sequences (modulo collisions),
-    * unlike the set-based signatures above. */
-  def rollingFingerprint(text: Column): Column =
-    aggregate(
-      tokenHashes(text),
-      lit(0L),
-      (acc, h) => (acc * 31 + h) % lit(1000000007L))
+    * unlike the set-based signatures above. One codegen'd loop
+    * ([[graft.plans.RollingFpExpr]]) — the `aggregate` higher-order form
+    * is CodegenFallback and paid an interpreted lambda per token; the
+    * kernel is the same Java long arithmetic in the same order (TextSpec
+    * pins bit-equality to the reference fold). */
+  def rollingFingerprint(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
+    toCol(graft.plans.RollingFpExpr(toExpr(tokenHashes(text))))
+  }
 
   /** Language-ID by stopword-profile hit counts. Deterministic argmax with
     * fixed priority order on ties (en > de > fr > es > zh). A heuristic, not
@@ -330,14 +333,31 @@ object Text {
     "es" -> Seq("el", "los", "una", "y", "es"),
     "zh" -> Seq("的", "了", "是"))
 
+  /** ONE codegen'd pass computing every language profile's hit count plus
+    * the union-set count (slot [[LangProfiles]].length, for
+    * [[qualityScoreFromTokens]]) — replaces six per-profile
+    * `size(filter(w, isin(...)))` composites whose ArrayFilter lambdas are
+    * CodegenFallback (r14, guide §4). langId + quality call sites build
+    * the IDENTICAL expression tree, so codegen subexpression elimination
+    * evaluates the kernel once per row in composite gates (q43). */
+  private def stopCounts(w: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
+    toCol(graft.plans.StopCountsExpr(toExpr(w),
+      LangProfiles.map(_._2) :+ LangProfiles.flatMap(_._2)))
+  }
+
   /** Per-language stopword hit counts over a PRE-COMPUTED token array
     * column — materialize the tokens once as a projection and feed them to
     * every text gate (langId + quality + counts) so a composite filter
-    * tokenizes each document exactly once. */
-  def langScoresFromTokens(w: Column): Seq[(String, Column)] =
-    LangProfiles.map { case (lang, words) =>
-      lang -> size(filter(w, t => t.isin(words.map(lit): _*)))
+    * tokenizes each document exactly once. The `coalesce(…, -1)` preserves
+    * the reference composite's `size(null, legacy) = -1` on a null token
+    * array (TextSpec pins equality to the filter/isin form). */
+  def langScoresFromTokens(w: Column): Seq[(String, Column)] = {
+    val counts = stopCounts(w)
+    LangProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> coalesce(counts.getItem(i), lit(-1))
     }
+  }
 
   def langScores(text: Column): Seq[(String, Column)] =
     langScoresFromTokens(tokens(text))
@@ -359,7 +379,9 @@ object Text {
     * per-row double arithmetic. */
   def qualityScoreFromTokens(w: Column): Column = {
     val nTok = size(w)
-    val stop = size(filter(w, t => t.isin(LangProfiles.flatMap(_._2).map(lit): _*)))
+    // union-set slot of the shared kernel; -1 on null array = the
+    // reference size(filter(...), legacy) composite exactly
+    val stop = coalesce(stopCounts(w).getItem(LangProfiles.length), lit(-1))
     lit(0.5) * least(lit(1.0), nTok.cast("double") / 200.0) +
       lit(0.5) * (stop.cast("double") / nTok)
   }

@@ -463,3 +463,125 @@ object Simhash64Expr {
     java.lang.Long.valueOf(out)
   }
 }
+
+/** Per-profile stopword occurrence counts over a token array as ONE
+  * codegen'd pass — replaces the per-profile
+  * `size(filter(w, t => t.isin(words)), true)` composites, whose
+  * ArrayFilter lambdas are INTERPRETED per element (higher-order functions
+  * are CodegenFallback) and each materialize a filtered array just to take
+  * its size; the langId+quality gates paid up to six such passes per row.
+  * Slot i of the result is the MULTISET count of elements of `child` that
+  * occur in `profiles(i)` — exactly the reference composite's count
+  * (null elements never match: `isin` null-propagates and filter keeps
+  * only true; a null ARRAY yields a null result, which call sites map to
+  * the composite's `size(null, legacy) = -1`). One token can count toward
+  * several profiles. TextSpec pins equality to the reference form. */
+case class StopCountsExpr(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression with Serializable {
+  require(profiles.nonEmpty, "StopCountsExpr needs at least one profile")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_stop_counts"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.sql}")
+  }
+
+  // token -> indexes of the profiles containing it (a token may belong to
+  // several); UTF8String keys = the exact equality `isin`'s InSet uses
+  @transient private lazy val memberOf: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    profiles.zipWithIndex.foreach { case (words, i) =>
+      words.foreach { w =>
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  def compute(w: ArrayData): ArrayData = {
+    val counts = new Array[Int](profiles.length)
+    val n = w.numElements()
+    var i = 0
+    while (i < n) {
+      if (!w.isNullAt(i)) {
+        val hit = memberOf.get(w.getUTF8String(i))
+        if (hit != null) {
+          var j = 0
+          while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopCounts", this,
+      "graft.plans.StopCountsExpr")
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopCountsExpr =
+    copy(child = newChild)
+}
+
+/** Rolling polynomial fingerprint over a token-hash array as ONE codegen'd
+  * loop — replaces `aggregate(hs, 0L, (acc, h) => (acc·31 + h) % p)`,
+  * whose ArrayAggregate lambda is INTERPRETED per element. Bit-identical:
+  * the fold is the same Java long arithmetic in the same order (the
+  * reference's Multiply/Add/Remainder on longs ARE Java ops under ANSI
+  * off), the empty array folds to the zero accumulator, a null array
+  * yields null, and a null ELEMENT nulls the accumulator from that point
+  * on — so the result is null, matching the lambda's null propagation.
+  * TextSpec pins equality to the reference form. */
+case class RollingFpExpr(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  // null even for a non-null child: a null ELEMENT nulls the fold
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_fp"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    RollingFpExpr.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("rfp")
+      s"""
+         |java.lang.Long $r = graft.plans.RollingFpExpr.compute($v);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFpExpr =
+    copy(child = newChild)
+}
+
+object RollingFpExpr {
+  def compute(hs: ArrayData): java.lang.Long = {
+    val n = hs.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (hs.isNullAt(i)) return null // null element nulls the fold
+      acc = (acc * 31 + hs.getLong(i)) % 1000000007L
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+}

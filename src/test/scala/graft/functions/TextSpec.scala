@@ -332,6 +332,52 @@ class TextSpec extends SparkSpec {
     assert(got(0) == got(2) && got(0) != got(1))
   }
 
+  test("rollingFingerprint kernel is bit-identical to the aggregate-fold form") {
+    import org.apache.spark.sql.functions._
+    val edges = Seq("", " ", "a", "the of and", " a b ").toDF("text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").unionByName(edges)
+    val cmp = corpus.select(
+      Text.rollingFingerprint($"text").as("fast"),
+      aggregate(Text.tokenHashes($"text"), lit(0L),
+        (acc, h) => (acc * 31 + h) % lit(1000000007L)).as("slow"))
+    assert(cmp.filter(not($"fast" <=> $"slow")).isEmpty,
+      "rolling-fp kernel diverged from the reference fold")
+  }
+
+  test("stop-count kernel is bit-identical to the size(filter(isin)) form") {
+    import org.apache.spark.sql.functions._
+    // real corpus + edges incl. stopwords of several languages in one doc,
+    // duplicate occurrences, empty tokens, unicode (zh profile)
+    val edges = Seq("", " ", "the the the", "der und le la el y 的 是",
+      "no match at all", "the und 的").toDF("text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").unionByName(edges)
+    val w = Text.tokens($"text")
+    val fast = Text.langScoresFromTokens(w)
+    val slow = Text.LangProfiles.map { case (lang, words) =>
+      lang -> size(filter(w, t => t.isin(words.map(lit): _*)))
+    }
+    val cols = fast.zip(slow).zipWithIndex.flatMap { case (((_, f), (_, sl)), i) =>
+      Seq(f.as(s"f$i"), sl.as(s"s$i"))
+    }
+    val cmp = corpus.select(cols: _*)
+    val mismatch = Text.LangProfiles.indices
+      .map(i => not(col(s"f$i") <=> col(s"s$i")))
+      .reduce(_ || _)
+    assert(cmp.filter(mismatch).isEmpty,
+      "stop-count kernel diverged from the reference composite")
+    // the quality score built on the union slot matches the old composite
+    val q = corpus.select(
+      Text.qualityScoreFromTokens(w).as("fast"),
+      (lit(0.5) * least(lit(1.0), size(w).cast("double") / 200.0) +
+        lit(0.5) * (size(filter(w, t =>
+          t.isin(Text.LangProfiles.flatMap(_._2).map(lit): _*)))
+          .cast("double") / size(w))).as("slow"))
+    assert(q.filter(not($"fast" <=> $"slow")).isEmpty,
+      "quality-score kernel diverged from the reference composite")
+  }
+
   test("langId scores stopword profiles and breaks ties by fixed priority") {
     val df = Seq(
       "the cat of the house and a dog",   // en stopwords
