@@ -582,7 +582,12 @@ object QueriesExt {
     * the fixed-count [[probeSet]], so baseline work is O(n·k) — never
     * corpus×corpus — and the broadcast is bounded at any scale factor. */
   private val q34: Q = (s, dir) => {
-    val emb = quantizedEmb(s, dir) // materialized shared table; both sides read it
+    // corpus side spread locally (r14, the q125 discipline): the memo stays
+    // unspread for its light consumers, but THIS join runs |queries| codegen
+    // dot kernels per corpus row — on the 1-partition checkpoint that was
+    // one ~0.8 s task on a 32-core box. Also the q110 fusion's cost root.
+    val emb = graft.core.Partitioning.spreadToCores(
+      quantizedEmb(s, dir)) // materialized shared table; both sides read it
     val queries = probeSet(emb)
       .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("nsq").as("qnsq"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
@@ -2815,8 +2820,11 @@ object QueriesExt {
     * what lets one profile row describe any column type; doubles are
     * deliberately excluded — float formatting differs across engines). */
   private val q94: Q = (s, dir) =>
+    // tS (r14): the 3-column stack + countDistinct partial aggregate is
+    // per-row CPU over the whole table — one ~0.8 s task on the
+    // single-row-group scan otherwise
     graft.operators.Profile
-      .summary(t(s, dir, "orders"),
+      .summary(tS(s, dir, "orders"),
         Seq("o_orderstatus", "o_custkey", "o_orderkey"))
       .orderBy("col_name")
 
@@ -4163,6 +4171,10 @@ object QueriesExt {
     * Documents with fewer than two tokens have no bigrams and drop out on
     * both engines. */
   private val q124: Q = (s, dir) => {
+    // NOT spread (r14 negative A/B): bigram keys repeat heavily, so the
+    // 1-partition partial aggregate already collapses c_ab/c_a locally;
+    // spreading traded that for a repartition + wider shuffles
+    // (probe 1.28x control-normalized regression)
     val toks = tokenArrays(s, dir)
     val bg = toks.select(col("doc_id"), explode(Text.bigrams(col("w"))).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
@@ -6308,6 +6320,10 @@ object QueriesExt {
     * the artifact you then bucket with [[Vectors.lshBucket]] (q35) or IVF
     * (q42). */
   private val q169: Q = (s, dir) => {
+    // NOT spread (r14 negative A/B, like q119): the two ~0.7 s single-task
+    // recall sides overlap as independent AQE subtrees, and the spread's
+    // repartition + 32-way task waves on the five downstream exchanges
+    // cost more than they saved (probe 1.28 -> 1.39 control-normalized)
     val emb = quantizedEmb(s, dir)
     val i8 = emb
       .withColumn("m", array_max(transform(col("qv"), x => abs(x))))
