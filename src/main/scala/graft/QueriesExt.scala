@@ -1717,13 +1717,20 @@ object QueriesExt {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_quantity")))
       .persist()
-    val probes = (1 until 32).map(_.toDouble / 32).toArray
     // one probe job for the ntile phase; it also populates the cache. The
     // rank-family phase needs no boundaries: its stats table is 3 flags ×
     // ≤50 integer quantities, so it uses the bounded-model collect
-    // (collectModel) instead of the bucketed distributed derivation
-    val Array(okeyBnds) = base.stat
-      .approxQuantile(Array("l_orderkey"), probes, 0.001)
+    // (collectModel) instead of the bucketed distributed derivation.
+    // r14: the probe is a codegen min/max aggregate + uniform split, not
+    // approxQuantile — ANY boundaries give bit-identical results
+    // (RankingSpec pins bucket-count invariance; boundaries only steer
+    // parallelism), and the QuantileSummaries insert path was the
+    // dominant CPU of the old probe job. Orderkeys are near-uniform, so
+    // the uniform split balances buckets about as well as quantiles did.
+    val mm = base.agg(min(col("l_orderkey")).cast("double"),
+      max(col("l_orderkey")).cast("double")).head()
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val okeyBnds = (1 until 32).map(i => mn + (mx - mn) * i / 32.0).toArray
     val ranked = Ranking.withRankFamily(base, flag, "l_quantity",
       nCol = Some("__n"), collectModel = true)
     val out = Ranking.groupRowNumber(ranked, flag,
